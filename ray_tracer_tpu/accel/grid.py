@@ -1,0 +1,208 @@
+"""Uniform-grid acceleration structure: vectorized two-pass CSR build.
+
+Reproduces the reference's GridAccel construction exactly
+(Serial/grid.h:79-153; the CUDA variant's two-pass count->alloc->fill at
+Parallel/grid.cuh:137-207) but as a fully vectorized numpy build emitting
+a CSR layout suited to TPU gathers:
+
+  * resolution heuristic: voxelsPerUnitDist = 3*cbrt(F)/maxExtent,
+    nVoxels = clamp(int(delta*vpud + 1), 1, 64) per axis, computed in
+    float32 to match the reference's arithmetic (grid.h:94-101);
+  * a triangle is inserted into every voxel overlapped by its AABB
+    (grid.h:118-150) — conservative, no exact tri/box test, as in the
+    reference;
+  * z-major linear voxel index offset(x,y,z) = z*nx*ny + y*nx + x
+    (grid.h:73-75);
+  * within a voxel, triangles appear in ascending triangle order — the
+    same order the reference's insertion loop produces — so sequential
+    nearest-hit tie-breaking matches the oracle.
+
+The device-side layout is CSR (cell_start (n+1,), tri_ids (nnz,))
+instead of the reference's pointer-table-of-arrays, so traversal gathers
+contiguous windows with static shapes.
+
+An optional C++ builder (native/raytpu_native.cc) provides a faster host
+build for large scenes; the numpy build is the correctness reference.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class GridMeta(NamedTuple):
+    """Static (hashable) grid metadata — safe to close over in jit."""
+
+    n_voxels: Tuple[int, int, int]
+    max_per_voxel: int
+    nnz: int
+
+    @property
+    def total_voxels(self) -> int:
+        nx, ny, nz = self.n_voxels
+        return nx * ny * nz
+
+
+class GridArrays(NamedTuple):
+    """Device-resident grid data."""
+
+    lower: jnp.ndarray  # (3,) f32 scene AABB
+    upper: jnp.ndarray  # (3,)
+    width: jnp.ndarray  # (3,) voxel widths
+    inv_width: jnp.ndarray  # (3,) 0 where width == 0
+    cell_start: jnp.ndarray  # (total_voxels + 1,) i32 CSR offsets
+    tri_ids: jnp.ndarray  # (nnz,) i32
+
+
+@dataclass(frozen=True)
+class UniformGrid:
+    arrays: GridArrays
+    meta: GridMeta
+
+
+def _max_axis(delta: np.ndarray) -> int:
+    """Reference maxAxis comparison chain (Serial/geometry.h:276-285)."""
+    axis = 0 if delta[0] > delta[1] else 1
+    if axis == 1:
+        return 1 if delta[1] > delta[2] else 2
+    return 0 if delta[0] > delta[2] else 2
+
+
+def grid_resolution(
+    lower: np.ndarray,
+    upper: np.ndarray,
+    num_tris: int,
+    resolution_multiplier: float = 3.0,
+    max_resolution: int = 64,
+) -> np.ndarray:
+    """nVoxels per axis with the reference's float32 arithmetic (grid.h:94-101)."""
+    delta = (upper - lower).astype(np.float32)
+    max_inv_width = np.float32(1.0) / delta[_max_axis(delta)]
+    cube_root = np.float32(resolution_multiplier) * np.float32(
+        np.power(np.float32(num_tris), np.float32(1.0 / 3.0))
+    )
+    vpud = cube_root * max_inv_width
+    n = (delta * vpud + np.float32(1.0)).astype(np.int32)  # C truncation
+    return np.clip(n, 1, max_resolution)
+
+
+def pos_to_voxel(p: np.ndarray, lower: np.ndarray, inv_width: np.ndarray, n_voxels: np.ndarray) -> np.ndarray:
+    """posToVoxel with C int-cast truncation + clamp (grid.h:59-66).
+    p: (...,3) -> (...,3) int32."""
+    v = ((p - lower) * inv_width).astype(np.float32)
+    v = np.trunc(v).astype(np.int32)
+    return np.clip(v, 0, n_voxels - 1)
+
+
+def build_grid(
+    verts: np.ndarray,
+    faces: np.ndarray,
+    resolution_multiplier: float = 3.0,
+    max_resolution: int = 64,
+    use_native: bool = True,
+) -> UniformGrid:
+    verts = np.asarray(verts, dtype=np.float32)
+    faces = np.asarray(faces, dtype=np.int32)
+    num_tris = faces.shape[0]
+
+    if use_native and num_tris > 0:
+        try:
+            from ray_tracer_tpu.accel import native
+
+            built = native.build_grid_native(
+                verts, faces, resolution_multiplier, max_resolution
+            )
+        except Exception:
+            built = None
+        if built is not None:
+            n3, lower, upper, width, inv_width, cell_start, tri_ids = built
+            nx, ny, nz = (int(x) for x in n3)
+            counts = np.diff(cell_start)
+            meta = GridMeta(
+                n_voxels=(nx, ny, nz),
+                max_per_voxel=int(counts.max()) if counts.size else 0,
+                nnz=int(tri_ids.shape[0]),
+            )
+            arrays = GridArrays(
+                lower=jnp.asarray(lower), upper=jnp.asarray(upper),
+                width=jnp.asarray(width), inv_width=jnp.asarray(inv_width),
+                cell_start=jnp.asarray(cell_start, dtype=jnp.int32),
+                tri_ids=jnp.asarray(tri_ids, dtype=jnp.int32),
+            )
+            return UniformGrid(arrays=arrays, meta=meta)
+
+    v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+    tri_lo = np.minimum(np.minimum(v0, v1), v2)
+    tri_hi = np.maximum(np.maximum(v0, v1), v2)
+    lower = tri_lo.min(axis=0)
+    upper = tri_hi.max(axis=0)
+
+    n_voxels = grid_resolution(lower, upper, num_tris, resolution_multiplier, max_resolution)
+    delta = (upper - lower).astype(np.float32)
+    width = delta / n_voxels.astype(np.float32)
+    inv_width = np.where(width == 0.0, np.float32(0.0), np.float32(1.0) / width)
+
+    nx, ny, nz = (int(x) for x in n_voxels)
+
+    cell_start, tri_ids = _build_csr_numpy(
+        tri_lo, tri_hi, lower, inv_width, n_voxels, nx, ny
+    )
+
+    counts = np.diff(cell_start)
+    meta = GridMeta(
+        n_voxels=(nx, ny, nz),
+        max_per_voxel=int(counts.max()) if counts.size else 0,
+        nnz=int(tri_ids.shape[0]),
+    )
+    arrays = GridArrays(
+        lower=jnp.asarray(lower),
+        upper=jnp.asarray(upper),
+        width=jnp.asarray(width),
+        inv_width=jnp.asarray(inv_width),
+        cell_start=jnp.asarray(cell_start, dtype=jnp.int32),
+        tri_ids=jnp.asarray(tri_ids, dtype=jnp.int32),
+    )
+    return UniformGrid(arrays=arrays, meta=meta)
+
+
+def _build_csr_numpy(tri_lo, tri_hi, lower, inv_width, n_voxels, nx, ny):
+    """Vectorized insertion: expand each triangle into its overlapped voxel
+    range, then stable-sort by cell.  Equivalent to the reference's triple
+    loop (grid.h:135-148) including within-cell triangle ordering."""
+    num_tris = tri_lo.shape[0]
+    total = int(n_voxels[0]) * int(n_voxels[1]) * int(n_voxels[2])
+    if num_tris == 0:
+        return np.zeros(total + 1, dtype=np.int64), np.zeros(0, dtype=np.int32)
+
+    vmin = pos_to_voxel(tri_lo, lower, inv_width, n_voxels)  # (F,3)
+    vmax = pos_to_voxel(tri_hi, lower, inv_width, n_voxels)
+    span = (vmax - vmin + 1).astype(np.int64)  # (F,3)
+    per_tri = span[:, 0] * span[:, 1] * span[:, 2]
+    starts = np.concatenate([[0], np.cumsum(per_tri)])
+    total_entries = int(starts[-1])
+
+    tri_of = np.repeat(np.arange(num_tris, dtype=np.int64), per_tri)
+    within = np.arange(total_entries, dtype=np.int64) - starts[tri_of]
+
+    syz = span[tri_of, 1] * span[tri_of, 2]
+    dx = within // syz
+    rem = within % syz
+    dy = rem // span[tri_of, 2]
+    dz = rem % span[tri_of, 2]
+
+    x = vmin[tri_of, 0] + dx
+    y = vmin[tri_of, 1] + dy
+    z = vmin[tri_of, 2] + dz
+    cell = z * (nx * ny) + y * nx + x  # z-major (grid.h:73-75)
+
+    order = np.argsort(cell, kind="stable")
+    cell_sorted = cell[order]
+    tri_ids = tri_of[order].astype(np.int32)
+
+    counts = np.bincount(cell_sorted, minlength=total)
+    cell_start = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    return cell_start, tri_ids

@@ -1,0 +1,166 @@
+"""Typed configuration for scenes, cameras, lights, materials and rendering.
+
+The reference has no config system — every knob is a compile-time literal
+(camera at Serial/raytracer.cpp:124-128, shading constants at :82-89,
+Parallel constants at Parallel/raytracer.cu:13-18, 449-453, 470).  Here a
+single set of dataclasses reproduces those exact defaults and serialises
+to/from JSON so every benchmark config in BASELINE.md is a config file,
+not a code edit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+Vec3 = Tuple[float, float, float]
+
+
+@dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole look-at camera (reference: Serial/raytracer.cpp:124-138)."""
+
+    position: Vec3 = (3.0, 5.0, 3.0)
+    target: Vec3 = (0.0, 0.0, 0.0)
+    up: Vec3 = (0.0, -1.0, 0.0)
+    fov_degrees: float = 45.0
+    width: int = 512
+    height: int = 512
+
+
+@dataclass(frozen=True)
+class LightConfig:
+    """Single point light (reference: Serial/raytracer.cpp:87-89)."""
+
+    position: Vec3 = (5.0, -5.0, 2.0)
+    intensity: float = 255.0
+
+
+@dataclass(frozen=True)
+class MaterialConfig:
+    """Blinn-Phong material (reference: Parallel/geometry.cuh:284-303).
+
+    The serial variant hardcodes one implicit material
+    (Serial/raytracer.cpp:83-89); the parallel variant uses a 4-entry
+    table (Parallel/raytracer.cu:449-453).
+    """
+
+    base_color: Vec3 = (255.0, 0.0, 0.0)
+    kd: float = 2.0
+    ks: float = 5.0e11
+    spec_alpha: float = 4.0
+    ka: float = 0.2
+    km: float = 0.0
+    reflective: bool = False
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """One OBJ mesh instance in a scene (reference: load_mesh signatures,
+    Serial/raytracer.cpp:189, Parallel/geometry.cuh:280-282)."""
+
+    path: str
+    material_index: int = 0
+    offset: Vec3 = (0.0, 0.0, 0.0)
+    scale: float = 1.0
+    has_vt: bool = True
+
+
+@dataclass(frozen=True)
+class GridConfig:
+    """Uniform-grid acceleration structure (reference: Serial/grid.h:94-101).
+
+    resolution_multiplier=3 and max_resolution=64 reproduce the reference
+    heuristic nVoxels = clamp(delta * 3*cbrt(N)/maxExtent + 1, 1, 64).
+    """
+
+    resolution_multiplier: float = 3.0
+    max_resolution: int = 64
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    """End-to-end render settings.
+
+    shading="serial" reproduces Serial/raytracer.cpp:71-118 (single implicit
+    material, shadow scale 0.1, negated shadow direction quirk);
+    shading="parallel" reproduces Parallel/raytracer.cu:445-524 (material
+    table, shadow halving, <=3 mirror bounces).
+
+    faithful=True reproduces the reference's exact hit semantics
+    (negative-t hits allowed, shadow ray counts any barycentric pass along
+    the walked voxels — Serial/geometry.h:162-174); faithful=False uses
+    corrected semantics (t in (mint, maxt), DDA early-exit on confirmed
+    hit) which is the fast production path.
+    """
+
+    shading: str = "serial"  # "serial" | "parallel"
+    faithful: bool = True
+    max_bounces: int = 0  # reflection bounces; parallel reference uses 3
+    shadow_eps: float = 1e-1  # Serial/geometry.h:2; parallel uses 1e-4
+    shadow_scale: float = 0.1
+    background: Vec3 = (0.0, 0.0, 0.0)
+    ray_tile: int = 16384  # rays per traversal tile (static-shape chunk)
+    max_tris_per_voxel: Optional[int] = None  # None => derived from grid
+    dtype: str = "float32"  # compute dtype on device
+    det_dtype: str = "float32"  # "float64" on CPU matches oracle bitwise
+    grid: GridConfig = field(default_factory=GridConfig)
+
+
+@dataclass(frozen=True)
+class SceneConfig:
+    meshes: Tuple[MeshConfig, ...] = ()
+    materials: Tuple[MaterialConfig, ...] = (MaterialConfig(),)
+    camera: CameraConfig = field(default_factory=CameraConfig)
+    light: LightConfig = field(default_factory=LightConfig)
+    render: RenderConfig = field(default_factory=RenderConfig)
+
+
+# ---------------------------------------------------------------------------
+# JSON round-trip
+# ---------------------------------------------------------------------------
+
+_CONFIG_TYPES = {
+    "camera": CameraConfig,
+    "light": LightConfig,
+    "render": RenderConfig,
+    "grid": GridConfig,
+}
+
+
+def _to_jsonable(obj: Any) -> Any:
+    if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+        return {f.name: _to_jsonable(getattr(obj, f.name)) for f in dataclasses.fields(obj)}
+    if isinstance(obj, (list, tuple)):
+        return [_to_jsonable(x) for x in obj]
+    return obj
+
+
+def _from_dict(cls, data: Dict[str, Any]):
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in data:
+            continue
+        val = data[f.name]
+        if f.name == "meshes":
+            val = tuple(_from_dict(MeshConfig, m) for m in val)
+        elif f.name == "materials":
+            val = tuple(_from_dict(MaterialConfig, m) for m in val)
+        elif f.name in _CONFIG_TYPES and isinstance(val, dict):
+            val = _from_dict(_CONFIG_TYPES[f.name], val)
+        elif isinstance(val, list):
+            val = tuple(val)
+        kwargs[f.name] = val
+    return cls(**kwargs)
+
+
+def save_scene_config(cfg: SceneConfig, path: str) -> None:
+    with open(path, "w") as fh:
+        json.dump(_to_jsonable(cfg), fh, indent=2)
+
+
+def load_scene_config(path: str) -> SceneConfig:
+    with open(path) as fh:
+        return _from_dict(SceneConfig, json.load(fh))

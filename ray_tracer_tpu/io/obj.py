@@ -1,0 +1,95 @@
+"""Wavefront OBJ loading into flat SoA arrays.
+
+TPU-native counterpart of the reference's load_mesh
+(Serial/raytracer.cpp:220-287, Parallel/raytracer.cu:805-873): the same
+subset of OBJ (`v`, `vt`, `f v/vt v/vt v/vt`), 1-based indices, per-mesh
+offset and scale applied as scale * (coord + offset) in double precision
+before narrowing to float32 — but producing dense numpy arrays
+(verts (V,3) f32, faces (F,3) i32, uvs, uv_faces) instead of one heap
+object per triangle.
+
+A C++ fast path (native/raytpu_native.cc) is used when the shared
+library has been built; the numpy parser is the always-available
+fallback and the correctness reference for it.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+
+
+class MeshArrays(NamedTuple):
+    verts: np.ndarray  # (V,3) float32
+    faces: np.ndarray  # (F,3) int32, 0-based
+    uvs: np.ndarray  # (VT,2) float32 (may be empty)
+    uv_faces: np.ndarray  # (F,3) int32, 0-based (may be empty)
+
+    @property
+    def num_faces(self) -> int:
+        return self.faces.shape[0]
+
+
+def _parse_obj_numpy(path: str) -> MeshArrays:
+    verts = []
+    uvs = []
+    faces = []
+    uv_faces = []
+    with open(path, "r") as fh:
+        for line in fh:
+            if line.startswith("v "):
+                parts = line.split()
+                verts.append((float(parts[1]), float(parts[2]), float(parts[3])))
+            elif line.startswith("vt "):
+                parts = line.split()
+                uvs.append((float(parts[1]), float(parts[2])))
+            elif line.startswith("f "):
+                parts = line.split()[1:4]
+                vi = []
+                ti = []
+                for p in parts:
+                    comps = p.split("/")
+                    vi.append(int(comps[0]))
+                    if len(comps) > 1 and comps[1]:
+                        ti.append(int(comps[1]))
+                faces.append(vi)
+                if len(ti) == 3:
+                    uv_faces.append(ti)
+    v = np.asarray(verts, dtype=np.float64).reshape(-1, 3)
+    f = np.asarray(faces, dtype=np.int32).reshape(-1, 3) - 1
+    vt = np.asarray(uvs, dtype=np.float32).reshape(-1, 2)
+    fvt = np.asarray(uv_faces, dtype=np.int32).reshape(-1, 3) - 1
+    return MeshArrays(v.astype(np.float64), f, vt, fvt)
+
+
+def load_obj(
+    path: str,
+    offset: Tuple[float, float, float] = (0.0, 0.0, 0.0),
+    scale: float = 1.0,
+    use_native: Optional[bool] = None,
+) -> MeshArrays:
+    """Load an OBJ; vertex transform matches the reference exactly:
+    scale * (coord + offset) computed in float64 then cast to float32
+    (Parallel/raytracer.cu:824; Serial applies offset only, i.e. scale=1,
+    Serial/raytracer.cpp:239)."""
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
+
+    mesh = None
+    if use_native is not False:
+        try:
+            from ray_tracer_tpu.accel import native
+
+            mesh = native.load_obj_native(path)
+        except Exception:
+            if use_native is True:
+                raise
+            mesh = None
+    if mesh is None:
+        mesh = _parse_obj_numpy(path)
+
+    off = np.asarray(offset, dtype=np.float64)
+    v = (float(scale) * (mesh.verts.astype(np.float64) + off)).astype(np.float32)
+    return MeshArrays(v, mesh.faces, mesh.uvs, mesh.uv_faces)

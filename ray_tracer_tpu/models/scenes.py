@@ -1,0 +1,177 @@
+"""Scene representation and the reference scene definitions.
+
+A Scene is one pytree of dense device arrays — the TPU-native counterpart
+of the reference's `std::vector<Triangle*>` heap soup
+(Serial/raytracer.cpp:193-196).  Geometry stays indexed (verts + faces)
+rather than flattened per-triangle so that vertex gradients aggregate
+across shared vertices, and materials live in a gatherable table.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ray_tracer_tpu.config import (
+    CameraConfig,
+    LightConfig,
+    MaterialConfig,
+    MeshConfig,
+    RenderConfig,
+    SceneConfig,
+)
+from ray_tracer_tpu.io.obj import MeshArrays, load_obj
+from ray_tracer_tpu.models import meshes as mesh_gen
+from ray_tracer_tpu.models.materials import (
+    PARALLEL_REFERENCE_MATERIALS,
+    SERIAL_REFERENCE_MATERIAL,
+    MaterialTable,
+)
+
+ASSET_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "assets")
+
+
+def asset(name: str) -> str:
+    return os.path.join(ASSET_DIR, name)
+
+
+class Scene(NamedTuple):
+    """Differentiable scene parameters + static topology.
+
+    verts/materials/light_* are differentiable leaves; faces and
+    face_material are integer topology.
+    """
+
+    verts: jnp.ndarray  # (V,3) f32
+    faces: jnp.ndarray  # (F,3) i32
+    face_material: jnp.ndarray  # (F,) i32
+    materials: MaterialTable
+    light_pos: jnp.ndarray  # (3,)
+    light_intensity: jnp.ndarray  # ()
+
+    @property
+    def num_faces(self) -> int:
+        return self.faces.shape[0]
+
+    def triangle_soa(self) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Gathered per-triangle vertices (F,3) x3 — gradients flow to verts."""
+        return (
+            self.verts[self.faces[:, 0]],
+            self.verts[self.faces[:, 1]],
+            self.verts[self.faces[:, 2]],
+        )
+
+
+def scene_from_meshes(
+    parts: Sequence[Tuple[MeshArrays, int]],
+    materials: Sequence[MaterialConfig],
+    light: LightConfig,
+    dtype=jnp.float32,
+) -> Scene:
+    """Concatenate (mesh, material_index) parts into one Scene."""
+    all_verts = []
+    all_faces = []
+    all_fmat = []
+    voffset = 0
+    for mesh, midx in parts:
+        all_verts.append(mesh.verts)
+        all_faces.append(mesh.faces + voffset)
+        all_fmat.append(np.full((mesh.faces.shape[0],), midx, dtype=np.int32))
+        voffset += mesh.verts.shape[0]
+    return Scene(
+        verts=jnp.asarray(np.concatenate(all_verts, axis=0), dtype=dtype),
+        faces=jnp.asarray(np.concatenate(all_faces, axis=0)),
+        face_material=jnp.asarray(np.concatenate(all_fmat, axis=0)),
+        materials=MaterialTable.from_configs(materials, dtype=dtype),
+        light_pos=jnp.asarray(light.position, dtype=dtype),
+        light_intensity=jnp.asarray(light.intensity, dtype=dtype),
+    )
+
+
+def build_scene(cfg: SceneConfig, dtype=jnp.float32) -> Scene:
+    parts = []
+    for m in cfg.meshes:
+        mesh = load_obj(m.path, offset=m.offset, scale=m.scale)
+        parts.append((mesh, m.material_index))
+    return scene_from_meshes(parts, cfg.materials, cfg.light, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# Reference scenes
+# ---------------------------------------------------------------------------
+
+
+def serial_scene_config(width: int = 512, height: int = 512) -> SceneConfig:
+    """The serial reference's hard-coded scene (Serial/raytracer.cpp:191-200):
+    spot + blub offset (1.5,0,0), red, 512x512, camera (3,5,3) fov 45,
+    light (5,-5,2) intensity 255."""
+    return SceneConfig(
+        meshes=(
+            MeshConfig(path=asset("spot_triangulated.obj"), material_index=0),
+            MeshConfig(path=asset("blub_triangulated.obj"), material_index=0, offset=(1.5, 0.0, 0.0)),
+        ),
+        materials=(SERIAL_REFERENCE_MATERIAL,),
+        camera=CameraConfig(position=(3, 5, 3), target=(0, 0, 0), up=(0, -1, 0), fov_degrees=45.0, width=width, height=height),
+        light=LightConfig(position=(5, -5, 2), intensity=255.0),
+        render=RenderConfig(shading="serial", faithful=True, max_bounces=0, shadow_eps=1e-1, shadow_scale=0.1),
+    )
+
+
+def parallel_scene_config(width: int = 64, height: int = 64) -> SceneConfig:
+    """The parallel reference's hard-coded scene (Parallel/raytracer.cu:769-786):
+    plane(mat0, +0.4y, x3) + blub(mat1, -2x, x5) + spot(mat1, x5) +
+    blub(mat3, +2x, x5); camera (18,18,19) fov 60; light (2,5,0)."""
+    return SceneConfig(
+        meshes=(
+            MeshConfig(path=asset("plane.obj"), material_index=0, offset=(0.0, 0.4, 0.0), scale=3.0),
+            MeshConfig(path=asset("blub_triangulated.obj"), material_index=1, offset=(-2.0, 0.0, 0.0), scale=5.0),
+            MeshConfig(path=asset("spot_triangulated.obj"), material_index=1, scale=5.0),
+            MeshConfig(path=asset("blub_triangulated.obj"), material_index=3, offset=(2.0, 0.0, 0.0), scale=5.0),
+        ),
+        materials=PARALLEL_REFERENCE_MATERIALS,
+        camera=CameraConfig(position=(18, 18, 19), target=(0, 0, 0), up=(0, -1, 0), fov_degrees=60.0, width=width, height=height),
+        light=LightConfig(position=(2, 5, 0), intensity=1.0),
+        render=RenderConfig(shading="parallel", faithful=False, max_bounces=3, shadow_eps=1e-4, shadow_scale=0.5),
+    )
+
+
+def serial_scene(width: int = 512, height: int = 512, dtype=jnp.float32):
+    cfg = serial_scene_config(width, height)
+    return build_scene(cfg, dtype=dtype), cfg
+
+
+def parallel_scene(width: int = 64, height: int = 64, dtype=jnp.float32):
+    cfg = parallel_scene_config(width, height)
+    return build_scene(cfg, dtype=dtype), cfg
+
+
+def gradcheck_scene(width: int = 64, height: int = 64, dtype=jnp.float32):
+    """BASELINE config 2: plane + spheres, shadow rays — the flat scene
+    used for finite-difference gradient checks."""
+    plane = mesh_gen.make_plane(extent=8.0, y=-1.0, density=2)
+    sphere_a = mesh_gen.make_uv_sphere(center=(0.0, 0.2, 0.0), radius=0.8, n_lat=12, n_lon=18)
+    sphere_b = mesh_gen.make_uv_sphere(center=(1.6, 0.0, 0.8), radius=0.5, n_lat=10, n_lon=14)
+    materials = (
+        MaterialConfig(base_color=(90.0, 90.0, 220.0), kd=2.0, ks=4.0, spec_alpha=4.0, ka=0.2),
+        MaterialConfig(base_color=(220.0, 60.0, 60.0), kd=2.0, ks=4.0, spec_alpha=4.0, ka=0.2),
+    )
+    light = LightConfig(position=(4.0, 6.0, 2.0), intensity=1.0)
+    scene = scene_from_meshes(
+        [(plane, 0), (sphere_a, 1), (sphere_b, 1)], materials, light, dtype=dtype
+    )
+    cfg = SceneConfig(
+        materials=materials,
+        camera=CameraConfig(position=(3.0, 3.0, 4.0), target=(0, 0, 0), up=(0, 1, 0), fov_degrees=45.0, width=width, height=height),
+        light=light,
+        render=RenderConfig(shading="parallel", faithful=False, max_bounces=0, shadow_eps=1e-3, shadow_scale=0.5),
+    )
+    return scene, cfg
+
+
+def flagship_scene(width: int = 1024, height: int = 1024, dtype=jnp.float32):
+    """BASELINE config 3 / primary benchmark: spot at 1024x1024,
+    grid traversal, primary + shadow rays."""
+    return serial_scene(width, height, dtype=dtype)

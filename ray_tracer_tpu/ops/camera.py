@@ -1,0 +1,60 @@
+"""Pinhole look-at camera: the whole image's primary rays as one batch.
+
+Reproduces the reference's camera model exactly
+(Serial/raytracer.cpp:124-138, 150-161; duplicated per-thread at
+Parallel/raytracer.cu:154-162):
+
+    w  = -normalize(target - pos)
+    u  = normalize(up x w)
+    v  = normalize(w x u)
+    fd = focal_height / (2 tan(fov/2))
+    dir(x, y) = normalize(-w*fd + u * ar*(x - W/2 + 0.5)/W
+                                + v *    (y - H/2 + 0.5)/H)
+
+but emits the full (H*W, 3) direction array in one broadcasted expression
+instead of a per-pixel loop.  Pixel (x, y) maps to flat index y*W + x,
+matching the reference's framebuffer layout.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from ray_tracer_tpu.config import CameraConfig
+from ray_tracer_tpu.core import vecmath as vm
+from ray_tracer_tpu.core.rays import RayBatch
+
+
+def camera_basis(cfg: CameraConfig, dtype=jnp.float32):
+    pos = jnp.asarray(cfg.position, dtype=dtype)
+    target = jnp.asarray(cfg.target, dtype=dtype)
+    up = vm.normalize(jnp.asarray(cfg.up, dtype=dtype))
+    w = vm.normalize(-(target - pos))
+    u = vm.normalize(vm.cross(up, w))
+    v = vm.normalize(vm.cross(w, u))
+    focal_distance = 1.0 / (2.0 * math.tan(cfg.fov_degrees * math.pi / 360.0))
+    return pos, u, v, w, focal_distance
+
+
+def camera_rays(cfg: CameraConfig, dtype=jnp.float32) -> RayBatch:
+    """Primary rays for every pixel, flat index = y*W + x."""
+    pos, u, v, w, fd = camera_basis(cfg, dtype=dtype)
+    width, height = cfg.width, cfg.height
+    aspect = float(width) / float(height)
+
+    x = jnp.arange(width, dtype=dtype)
+    y = jnp.arange(height, dtype=dtype)
+    xw = aspect * (x - width / 2.0 + 0.5) / width  # (W,)
+    yw = (y - height / 2.0 + 0.5) / height  # (H,)
+
+    dirs = (
+        -w * fd
+        + u * xw[None, :, None]  # broadcast over (H, W, 3)
+        + v * yw[:, None, None]
+    )
+    dirs = vm.normalize(dirs).reshape(-1, 3)
+    orig = jnp.broadcast_to(pos, dirs.shape)
+    return RayBatch.make(orig, dirs, mint=0.0, maxt=jnp.inf)

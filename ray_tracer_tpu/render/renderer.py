@@ -1,0 +1,195 @@
+"""The renderer: camera -> traversal -> shading -> framebuffer.
+
+Replaces the reference's two drivers — the serial per-pixel double loop
+(Serial/raytracer.cpp:150-175) and the CUDA wavefront pipeline of three
+persistent kernels glued by atomic work queues
+(Parallel/raytracer.cu:32-334, 669-675) — with a single fused XLA
+program over dense ray tiles:
+
+  * primary rays for the whole image are one broadcasted batch;
+  * the batch is processed in fixed-size tiles via `lax.map`, so each
+    tile's DDA `while_loop` retires as soon as ITS rays are done (empty
+    sky tiles exit immediately — the role the reference's ray-gen
+    frustum cull played, Parallel/raytracer.cu:154-173);
+  * mirror reflection is a statically unrolled masked bounce loop
+    (replacing device-side recursion at Parallel/raytracer.cu:508-520);
+    retired lanes get their origin set to +inf so the grid slab test
+    kills them on entry;
+  * the 'scheduler' is XLA — there are no queues to race on, and the
+    same seed gives the same image on any topology.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ray_tracer_tpu.accel.grid import GridArrays, GridMeta, UniformGrid, build_grid
+from ray_tracer_tpu.config import RenderConfig, SceneConfig
+from ray_tracer_tpu.core import vecmath as vm
+from ray_tracer_tpu.core.rays import RayBatch
+from ray_tracer_tpu.models.scenes import Scene, build_scene
+from ray_tracer_tpu.ops.camera import camera_rays
+from ray_tracer_tpu.ops.shade import (
+    hit_geometry_parallel,
+    hit_geometry_serial,
+    shade_parallel,
+    shade_serial,
+)
+from ray_tracer_tpu.ops.traverse import traverse_grid
+
+
+class Prepared(NamedTuple):
+    scene: Scene
+    grid: UniformGrid
+    cfg: SceneConfig
+
+
+def prepare(cfg: SceneConfig, scene: Scene = None) -> Prepared:
+    """Host-side setup: load meshes, build the grid (numpy / native C++)."""
+    if scene is None:
+        scene = build_scene(cfg)
+    grid = build_grid(
+        np.asarray(scene.verts),
+        np.asarray(scene.faces),
+        resolution_multiplier=cfg.render.grid.resolution_multiplier,
+        max_resolution=cfg.render.grid.max_resolution,
+    )
+    return Prepared(scene=scene, grid=grid, cfg=cfg)
+
+
+def render_rays(
+    rays: RayBatch,
+    scene: Scene,
+    grid: GridArrays,
+    meta: GridMeta,
+    rcfg: RenderConfig,
+) -> jnp.ndarray:
+    """Trace + shade one ray batch -> (R,3) linear color.
+
+    Differentiable w.r.t. scene.verts / materials / light: the traversal
+    emits integer hit topology (a stop-gradient island by construction),
+    and t / normals / shading are recomputed from the gathered vertices
+    so gradients flow through the arithmetic, not the search.
+    """
+    serial = rcfg.shading == "serial"
+    faithful = rcfg.faithful
+    eps = rcfg.shadow_eps
+    v0, v1, v2 = scene.triangle_soa()
+    background = jnp.asarray(rcfg.background, v0.dtype)
+
+    # Hit-update gate: serial-faithful primaries accept ANY t
+    # (Serial/geometry.h:164-171); the CUDA variant gates t > eps always;
+    # the fast serial path gates t > 0 (no scene content behind the camera).
+    primary_gate = None if (serial and faithful) else (0.0 if serial else eps)
+    early = not faithful
+
+    trav = partial(
+        traverse_grid,
+        grid=grid,
+        meta=meta,
+        v0=jax.lax.stop_gradient(v0),
+        v1=jax.lax.stop_gradient(v1),
+        v2=jax.lax.stop_gradient(v2),
+        det_dtype=rcfg.det_dtype,
+        early_exit=early,
+    )
+
+    r = rays.count
+    result = jnp.zeros((r, 3), v0.dtype)
+    weight = jnp.ones((r, 1), v0.dtype)
+    cur = rays
+    inf3 = jnp.full((r, 3), jnp.inf, v0.dtype)
+
+    for depth in range(rcfg.max_bounces + 1):
+        res = trav(cur, t_gate=primary_gate)
+        hit = res.any_pass if (serial and faithful) else res.hit
+        tri = jnp.maximum(res.tri_id, 0)
+        t = jax.lax.stop_gradient(res.t)
+
+        tv0, tv1, tv2 = v0[tri], v1[tri], v2[tri]
+        mat = scene.materials.gather(scene.face_material[tri])
+
+        if serial:
+            geom = hit_geometry_serial(cur.orig, cur.dirn, t, tv0, tv1, tv2)
+        else:
+            geom = hit_geometry_parallel(cur.orig, cur.dirn, t, tv0, tv1, tv2)
+
+        # Shadow ray.  The serial reference points it AWAY from the light
+        # (raytracer.cpp:106 — a quirk reproduced for bit-faithfulness);
+        # the CUDA variant points toward the light with mint = eps + 0.02
+        # (raytracer.cu:492-506).
+        to_light = scene.light_pos - geom.poi
+        sdir = -vm.normalize(to_light) if serial else vm.normalize(to_light)
+        smint = eps if serial else eps + 0.02
+        sorig = jnp.where(hit[:, None], geom.poi, inf3)
+        srays = RayBatch.make(jax.lax.stop_gradient(sorig), jax.lax.stop_gradient(sdir), mint=smint)
+        sres = trav(srays, t_gate=eps, stop_on_first_hit=early)
+        in_shadow = (sres.any_pass if (serial and faithful) else sres.hit) & hit
+
+        if serial:
+            color = shade_serial(
+                geom, mat, scene.light_pos, scene.light_intensity,
+                in_shadow, rcfg.shadow_scale,
+            )
+        else:
+            color = shade_parallel(
+                geom, mat, scene.light_pos, in_shadow, rcfg.shadow_scale
+            )
+
+        reflecting = hit & mat.reflective & (depth < rcfg.max_bounces)
+        # Reflective surfaces blend their local color with the bounced
+        # color: local*base*(1-km) + bounced*km (raytracer.cu:519-520).
+        local = jnp.where(
+            reflecting[:, None],
+            color * mat.base_color * (1.0 - mat.km)[:, None],
+            jnp.where(hit[:, None], color, background),
+        )
+        result = result + weight * local
+        if depth == rcfg.max_bounces:
+            break
+
+        weight = weight * jnp.where(reflecting, mat.km, 0.0)[:, None]
+        rdir = vm.normalize(
+            vm.reflect(vm.normalize(cur.dirn), vm.normalize(geom.normal))
+        )
+        rorig = jnp.where(reflecting[:, None], geom.poi, inf3)
+        cur = RayBatch.make(rorig, rdir, mint=eps)
+
+    return result
+
+
+def _pad_to(n: int, tile: int) -> int:
+    return ((n + tile - 1) // tile) * tile
+
+
+@partial(jax.jit, static_argnames=("meta", "cfg"))
+def _render_image(scene: Scene, grid: GridArrays, meta: GridMeta, cfg: SceneConfig):
+    rcfg = cfg.render
+    rays = camera_rays(cfg.camera, dtype=jnp.dtype(rcfg.dtype))
+    r = rays.count
+    tile = min(rcfg.ray_tile, r)
+    padded = _pad_to(r, tile)
+    if padded != r:
+        pad = padded - r
+        rays = RayBatch(
+            orig=jnp.concatenate([rays.orig, jnp.full((pad, 3), jnp.inf, rays.orig.dtype)]),
+            dirn=jnp.concatenate([rays.dirn, jnp.ones((pad, 3), rays.dirn.dtype)]),
+            mint=jnp.concatenate([rays.mint, jnp.zeros((pad,), rays.mint.dtype)]),
+            maxt=jnp.concatenate([rays.maxt, jnp.zeros((pad,), rays.maxt.dtype)]),
+        )
+    tiled = jax.tree.map(lambda x: x.reshape((padded // tile, tile) + x.shape[1:]), rays)
+    colors = jax.lax.map(
+        lambda rb: render_rays(rb, scene, grid, meta, rcfg), tiled
+    )
+    colors = colors.reshape(padded, 3)[:r]
+    return colors.reshape(cfg.camera.height, cfg.camera.width, 3)
+
+
+def render(prep: Prepared) -> jnp.ndarray:
+    """Render the prepared scene -> (H, W, 3) float32 linear color."""
+    return _render_image(prep.scene, prep.grid.arrays, prep.grid.meta, prep.cfg)
