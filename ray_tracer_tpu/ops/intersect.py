@@ -112,7 +112,7 @@ def intersect_brute(
     big = jnp.asarray(jnp.inf, t.dtype)
     t_masked = jnp.where(accept, t, big)
     tri_id = jnp.argmin(t_masked, axis=1).astype(jnp.int32)
-    t_best = jnp.take_along_axis(t_masked, tri_id[:, None].astype(jnp.int64), axis=1)[:, 0]
+    t_best = jnp.take_along_axis(t_masked, tri_id[:, None], axis=1)[:, 0]
     hit = jnp.isfinite(t_best)
     return BruteResult(
         any_pass=jnp.any(passed, axis=1),
@@ -179,7 +179,7 @@ def mxu_intersect_all_pairs(
 
     t_masked = jnp.where(accept, t, jnp.inf)
     tri_id = jnp.argmin(t_masked, axis=1).astype(jnp.int32)
-    t_best = jnp.take_along_axis(t_masked, tri_id[:, None].astype(jnp.int64), axis=1)[:, 0]
+    t_best = jnp.take_along_axis(t_masked, tri_id[:, None], axis=1)[:, 0]
     return BruteResult(
         any_pass=jnp.any(passed, axis=1),
         t=t_best.astype(jnp.float32),

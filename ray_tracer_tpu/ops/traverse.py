@@ -182,16 +182,23 @@ def traverse_grid(
         steps = steps + state[1].astype(jnp.int32)  # count pre-advance live lanes
         return (i + 1, alive, pos, next_crossing, any_pass, found, t_min, best, steps)
 
+    # Derive the per-ray carry init from ray data (not fresh constants) so
+    # its varying-mesh-axes type matches the body output under shard_map.
+    zf = jnp.where(  # (R,) zeros, varying like the ray origins
+        jnp.isfinite(rays.orig[:, 0]), 0.0, 0.0
+    ).astype(jnp.float32)
+    zi = zf.astype(jnp.int32)
+    zb = zi != 0
     init = (
         jnp.asarray(0, jnp.int32),
         alive0,
         pos0,
         next_crossing0,
-        jnp.zeros((r,), bool),
-        jnp.zeros((r,), bool),
-        jnp.full((r,), jnp.inf, jnp.float32),
-        jnp.full((r,), -1, jnp.int32),
-        jnp.zeros((r,), jnp.int32),
+        zb,
+        zb,
+        zf + jnp.inf,
+        zi - 1,
+        zi,
     )
     _, _, _, _, any_pass, found, t_min, best, steps = jax.lax.while_loop(cond, body, init)
     return TraceResult(any_pass=any_pass, hit=found, t=t_min, tri_id=best, steps=steps)

@@ -1,0 +1,69 @@
+"""Checkpoint / resume for optimized scene parameters.
+
+New capability with no reference counterpart (the reference's only
+artifact is the output image, SURVEY.md §5).  Orbax is the primary
+backend (async-safe, multi-host aware); a plain-npz fallback keeps the
+feature alive where orbax is unavailable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _paths(directory: str, step_num: Optional[int]):
+    tag = f"step_{step_num}" if step_num is not None else "latest"
+    return os.path.join(directory, tag)
+
+
+def save_checkpoint(directory: str, params: Any, opt_state: Any = None,
+                    step_num: Optional[int] = None) -> str:
+    path = _paths(directory, step_num)
+    os.makedirs(path, exist_ok=True)
+    state = {"params": params}
+    if opt_state is not None:
+        state["opt_state"] = opt_state
+    try:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(os.path.join(path, "orbax"), state, force=True)
+        backend = "orbax"
+    except Exception:
+        flat, treedef = jax.tree.flatten(state)
+        np.savez(
+            os.path.join(path, "state.npz"),
+            **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(flat)},
+        )
+        backend = "npz"
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump({"backend": backend, "step": step_num}, fh)
+    return path
+
+
+def restore_checkpoint(directory: str, like: Any,
+                       step_num: Optional[int] = None) -> Tuple[Any, Optional[Any]]:
+    """Restore (params, opt_state) with `like` = {'params': ..., 'opt_state': ...}
+    template pytree (opt_state may be None in the template)."""
+    path = _paths(directory, step_num)
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    template = {"params": like["params"]}
+    if like.get("opt_state") is not None:
+        template["opt_state"] = like["opt_state"]
+    if meta["backend"] == "orbax":
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        state = ckptr.restore(os.path.join(path, "orbax"), item=template)
+    else:
+        data = np.load(os.path.join(path, "state.npz"))
+        flat, treedef = jax.tree.flatten(template)
+        flat = [data[f"leaf_{i}"] for i in range(len(flat))]
+        state = jax.tree.unflatten(treedef, flat)
+    return state["params"], state.get("opt_state")

@@ -1,0 +1,189 @@
+"""Inverse rendering: optimize scene parameters against a target image.
+
+This is the capability layer the reference (forward-only, SURVEY.md §2
+'Gradient/backward pass: absent') motivates for the TPU rebuild:
+pixel-loss gradients w.r.t. vertices, materials and the light flow
+through the differentiable render (hit topology is a stop-gradient
+island; t/normals/shading are recomputed analytically from gathered
+vertices — render/renderer.py).
+
+`make_train_step` builds one jitted step = forward render + L2 pixel
+loss + backward + optax update.  With a mesh, rays are sharded via
+shard_map and scene-parameter gradients all-reduce (psum) over the mesh
+axis as the transpose of replication — overlapped with backward by
+XLA's scheduler.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh
+from jax.sharding import PartitionSpec as P
+
+from ray_tracer_tpu.accel.grid import GridArrays, GridMeta
+from ray_tracer_tpu.config import SceneConfig
+from ray_tracer_tpu.core.rays import RayBatch
+from ray_tracer_tpu.models.materials import MaterialTable
+from ray_tracer_tpu.models.scenes import Scene
+from ray_tracer_tpu.ops.camera import camera_rays
+from ray_tracer_tpu.render.renderer import pad_rays, render_rays_tiled
+
+
+class SceneParams(NamedTuple):
+    """The differentiable leaves of a Scene."""
+
+    verts: jnp.ndarray
+    base_color: jnp.ndarray
+    kd: jnp.ndarray
+    ks: jnp.ndarray
+    spec_alpha: jnp.ndarray
+    ka: jnp.ndarray
+    km: jnp.ndarray
+    light_pos: jnp.ndarray
+    light_intensity: jnp.ndarray
+
+
+def split_scene(scene: Scene) -> SceneParams:
+    m = scene.materials
+    return SceneParams(
+        verts=scene.verts,
+        base_color=m.base_color, kd=m.kd, ks=m.ks,
+        spec_alpha=m.spec_alpha, ka=m.ka, km=m.km,
+        light_pos=scene.light_pos, light_intensity=scene.light_intensity,
+    )
+
+
+def merge_scene(params: SceneParams, scene: Scene) -> Scene:
+    return Scene(
+        verts=params.verts,
+        faces=scene.faces,
+        face_material=scene.face_material,
+        materials=MaterialTable(
+            base_color=params.base_color, kd=params.kd, ks=params.ks,
+            spec_alpha=params.spec_alpha, ka=params.ka, km=params.km,
+            reflective=scene.materials.reflective,
+        ),
+        light_pos=params.light_pos,
+        light_intensity=params.light_intensity,
+    )
+
+
+def _render_flat(params: SceneParams, scene: Scene, grid: GridArrays,
+                 meta: GridMeta, cfg: SceneConfig, rays: RayBatch) -> jnp.ndarray:
+    return render_rays_tiled(rays, merge_scene(params, scene), grid, meta, cfg.render)
+
+
+def image_loss(params: SceneParams, scene: Scene, grid: GridArrays,
+               meta: GridMeta, cfg: SceneConfig, target: jnp.ndarray) -> jnp.ndarray:
+    """Mean squared pixel error in linear color, normalized by 255."""
+    rays = camera_rays(cfg.camera, dtype=jnp.dtype(cfg.render.dtype))
+    colors = _render_flat(params, scene, grid, meta, cfg, rays)
+    tgt = target.reshape(-1, 3).astype(colors.dtype)
+    return jnp.mean(((colors - tgt) / 255.0) ** 2)
+
+
+@lru_cache(maxsize=16)
+def _train_step_fn(meta: GridMeta, cfg: SceneConfig, optimizer_name: str,
+                   lr: float, mesh: Optional[Mesh], axis: str):
+    optimizer = _make_optimizer(optimizer_name, lr)
+    n_shards = mesh.shape[axis] if mesh is not None else 1
+    r = cfg.camera.height * cfg.camera.width
+    padded = ((r + n_shards - 1) // n_shards) * n_shards
+
+    def local_loss(params, scene, grid, rays, target_flat):
+        colors = _render_flat(params, scene, grid, meta, cfg, rays)
+        # padding rays render as background on BOTH sides => zero residual
+        d = (colors - target_flat.astype(colors.dtype)) / 255.0
+        return jnp.sum(d * d)
+
+    if mesh is None:
+        def loss_fn(params, scene, grid, rays, target_flat):
+            return local_loss(params, scene, grid, rays, target_flat) / (3 * r)
+    else:
+        def sharded_loss(params, scene, grid, rays, target_flat):
+            s = local_loss(params, scene, grid, rays, target_flat)
+            return jax.lax.psum(s, axis)
+
+        shl = jax.shard_map(
+            sharded_loss, mesh=mesh,
+            in_specs=(P(), P(), P(), P(axis), P(axis)),
+            out_specs=P(),
+        )
+
+        def loss_fn(params, scene, grid, rays, target_flat):
+            return shl(params, scene, grid, rays, target_flat) / (3 * r)
+
+    @jax.jit
+    def step(params: SceneParams, opt_state, scene: Scene, grid: GridArrays,
+             target: jnp.ndarray):
+        rays = camera_rays(cfg.camera, dtype=jnp.dtype(cfg.render.dtype))
+        rays = pad_rays(rays, padded)
+        tgt = target.reshape(-1, 3)
+        if padded != r:
+            tgt = jnp.concatenate(
+                [tgt, jnp.zeros((padded - r, 3), tgt.dtype)]
+            )
+        loss, grads = jax.value_and_grad(loss_fn)(params, scene, grid, rays, tgt)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step, optimizer
+
+
+def _make_optimizer(name: str, lr: float) -> optax.GradientTransformation:
+    if name == "adam":
+        return optax.adam(lr)
+    if name == "sgd":
+        return optax.sgd(lr)
+    raise ValueError(f"unknown optimizer {name!r}")
+
+
+def make_train_step(
+    meta: GridMeta,
+    cfg: SceneConfig,
+    optimizer: str = "adam",
+    lr: float = 1e-2,
+    mesh: Optional[Mesh] = None,
+    axis: str = "rays",
+):
+    """-> (step_fn, init_fn).  step_fn(params, opt_state, scene, grid,
+    target) -> (params, opt_state, loss); init_fn(params) -> opt_state."""
+    step, opt = _train_step_fn(meta, cfg, optimizer, lr, mesh, axis)
+    return step, opt.init
+
+
+def fit(
+    prep,
+    target: jnp.ndarray,
+    steps: int = 100,
+    lr: float = 1e-2,
+    optimizer: str = "adam",
+    mesh: Optional[Mesh] = None,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 50,
+    log_every: int = 10,
+) -> Tuple[SceneParams, list]:
+    """Run the optimization loop; returns (final params, loss history)."""
+    from ray_tracer_tpu.opt.checkpoint import save_checkpoint
+    from ray_tracer_tpu.utils.log import get_logger
+
+    log = get_logger("ray_tracer_tpu.fit")
+    scene, grid, meta, cfg = prep.scene, prep.grid.arrays, prep.grid.meta, prep.cfg
+    params = split_scene(scene)
+    step, init = make_train_step(meta, cfg, optimizer=optimizer, lr=lr, mesh=mesh)
+    opt_state = init(params)
+    losses = []
+    for i in range(steps):
+        params, opt_state, loss = step(params, opt_state, scene, grid, target)
+        losses.append(float(loss))
+        if log_every and i % log_every == 0:
+            log.info("step %d loss %.6g", i, losses[-1])
+        if checkpoint_dir and (i + 1) % checkpoint_every == 0:
+            save_checkpoint(checkpoint_dir, params, opt_state, step_num=i + 1)
+    return params, losses

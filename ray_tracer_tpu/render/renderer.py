@@ -34,6 +34,7 @@ from ray_tracer_tpu.core import vecmath as vm
 from ray_tracer_tpu.core.rays import RayBatch
 from ray_tracer_tpu.models.scenes import Scene, build_scene
 from ray_tracer_tpu.ops.camera import camera_rays
+from ray_tracer_tpu.ops.intersect import cramer_tbg
 from ray_tracer_tpu.ops.shade import (
     hit_geometry_parallel,
     hit_geometry_serial,
@@ -109,9 +110,17 @@ def render_rays(
         res = trav(cur, t_gate=primary_gate)
         hit = res.any_pass if (serial and faithful) else res.hit
         tri = jnp.maximum(res.tri_id, 0)
-        t = jax.lax.stop_gradient(res.t)
 
         tv0, tv1, tv2 = v0[tri], v1[tri], v2[tri]
+        # Recompute the hit distance from the (stop-gradient) hit topology
+        # with the differentiable gathered vertices.  Forward value is
+        # bit-identical to the traversal's recorded t (same Cramer
+        # arithmetic in the same det dtype, Serial/geometry.h:131-171),
+        # but gradients now flow through t into poi and shading.
+        t_re, _, _ = cramer_tbg(
+            cur.orig, cur.dirn, tv0, tv1, tv2, det_dtype=jnp.dtype(rcfg.det_dtype)
+        )
+        t = jnp.where(res.hit, t_re.astype(res.t.dtype), res.t)
         mat = scene.materials.gather(scene.face_material[tri])
 
         if serial:
@@ -167,26 +176,47 @@ def _pad_to(n: int, tile: int) -> int:
     return ((n + tile - 1) // tile) * tile
 
 
+def pad_rays(rays: RayBatch, padded: int) -> RayBatch:
+    """Pad a ray batch with +inf-origin rays; the grid slab test kills the
+    padding lanes on entry so they cost one while_loop evaluation."""
+    r = rays.count
+    if padded == r:
+        return rays
+    pad = padded - r
+    return RayBatch(
+        orig=jnp.concatenate([rays.orig, jnp.full((pad, 3), jnp.inf, rays.orig.dtype)]),
+        dirn=jnp.concatenate([rays.dirn, jnp.ones((pad, 3), rays.dirn.dtype)]),
+        mint=jnp.concatenate([rays.mint, jnp.zeros((pad,), rays.mint.dtype)]),
+        maxt=jnp.concatenate([rays.maxt, jnp.zeros((pad,), rays.maxt.dtype)]),
+    )
+
+
+def render_rays_tiled(
+    rays: RayBatch,
+    scene: Scene,
+    grid: GridArrays,
+    meta: GridMeta,
+    rcfg: RenderConfig,
+) -> jnp.ndarray:
+    """Pad to a tile multiple and trace tile-by-tile via `lax.map`.
+
+    Returns (R, 3) colors for the original R rays.  Shared by the
+    single-chip renderer and each shard of the sharded renderer.
+    """
+    r = rays.count
+    tile = min(rcfg.ray_tile, r)
+    padded = _pad_to(r, tile)
+    rays = pad_rays(rays, padded)
+    tiled = jax.tree.map(lambda x: x.reshape((padded // tile, tile) + x.shape[1:]), rays)
+    colors = jax.lax.map(lambda rb: render_rays(rb, scene, grid, meta, rcfg), tiled)
+    return colors.reshape(padded, 3)[:r]
+
+
 @partial(jax.jit, static_argnames=("meta", "cfg"))
 def _render_image(scene: Scene, grid: GridArrays, meta: GridMeta, cfg: SceneConfig):
     rcfg = cfg.render
     rays = camera_rays(cfg.camera, dtype=jnp.dtype(rcfg.dtype))
-    r = rays.count
-    tile = min(rcfg.ray_tile, r)
-    padded = _pad_to(r, tile)
-    if padded != r:
-        pad = padded - r
-        rays = RayBatch(
-            orig=jnp.concatenate([rays.orig, jnp.full((pad, 3), jnp.inf, rays.orig.dtype)]),
-            dirn=jnp.concatenate([rays.dirn, jnp.ones((pad, 3), rays.dirn.dtype)]),
-            mint=jnp.concatenate([rays.mint, jnp.zeros((pad,), rays.mint.dtype)]),
-            maxt=jnp.concatenate([rays.maxt, jnp.zeros((pad,), rays.maxt.dtype)]),
-        )
-    tiled = jax.tree.map(lambda x: x.reshape((padded // tile, tile) + x.shape[1:]), rays)
-    colors = jax.lax.map(
-        lambda rb: render_rays(rb, scene, grid, meta, rcfg), tiled
-    )
-    colors = colors.reshape(padded, 3)[:r]
+    colors = render_rays_tiled(rays, scene, grid, meta, rcfg)
     return colors.reshape(cfg.camera.height, cfg.camera.width, 3)
 
 
