@@ -1,0 +1,110 @@
+"""Primary benchmark: Mrays/s (primary+shadow) on the flagship scene.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+The baseline is the re-hosted serial C++ oracle (native/build/oracle)
+timed on this host at the same scene — the reference publishes no
+numbers (BASELINE.md), so the oracle's single-core Mrays/s is the
+yardstick.  vs_baseline > 1 means faster than the reference algorithm
+on a CPU core.
+
+Usage: python bench.py [--size N] [--scene serial] [--repeat K]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/jaxcache")
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def oracle_mrays(size: int) -> float:
+    """Build + run the C++ oracle, return its Mrays/s (primary+shadow)."""
+    oracle = os.path.join(REPO, "native", "build", "oracle")
+    try:
+        if not os.path.exists(oracle):
+            subprocess.run(["make", "-C", os.path.join(REPO, "native"), "-j4"],
+                           check=True, capture_output=True, timeout=300)
+        out = subprocess.run(
+            [
+                oracle, "--width", str(size), "--height", str(size),
+                "--out", "/tmp/bench_oracle.ppm", "--repeat", "3",
+                "--mesh", os.path.join(REPO, "assets", "spot_triangulated.obj"),
+                "--mesh", os.path.join(REPO, "assets", "blub_triangulated.obj") + ":1.5,0,0",
+            ],
+            check=True, capture_output=True, timeout=1200, text=True,
+        )
+        rec = json.loads(out.stdout.strip().splitlines()[-1])
+        return float(rec["mrays_per_s"])
+    except Exception as e:  # baseline failure must not kill the bench
+        log(f"oracle baseline unavailable: {e}")
+        return 0.0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=1024)
+    ap.add_argument("--oracle-size", type=int, default=512)
+    ap.add_argument("--repeat", type=int, default=2)
+    args = ap.parse_args()
+
+    import dataclasses
+
+    import jax
+
+    from ray_tracer_tpu.models.scenes import serial_scene_config
+    from ray_tracer_tpu.render.renderer import prepare, render
+
+    size = args.size
+    cfg = serial_scene_config(size, size)
+    cfg = dataclasses.replace(
+        cfg,
+        render=dataclasses.replace(
+            cfg.render, faithful=False, det_dtype="float32"
+        ),
+    )
+    prep = prepare(cfg)
+    log(f"device: {jax.devices()[0]}; scene: spot+blub {prep.scene.num_faces} tris @ {size}x{size}")
+
+    t0 = time.perf_counter()
+    img = render(prep)
+    jax.block_until_ready(img)
+    log(f"first render (incl compile): {time.perf_counter() - t0:.1f}s")
+
+    times = []
+    for _ in range(args.repeat):
+        t0 = time.perf_counter()
+        jax.block_until_ready(render(prep))
+        times.append(time.perf_counter() - t0)
+    sec = min(times)
+
+    rays = size * size * 2  # primary + shadow (BASELINE.md primary metric)
+    mrays = rays / sec / 1e6
+    base = oracle_mrays(args.oracle_size)
+    vs = mrays / base if base > 0 else 0.0
+    print(json.dumps({
+        "metric": "mrays_per_s_spot_primary_shadow",
+        "value": round(mrays, 4),
+        "unit": "Mrays/s",
+        "vs_baseline": round(vs, 4),
+        "seconds_per_frame": round(sec, 4),
+        "size": size,
+        "oracle_mrays_per_s": round(base, 4),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,175 @@
+"""Command-line interface.
+
+The reference binaries take no arguments at all (Serial/raytracer.cpp:191,
+Parallel/raytracer.cu:769 — scene, size and output are compile-time
+constants).  This CLI exposes the same capabilities as composable
+commands:
+
+  python -m ray_tracer_tpu.cli render --scene serial --width 256 --out x.ppm
+  python -m ray_tracer_tpu.cli render --config scene.json --out x.ppm
+  python -m ray_tracer_tpu.cli fit --scene gradcheck --steps 100 --out-dir ckpt/
+  python -m ray_tracer_tpu.cli info
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/jaxcache")
+
+
+def _build_cfg(args):
+    from ray_tracer_tpu.config import load_scene_config
+    from ray_tracer_tpu.models import scenes
+
+    if args.config:
+        cfg = load_scene_config(args.config)
+        scene = None
+    elif args.scene == "serial":
+        cfg = scenes.serial_scene_config(args.width, args.height)
+        scene = None
+    elif args.scene == "parallel":
+        cfg = scenes.parallel_scene_config(args.width, args.height)
+        scene = None
+    elif args.scene == "gradcheck":
+        scene, cfg = scenes.gradcheck_scene(args.width, args.height)
+    else:
+        raise SystemExit(f"unknown scene {args.scene!r}")
+    if args.width and not args.config:
+        cfg = dataclasses.replace(
+            cfg,
+            camera=dataclasses.replace(cfg.camera, width=args.width, height=args.height),
+        )
+    if args.fast:
+        cfg = dataclasses.replace(
+            cfg, render=dataclasses.replace(cfg.render, faithful=False)
+        )
+    return cfg, scene
+
+
+def cmd_render(args) -> None:
+    import jax
+    import numpy as np
+
+    from ray_tracer_tpu.io.ppm import write_ppm
+    from ray_tracer_tpu.render.renderer import prepare, render
+
+    cfg, scene = _build_cfg(args)
+    prep = prepare(cfg, scene=scene)
+    t0 = time.perf_counter()
+    if args.devices and args.devices > 1:
+        from ray_tracer_tpu.parallel.mesh import make_mesh
+        from ray_tracer_tpu.parallel.shard import render_sharded
+
+        img = render_sharded(prep, mesh=make_mesh(args.devices))
+    else:
+        img = render(prep)
+    jax.block_until_ready(img)
+    dt = time.perf_counter() - t0
+    write_ppm(args.out, np.asarray(img))
+    rays = cfg.camera.width * cfg.camera.height * 2
+    print(f"wrote {args.out} ({cfg.camera.width}x{cfg.camera.height}) "
+          f"in {dt:.2f}s = {rays / dt / 1e6:.2f} Mrays/s (incl compile)",
+          file=sys.stderr)
+
+
+def cmd_fit(args) -> None:
+    import jax
+    import numpy as np
+
+    from ray_tracer_tpu.opt.fit import fit, merge_scene, split_scene
+    from ray_tracer_tpu.render.renderer import prepare, render
+
+    cfg, scene = _build_cfg(args)
+    prep = prepare(cfg, scene=scene)
+    if args.target:
+        from ray_tracer_tpu.io.ppm import read_ppm
+
+        target = jax.numpy.asarray(read_ppm(args.target).astype(np.float32))
+    else:
+        # self-supervised demo: perturb materials, recover the render
+        target = render(prep)
+        params = split_scene(prep.scene)
+        prep = prep._replace(scene=merge_scene(
+            params._replace(kd=params.kd * 1.5, base_color=params.base_color * 0.6),
+            prep.scene,
+        ))
+    trainable = tuple(args.trainable.split(",")) if args.trainable else None
+    _, losses = fit(
+        prep, target, steps=args.steps, lr=args.lr, trainable=trainable,
+        checkpoint_dir=args.out_dir, log_every=max(1, args.steps // 10),
+    )
+    print(json.dumps({"first_loss": losses[0], "last_loss": losses[-1]}))
+
+
+def cmd_bench(args) -> None:
+    os.execv(sys.executable, [sys.executable, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py"
+    )] + (["--size", str(args.width)] if args.width else []))
+
+
+def cmd_info(_args) -> None:
+    import jax
+
+    from ray_tracer_tpu.accel import native
+
+    print(json.dumps({
+        "devices": [str(d) for d in jax.devices()],
+        "process_count": jax.process_count(),
+        "native_library": native.available(),
+        "default_backend": jax.default_backend(),
+    }, indent=2))
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(prog="ray_tracer_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("render", help="render a scene to PPM")
+    r.add_argument("--scene", default="serial",
+                   choices=["serial", "parallel", "gradcheck"])
+    r.add_argument("--config", help="scene config JSON (overrides --scene)")
+    r.add_argument("--width", type=int, default=256)
+    r.add_argument("--height", type=int, default=0)
+    r.add_argument("--out", default="out.ppm")
+    r.add_argument("--fast", action="store_true",
+                   help="production semantics (early-exit DDA, f32 dets)")
+    r.add_argument("--devices", type=int, default=0,
+                   help="shard rays over this many devices")
+    r.set_defaults(fn=cmd_render)
+
+    f = sub.add_parser("fit", help="inverse-rendering optimization demo")
+    f.add_argument("--scene", default="gradcheck",
+                   choices=["serial", "parallel", "gradcheck"])
+    f.add_argument("--config")
+    f.add_argument("--width", type=int, default=64)
+    f.add_argument("--height", type=int, default=0)
+    f.add_argument("--steps", type=int, default=100)
+    f.add_argument("--lr", type=float, default=2e-2)
+    f.add_argument("--target", help="target PPM image (default: self-demo)")
+    f.add_argument("--trainable", default="base_color,kd,ks,ka,light_pos",
+                   help="comma-separated SceneParams fields")
+    f.add_argument("--out-dir", default=None, help="checkpoint directory")
+    f.add_argument("--fast", action="store_true")
+    f.set_defaults(fn=cmd_fit)
+
+    b = sub.add_parser("bench", help="run the primary benchmark")
+    b.add_argument("--width", type=int, default=0)
+    b.set_defaults(fn=cmd_bench)
+
+    i = sub.add_parser("info", help="device / build info")
+    i.set_defaults(fn=cmd_info)
+
+    args = ap.parse_args(argv)
+    if getattr(args, "height", 0) == 0 and hasattr(args, "height"):
+        args.height = args.width
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

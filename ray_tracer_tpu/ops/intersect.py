@@ -75,6 +75,47 @@ def cramer_tbg(
     return t, beta, gamma
 
 
+def cramer_t_safe(
+    orig: jnp.ndarray,
+    dirn: jnp.ndarray,
+    v0: jnp.ndarray,
+    v1: jnp.ndarray,
+    v2: jnp.ndarray,
+    valid: jnp.ndarray,
+    det_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Hit distance t only, with the divisor guarded on invalid lanes.
+
+    On `valid` lanes the arithmetic (det expansion order, division) is
+    bit-identical to `cramer_tbg`'s t.  On invalid lanes — whose gathered
+    triangle is arbitrary and may give A == 0 — the divisor is replaced
+    by 1 so neither forward (inf) nor backward (inf * 0 = nan) poisons
+    downstream `where` masking.
+    """
+    o = orig.astype(det_dtype)
+    d = dirn.astype(det_dtype)
+    a = v0.astype(det_dtype)
+    b = v1.astype(det_dtype)
+    c = v2.astype(det_dtype)
+    e1 = a - b
+    e2 = a - c
+    s = a - o
+    A = vm.det3(
+        e1[..., 0], e2[..., 0], d[..., 0],
+        e1[..., 1], e2[..., 1], d[..., 1],
+        e1[..., 2], e2[..., 2], d[..., 2],
+    )
+    tn = vm.det3(
+        e1[..., 0], e2[..., 0], s[..., 0],
+        e1[..., 1], e2[..., 1], s[..., 1],
+        e1[..., 2], e2[..., 2], s[..., 2],
+    )
+    guard = valid & (A != 0)
+    A_safe = jnp.where(guard, A, jnp.asarray(1.0, det_dtype))
+    tn_safe = jnp.where(guard, tn, jnp.asarray(0.0, det_dtype))
+    return tn_safe / A_safe
+
+
 def barycentric_pass(beta: jnp.ndarray, gamma: jnp.ndarray) -> jnp.ndarray:
     """The reference's acceptance predicate (Serial/geometry.h:162)."""
     return (beta > 0) & (gamma > 0) & (beta + gamma < 1)

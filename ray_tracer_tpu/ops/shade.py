@@ -29,6 +29,15 @@ from ray_tracer_tpu.core import vecmath as vm
 from ray_tracer_tpu.models.materials import MaterialTable
 
 
+def _pow_safe(base: jnp.ndarray, exponent: jnp.ndarray) -> jnp.ndarray:
+    """pow with differentiable-safe base 0: forward equals jnp.power for
+    base >= 0 (0^a = 0 for a > 0), but the a-gradient base^a * log(base)
+    is computed on a guarded base so base == 0 yields 0, not 0 * -inf."""
+    pos = base > 0
+    safe = jnp.where(pos, base, 1.0)
+    return jnp.where(pos, jnp.power(safe, exponent), 0.0)
+
+
 class HitGeometry(NamedTuple):
     poi: jnp.ndarray  # (R,3) point of intersection
     normal: jnp.ndarray  # (R,3) geometric normal (unnormalized, as reference)
@@ -63,7 +72,7 @@ def shade_serial(
     n_dot_l = jnp.maximum(0.0, vm.dot(n, l))
     n_dot_h = jnp.maximum(0.0, vm.dot(n, h))
     diffuse = base * (mat.kd * n_dot_l)[:, None] * light_intensity
-    specular = base * (mat.ks * jnp.power(n_dot_h, mat.spec_alpha))[:, None] * light_intensity
+    specular = base * (mat.ks * _pow_safe(n_dot_h, mat.spec_alpha))[:, None] * light_intensity
     ambient = base * mat.ka[:, None]
 
     color = specular + diffuse
@@ -86,7 +95,7 @@ def shade_parallel(
     n_dot_l = jnp.maximum(0.0, vm.dot(n, l))
     n_dot_h = jnp.maximum(0.0, vm.dot(n, h))
     diffuse = base * n_dot_l[:, None] * mat.kd[:, None]
-    specular = base * jnp.power(n_dot_h, mat.spec_alpha)[:, None] * mat.ks[:, None]
+    specular = base * _pow_safe(n_dot_h, mat.spec_alpha)[:, None] * mat.ks[:, None]
     ambient = base * mat.ka[:, None]
 
     color = diffuse + specular + ambient

@@ -89,7 +89,8 @@ def image_loss(params: SceneParams, scene: Scene, grid: GridArrays,
 
 @lru_cache(maxsize=16)
 def _train_step_fn(meta: GridMeta, cfg: SceneConfig, optimizer_name: str,
-                   lr: float, mesh: Optional[Mesh], axis: str):
+                   lr: float, mesh: Optional[Mesh], axis: str,
+                   trainable: Optional[Tuple[str, ...]] = None):
     optimizer = _make_optimizer(optimizer_name, lr)
     n_shards = mesh.shape[axis] if mesh is not None else 1
     r = cfg.camera.height * cfg.camera.width
@@ -129,6 +130,12 @@ def _train_step_fn(meta: GridMeta, cfg: SceneConfig, optimizer_name: str,
                 [tgt, jnp.zeros((padded - r, 3), tgt.dtype)]
             )
         loss, grads = jax.value_and_grad(loss_fn)(params, scene, grid, rays, tgt)
+        if trainable is not None:
+            frozen = {
+                f: jnp.zeros_like(getattr(grads, f))
+                for f in SceneParams._fields if f not in trainable
+            }
+            grads = grads._replace(**frozen)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -151,10 +158,23 @@ def make_train_step(
     lr: float = 1e-2,
     mesh: Optional[Mesh] = None,
     axis: str = "rays",
+    trainable: Optional[Tuple[str, ...]] = None,
 ):
     """-> (step_fn, init_fn).  step_fn(params, opt_state, scene, grid,
-    target) -> (params, opt_state, loss); init_fn(params) -> opt_state."""
-    step, opt = _train_step_fn(meta, cfg, optimizer, lr, mesh, axis)
+    target) -> (params, opt_state, loss); init_fn(params) -> opt_state.
+
+    `trainable` restricts updates to the named SceneParams fields.  NOTE:
+    optimizing `verts` moves geometry OUT of the prebuilt grid; callers
+    doing vertex optimization must rebuild the grid between steps (see
+    opt/fit.fit with rebuild_grid_every) or keep displacements below a
+    voxel width.
+    """
+    if trainable is not None:
+        unknown = set(trainable) - set(SceneParams._fields)
+        if unknown:
+            raise ValueError(f"unknown trainable fields {sorted(unknown)}")
+        trainable = tuple(sorted(trainable))
+    step, opt = _train_step_fn(meta, cfg, optimizer, lr, mesh, axis, trainable)
     return step, opt.init
 
 
@@ -165,18 +185,30 @@ def fit(
     lr: float = 1e-2,
     optimizer: str = "adam",
     mesh: Optional[Mesh] = None,
+    trainable: Optional[Tuple[str, ...]] = None,
+    rebuild_grid_every: int = 0,
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 50,
     log_every: int = 10,
 ) -> Tuple[SceneParams, list]:
-    """Run the optimization loop; returns (final params, loss history)."""
+    """Run the optimization loop; returns (final params, loss history).
+
+    When optimizing `verts`, pass rebuild_grid_every=k (k>0) to re-run the
+    host-side grid build every k steps so moved geometry stays indexed.
+    The rebuild changes GridMeta (shapes) and so re-jits the step when
+    cell occupancy shifts — amortized across the k steps.
+    """
+    from ray_tracer_tpu.accel.grid import build_grid
     from ray_tracer_tpu.opt.checkpoint import save_checkpoint
     from ray_tracer_tpu.utils.log import get_logger
+    import numpy as np
 
     log = get_logger("ray_tracer_tpu.fit")
     scene, grid, meta, cfg = prep.scene, prep.grid.arrays, prep.grid.meta, prep.cfg
     params = split_scene(scene)
-    step, init = make_train_step(meta, cfg, optimizer=optimizer, lr=lr, mesh=mesh)
+    step, init = make_train_step(
+        meta, cfg, optimizer=optimizer, lr=lr, mesh=mesh, trainable=trainable
+    )
     opt_state = init(params)
     losses = []
     for i in range(steps):
@@ -184,6 +216,19 @@ def fit(
         losses.append(float(loss))
         if log_every and i % log_every == 0:
             log.info("step %d loss %.6g", i, losses[-1])
+        if rebuild_grid_every and (i + 1) % rebuild_grid_every == 0:
+            built = build_grid(
+                np.asarray(params.verts), np.asarray(scene.faces),
+                resolution_multiplier=cfg.render.grid.resolution_multiplier,
+                max_resolution=cfg.render.grid.max_resolution,
+            )
+            grid, new_meta = built.arrays, built.meta
+            if new_meta != meta:
+                meta = new_meta
+                step, _ = make_train_step(
+                    meta, cfg, optimizer=optimizer, lr=lr, mesh=mesh,
+                    trainable=trainable,
+                )
         if checkpoint_dir and (i + 1) % checkpoint_every == 0:
             save_checkpoint(checkpoint_dir, params, opt_state, step_num=i + 1)
     return params, losses

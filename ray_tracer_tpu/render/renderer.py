@@ -34,7 +34,7 @@ from ray_tracer_tpu.core import vecmath as vm
 from ray_tracer_tpu.core.rays import RayBatch
 from ray_tracer_tpu.models.scenes import Scene, build_scene
 from ray_tracer_tpu.ops.camera import camera_rays
-from ray_tracer_tpu.ops.intersect import cramer_tbg
+from ray_tracer_tpu.ops.intersect import cramer_t_safe
 from ray_tracer_tpu.ops.shade import (
     hit_geometry_parallel,
     hit_geometry_serial,
@@ -116,10 +116,12 @@ def render_rays(
         # with the differentiable gathered vertices.  Forward value is
         # bit-identical to the traversal's recorded t (same Cramer
         # arithmetic in the same det dtype, Serial/geometry.h:131-171),
-        # but gradients now flow through t into poi and shading.
-        t_re, _, _ = cramer_tbg(
-            cur.orig, cur.dirn, tv0, tv1, tv2, det_dtype=jnp.dtype(rcfg.det_dtype)
-        )
+        # but gradients now flow through t into poi and shading.  The
+        # determinant is guarded on MISSED lanes (whose gathered triangle
+        # is arbitrary and may be ray-parallel, A == 0): inf/A in the
+        # residual would poison the backward pass via inf * 0 = nan.
+        ddt = jnp.dtype(rcfg.det_dtype)
+        t_re = cramer_t_safe(cur.orig, cur.dirn, tv0, tv1, tv2, res.hit, det_dtype=ddt)
         t = jnp.where(res.hit, t_re.astype(res.t.dtype), res.t)
         mat = scene.materials.gather(scene.face_material[tri])
 
@@ -127,6 +129,13 @@ def render_rays(
             geom = hit_geometry_serial(cur.orig, cur.dirn, t, tv0, tv1, tv2)
         else:
             geom = hit_geometry_parallel(cur.orig, cur.dirn, t, tv0, tv1, tv2)
+        # Non-hit lanes carry inf origins / inf t; their shading output is
+        # discarded by the `hit` select below, but inf in the residuals
+        # would still turn the backward pass to nan (inf * 0).  Zero the
+        # intersection point on those lanes — forward image unchanged.
+        geom = geom._replace(
+            poi=jnp.where(hit[:, None], geom.poi, jnp.zeros_like(geom.poi))
+        )
 
         # Shadow ray.  The serial reference points it AWAY from the light
         # (raytracer.cpp:106 — a quirk reproduced for bit-faithfulness);

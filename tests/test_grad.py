@@ -1,0 +1,109 @@
+"""Gradient checks: autodiff vs finite differences (BASELINE config 2).
+
+The render is differentiable w.r.t. materials, light and vertices with
+hit topology treated as a stop-gradient island (SURVEY.md §7.9).  FD
+checks use parameters that do NOT change the hit topology (shading
+params, light position, and a vertex displacement small enough not to
+flip any pixel's nearest triangle).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ray_tracer_tpu.opt.fit import image_loss, merge_scene, split_scene
+
+
+@pytest.fixture(scope="module")
+def loss_fn(tiny_prep):
+    prep = tiny_prep
+    g = np.random.default_rng(0)
+    target = jnp.asarray(
+        g.uniform(0, 80, size=(prep.cfg.camera.height, prep.cfg.camera.width, 3)),
+        jnp.float32,
+    )
+
+    def f(params):
+        return image_loss(
+            params, prep.scene, prep.grid.arrays, prep.grid.meta, prep.cfg, target
+        )
+
+    return f
+
+
+def _fd_check(loss_fn, params, field, idx, eps, rtol):
+    val = getattr(params, field)
+    tangent = np.zeros(val.shape, np.float64)
+    tangent[idx] = 1.0
+    tangent = jnp.asarray(tangent, val.dtype)
+
+    g = jax.grad(loss_fn)(params)
+    analytic = float(jnp.sum(getattr(g, field) * tangent))
+
+    def at(h):
+        return float(loss_fn(params._replace(**{field: val + h * tangent})))
+
+    fd = (at(eps) - at(-eps)) / (2 * eps)
+    assert np.isfinite(analytic)
+    np.testing.assert_allclose(analytic, fd, rtol=rtol, atol=1e-7), field
+
+
+def test_material_kd_gradient(loss_fn, tiny_prep):
+    params = split_scene(tiny_prep.scene)
+    _fd_check(loss_fn, params, "kd", (0,), eps=1e-3, rtol=5e-3)
+
+
+def test_material_color_gradient(loss_fn, tiny_prep):
+    params = split_scene(tiny_prep.scene)
+    _fd_check(loss_fn, params, "base_color", (1, 0), eps=1e-2, rtol=5e-3)
+
+
+def test_ambient_gradient(loss_fn, tiny_prep):
+    params = split_scene(tiny_prep.scene)
+    _fd_check(loss_fn, params, "ka", (0,), eps=1e-3, rtol=5e-3)
+
+
+def test_light_position_gradient(loss_fn, tiny_prep):
+    params = split_scene(tiny_prep.scene)
+    _fd_check(loss_fn, params, "light_pos", (0,), eps=1e-3, rtol=2e-2)
+
+
+def test_vertex_gradient_single_triangle():
+    """Exact FD check on a one-triangle scene: moving a vertex changes t,
+    the normal and shading; no topology change is possible."""
+    import dataclasses
+
+    from ray_tracer_tpu.config import (
+        CameraConfig, LightConfig, MaterialConfig, RenderConfig, SceneConfig,
+    )
+    from ray_tracer_tpu.io.obj import MeshArrays
+    from ray_tracer_tpu.models.scenes import scene_from_meshes
+    from ray_tracer_tpu.render.renderer import prepare
+
+    tri = MeshArrays(
+        verts=np.array([[-2, -0.5, -2], [2, -0.5, -2], [0, -0.5, 3]], np.float32),
+        faces=np.array([[0, 1, 2]], np.int32),
+        uvs=np.zeros((1, 2), np.float32),
+        uv_faces=np.zeros((1, 3), np.int32),
+    )
+    mat = MaterialConfig(base_color=(200.0, 100.0, 50.0), kd=2.0, ks=3.0, spec_alpha=4.0, ka=0.2)
+    light = LightConfig(position=(1.0, 4.0, 1.0), intensity=1.0)
+    scene = scene_from_meshes([(tri, 0)], [mat], light)
+    cfg = SceneConfig(
+        materials=(mat,),
+        camera=CameraConfig(position=(0, 2.5, 0.5), target=(0, -1, 0), up=(0, 0, 1),
+                            fov_degrees=60.0, width=8, height=8),
+        light=light,
+        render=RenderConfig(shading="parallel", faithful=False, max_bounces=0,
+                            shadow_eps=1e-3, shadow_scale=0.5, ray_tile=64),
+    )
+    prep = prepare(cfg, scene=scene)
+    target = jnp.zeros((8, 8, 3), jnp.float32)
+
+    def f(params):
+        return image_loss(params, prep.scene, prep.grid.arrays, prep.grid.meta, prep.cfg, target)
+
+    params = split_scene(prep.scene)
+    _fd_check(f, params, "verts", (2, 1), eps=1e-3, rtol=2e-2)
+    _fd_check(f, params, "verts", (0, 0), eps=1e-3, rtol=2e-2)

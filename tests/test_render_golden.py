@@ -1,0 +1,79 @@
+"""Golden-image tests: the TPU framework vs the re-hosted C++ oracle.
+
+BASELINE config 1: the serial reference scene must match bit-for-bit
+(with float64 determinants on CPU, mirroring the oracle's double-
+precision Cramer solve, Serial/raytracer.cpp:203-211).
+"""
+
+import dataclasses
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from ray_tracer_tpu.io.ppm import read_ppm, write_ppm
+from ray_tracer_tpu.models.scenes import asset, serial_scene_config
+from ray_tracer_tpu.render.renderer import prepare, render
+
+SIZE = 32
+
+
+@pytest.fixture(scope="module")
+def oracle_image(oracle_bin, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("golden") / "oracle.ppm")
+    subprocess.run(
+        [
+            oracle_bin, "--width", str(SIZE), "--height", str(SIZE), "--out", out,
+            "--mesh", asset("spot_triangulated.obj"),
+            "--mesh", asset("blub_triangulated.obj") + ":1.5,0,0",
+        ],
+        check=True, capture_output=True, timeout=300,
+    )
+    return read_ppm(out)
+
+
+def test_serial_scene_bit_identical(oracle_image, tmp_path):
+    cfg = serial_scene_config(SIZE, SIZE)
+    cfg = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, det_dtype="float64")
+    )
+    img = np.asarray(render(prepare(cfg)))
+    ours = str(tmp_path / "ours.ppm")
+    write_ppm(ours, img)
+    got = read_ppm(ours)
+    assert (got == oracle_image).all(), (
+        f"{(got != oracle_image).sum()} byte mismatches"
+    )
+
+
+def test_float32_dets_close_to_oracle(oracle_image):
+    """The f32 production path may flip boundary pixels only."""
+    cfg = serial_scene_config(SIZE, SIZE)
+    img = np.asarray(render(prepare(cfg)))
+    from ray_tracer_tpu.io.ppm import tonemap_u8
+
+    got = tonemap_u8(img)
+    diff = (got.astype(int) - oracle_image.astype(int))
+    frac_diff = (np.abs(diff).max(axis=-1) > 2).mean()
+    assert frac_diff < 0.02, f"{frac_diff:.3%} pixels differ by >2 counts"
+
+
+def test_gradient_of_render_is_finite(tiny_prep):
+    """Loss gradients through the full pipeline are finite and nonzero."""
+    import jax
+    import jax.numpy as jnp
+
+    from ray_tracer_tpu.opt.fit import image_loss, split_scene
+
+    prep = tiny_prep
+    params = split_scene(prep.scene)
+    target = jnp.zeros(
+        (prep.cfg.camera.height, prep.cfg.camera.width, 3), jnp.float32
+    )
+    g = jax.grad(image_loss)(
+        params, prep.scene, prep.grid.arrays, prep.grid.meta, prep.cfg, target
+    )
+    leaves = jax.tree.leaves(g)
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+    assert any(np.abs(np.asarray(x)).max() > 0 for x in leaves)

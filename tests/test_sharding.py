@@ -1,0 +1,113 @@
+"""Multi-device tests on the 8-virtual-CPU mesh (SURVEY §4: 'multi-host
+without a pod').  Sharded execution must equal single-device execution
+bit-for-bit, and the collectives API must round-trip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ray_tracer_tpu.core.rays import RayBatch
+from ray_tracer_tpu.ops.camera import camera_rays
+from ray_tracer_tpu.ops.intersect import intersect_brute
+from ray_tracer_tpu.parallel import collectives as coll
+from ray_tracer_tpu.parallel.mesh import factor_mesh, make_mesh
+from ray_tracer_tpu.parallel.shard import (
+    intersect_brute_sharded,
+    render_sharded,
+    stride_permutation,
+)
+from ray_tracer_tpu.render.renderer import render
+
+
+def test_factor_mesh():
+    assert factor_mesh(8) == (4, 2)
+    assert factor_mesh(7) == (7, 1)
+    assert factor_mesh(16) == (4, 4)
+
+
+def test_stride_permutation_is_permutation():
+    p = stride_permutation(10, 4)
+    assert sorted(p.tolist()) == list(range(10))
+
+
+def test_sharded_render_equals_single_device(tiny_prep, eight_device_mesh):
+    single = np.asarray(render(tiny_prep))
+    for balance in (False, True):
+        sharded = np.asarray(
+            render_sharded(tiny_prep, mesh=eight_device_mesh, axis="rays", balance=balance)
+        )
+        np.testing.assert_array_equal(single, sharded)
+
+
+def test_triangle_sharded_intersect_equals_brute(tiny_prep, eight_device_mesh):
+    prep = tiny_prep
+    v0, v1, v2 = prep.scene.triangle_soa()
+    rays = camera_rays(prep.cfg.camera)
+    want = intersect_brute(rays, v0, v1, v2, t_lower=1e-4)
+    got = intersect_brute_sharded(
+        rays, v0, v1, v2, eight_device_mesh, rays_axis="rays", tris_axis="tris",
+        t_lower=1e-4,
+    )
+    np.testing.assert_array_equal(np.asarray(want.hit), np.asarray(got.hit))
+    h = np.asarray(want.hit)
+    np.testing.assert_array_equal(np.asarray(want.tri_id)[h], np.asarray(got.tri_id)[h])
+    np.testing.assert_allclose(np.asarray(want.t)[h], np.asarray(got.t)[h], rtol=1e-6)
+
+
+def test_sharded_train_step_matches_unsharded_loss(tiny_prep, eight_device_mesh):
+    from ray_tracer_tpu.opt.fit import make_train_step, split_scene
+
+    prep = tiny_prep
+    params = split_scene(prep.scene)
+    target = jnp.full((16, 16, 3), 10.0, jnp.float32)
+
+    s_step, s_init = make_train_step(prep.grid.meta, prep.cfg, lr=1e-3,
+                                     mesh=eight_device_mesh, axis="rays")
+    u_step, u_init = make_train_step(prep.grid.meta, prep.cfg, lr=1e-3, mesh=None)
+    _, _, s_loss = s_step(params, s_init(params), prep.scene, prep.grid.arrays, target)
+    _, _, u_loss = u_step(params, u_init(params), prep.scene, prep.grid.arrays, target)
+    np.testing.assert_allclose(float(s_loss), float(u_loss), rtol=1e-6)
+
+
+def test_collectives_gather_scatter_roundtrip(eight_device_mesh):
+    mesh = make_mesh(8, ("rays",))
+    x = jnp.arange(8 * 4 * 3, dtype=jnp.float32).reshape(32, 3)
+
+    def body(x_shard):
+        full = coll.gather_image(x_shard, "rays")
+        mine = coll.scatter_rays(full, "rays")
+        return mine
+
+    out = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=P("rays"), out_specs=P("rays")
+    ))(x)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+
+
+def test_collectives_ring_shift(eight_device_mesh):
+    mesh = make_mesh(8, ("rays",))
+    x = jnp.arange(8, dtype=jnp.float32).reshape(8, 1)
+
+    def body(x_shard):
+        return coll.ring_shift(x_shard, "rays", shift=1)
+
+    out = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=P("rays"), out_specs=P("rays")
+    ))(x)
+    np.testing.assert_array_equal(
+        np.asarray(out).ravel(), np.roll(np.arange(8), 1)
+    )
+
+
+def test_allreduce_gradients(eight_device_mesh):
+    mesh = make_mesh(8, ("rays",))
+    x = jnp.ones((8, 2), jnp.float32)
+
+    def body(x_shard):
+        return coll.allreduce_gradients({"g": x_shard.sum()}, "rays")["g"]
+
+    out = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=P("rays"), out_specs=P(), check_vma=False
+    ))(x)
+    assert float(out) == 16.0
