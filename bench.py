@@ -72,23 +72,35 @@ def main() -> None:
     cfg = dataclasses.replace(
         cfg,
         render=dataclasses.replace(
-            cfg.render, faithful=False, det_dtype="float32"
+            cfg.render, faithful=False, det_dtype="float32",
+            traversal="packed", ray_tile=8192,
         ),
     )
+    t0 = time.perf_counter()
+    log(f"device: {jax.devices()[0]}")
+    log(f"backend up: {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
     prep = prepare(cfg)
-    log(f"device: {jax.devices()[0]}; scene: spot+blub {prep.scene.num_faces} tris @ {size}x{size}")
+    log(f"prepare: {time.perf_counter() - t0:.1f}s; "
+        f"scene: spot+blub {prep.scene.num_faces} tris @ {size}x{size}")
+
+    def sync(x):
+        # block_until_ready is unreliable through the axon relay; a host
+        # materialization of one element forces the real device sync.
+        return float(jax.device_get(x[0, 0, 0]))
 
     t0 = time.perf_counter()
-    img = render(prep)
-    jax.block_until_ready(img)
+    sync(render(prep))
     log(f"first render (incl compile): {time.perf_counter() - t0:.1f}s")
 
-    times = []
-    for _ in range(args.repeat):
-        t0 = time.perf_counter()
-        jax.block_until_ready(render(prep))
-        times.append(time.perf_counter() - t0)
-    sec = min(times)
+    # Chain N dispatches, sync once: amortizes the ~45 ms relay round-trip.
+    n = max(args.repeat, 2)
+    t0 = time.perf_counter()
+    img = None
+    for _ in range(n):
+        img = render(prep)
+    sync(img)
+    sec = (time.perf_counter() - t0) / n
 
     rays = size * size * 2  # primary + shadow (BASELINE.md primary metric)
     mrays = rays / sec / 1e6

@@ -58,10 +58,24 @@ class GridArrays(NamedTuple):
     tri_ids: jnp.ndarray  # (nnz,) i32
 
 
+class GridHost(NamedTuple):
+    """Host (numpy) mirror of the grid, kept so downstream host-side
+    consumers (block packing, scene edits) never pull arrays back off
+    the device — device->host transfers are slow on tunneled TPUs."""
+
+    lower: np.ndarray
+    upper: np.ndarray
+    width: np.ndarray
+    inv_width: np.ndarray
+    cell_start: np.ndarray
+    tri_ids: np.ndarray
+
+
 @dataclass(frozen=True)
 class UniformGrid:
     arrays: GridArrays
     meta: GridMeta
+    host: GridHost = None
 
 
 def _max_axis(delta: np.ndarray) -> int:
@@ -133,7 +147,11 @@ def build_grid(
                 cell_start=jnp.asarray(cell_start, dtype=jnp.int32),
                 tri_ids=jnp.asarray(tri_ids, dtype=jnp.int32),
             )
-            return UniformGrid(arrays=arrays, meta=meta)
+            host = GridHost(
+                lower=lower, upper=upper, width=width, inv_width=inv_width,
+                cell_start=np.asarray(cell_start), tri_ids=np.asarray(tri_ids),
+            )
+            return UniformGrid(arrays=arrays, meta=meta, host=host)
 
     v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
     tri_lo = np.minimum(np.minimum(v0, v1), v2)
@@ -166,7 +184,11 @@ def build_grid(
         cell_start=jnp.asarray(cell_start, dtype=jnp.int32),
         tri_ids=jnp.asarray(tri_ids, dtype=jnp.int32),
     )
-    return UniformGrid(arrays=arrays, meta=meta)
+    host = GridHost(
+        lower=lower, upper=upper, width=width, inv_width=inv_width,
+        cell_start=np.asarray(cell_start), tri_ids=np.asarray(tri_ids),
+    )
+    return UniformGrid(arrays=arrays, meta=meta, host=host)
 
 
 def _build_csr_numpy(tri_lo, tri_hi, lower, inv_width, n_voxels, nx, ny):

@@ -1,0 +1,190 @@
+"""Block-packed uniform grid — the TPU production layout.
+
+Measured TPU gather cost is per ROW (~0.2-0.6 ms per 65k random rows,
+independent of row width up to 128 lanes; see bench notes in
+.claude/skills/verify/SKILL.md).  The CSR layout (accel/grid.py) pays
+one row per (ray, triangle-slot) — dozens of rows per ray per voxel.
+This layout pays ~2 rows per ray per voxel step:
+
+  * `blocks` (n_blocks, 128) f32 — each row packs BLOCK_TRIS=14 whole
+    triangles (14 x 9 = 126 floats, slot-major [v0 v1 v2]); a voxel's
+    triangle list is ceil(count/14) consecutive rows.  Padding slots are
+    all-zero degenerate triangles whose zero determinant fails the
+    strict barycentric test (Serial/geometry.h:162) automatically.
+  * `cell_info` (n_cells,) uint32 — per-voxel record packed as
+    [dist:5 | n_blocks:6 | first_block:21]:
+      - first_block: row of the voxel's first triangle block;
+      - n_blocks: number of rows (0 = empty voxel);
+      - dist: Chebyshev distance to the nearest non-empty voxel
+        (0 for occupied), capped at 31 — the safe leap radius for
+        empty-space skipping in the traversal.
+  * `slot_tri` (n_blocks * BLOCK_TRIS,) i32 — global triangle id per
+    (block, slot); fetched ONCE per ray after the march to resolve the
+    winning hit (material index + differentiable vertex re-gather).
+
+The reference's voxel lists (Serial/grid.h:17, Parallel/grid.cuh:26-28)
+map to `blocks`; the distance field has no reference counterpart — it
+exists because a lock-step SIMD march pays for its slowest lane, so
+empty-sky rays must cross the grid in O(few) steps, not O(resolution).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ray_tracer_tpu.accel.grid import UniformGrid
+
+BLOCK_TRIS = 14  # 14 triangles * 9 floats = 126 of 128 lanes
+DIST_CAP = 31
+
+_FIRST_BITS = 21
+_NBLK_BITS = 6
+_NBLK_SHIFT = _FIRST_BITS
+_DIST_SHIFT = _FIRST_BITS + _NBLK_BITS
+_FIRST_MASK = (1 << _FIRST_BITS) - 1
+_NBLK_MASK = (1 << _NBLK_BITS) - 1
+
+
+class PackedGridMeta(NamedTuple):
+    n_voxels: Tuple[int, int, int]
+    n_blocks: int
+    probe_delta: float  # robust cell-probe nudge, in t units (dirs are unit)
+
+    @property
+    def total_voxels(self) -> int:
+        nx, ny, nz = self.n_voxels
+        return nx * ny * nz
+
+
+class PackedGridArrays(NamedTuple):
+    lower: jnp.ndarray  # (3,) f32
+    upper: jnp.ndarray
+    width: jnp.ndarray  # (3,)
+    inv_width: jnp.ndarray
+    cell_info: jnp.ndarray  # (n_cells,) uint32
+    blocks: jnp.ndarray  # (n_blocks, 128) f32
+    slot_tri: jnp.ndarray  # (n_blocks * BLOCK_TRIS,) i32
+
+
+@dataclass(frozen=True)
+class PackedGrid:
+    arrays: PackedGridArrays
+    meta: PackedGridMeta
+
+
+def decode_cell_info(info: jnp.ndarray):
+    """uint32 -> (first_block i32, n_blocks i32, dist i32)."""
+    first = (info & _FIRST_MASK).astype(jnp.int32)
+    nblk = ((info >> _NBLK_SHIFT) & _NBLK_MASK).astype(jnp.int32)
+    dist = (info >> _DIST_SHIFT).astype(jnp.int32)
+    return first, nblk, dist
+
+
+def chebyshev_distance_field(occupied: np.ndarray, cap: int = DIST_CAP) -> np.ndarray:
+    """Chebyshev (L-inf) distance to the nearest True cell, capped.
+
+    Separable iterative dilation: one 3x3x3 max-dilation per ring.
+    occupied: (nx, ny, nz) bool -> (nx, ny, nz) int32.
+    """
+    dist = np.where(occupied, 0, cap).astype(np.int32)
+    frontier = occupied.copy()
+    for k in range(1, cap):
+        if frontier.all():
+            break
+        grown = frontier.copy()
+        for axis in range(3):
+            shifted_fwd = np.roll(grown, 1, axis=axis)
+            shifted_bwd = np.roll(grown, -1, axis=axis)
+            # roll wraps; kill the wrapped slice
+            sl_lo = [slice(None)] * 3
+            sl_lo[axis] = 0
+            sl_hi = [slice(None)] * 3
+            sl_hi[axis] = -1
+            shifted_fwd[tuple(sl_lo)] = False
+            shifted_bwd[tuple(sl_hi)] = False
+            grown = grown | shifted_fwd | shifted_bwd
+        newly = grown & ~frontier
+        dist[newly] = k
+        frontier = grown
+    return dist
+
+
+def pack_grid(grid: UniformGrid, verts: np.ndarray, faces: np.ndarray) -> PackedGrid:
+    """Build the packed layout from the CSR grid (host-side numpy)."""
+    nx, ny, nz = grid.meta.n_voxels
+    n_cells = nx * ny * nz
+    host = grid.host
+    if host is None:  # grid built elsewhere; pull once
+        cell_start = np.asarray(grid.arrays.cell_start)
+        tri_ids = np.asarray(grid.arrays.tri_ids)
+        min_w = float(np.min(np.asarray(grid.arrays.width)))
+    else:
+        cell_start = host.cell_start
+        tri_ids = host.tri_ids
+        min_w = float(np.min(host.width))
+    counts = np.diff(cell_start).astype(np.int64)
+
+    nblk = (counts + BLOCK_TRIS - 1) // BLOCK_TRIS
+    if nblk.max(initial=0) > _NBLK_MASK:
+        raise ValueError(
+            f"voxel with {counts.max()} triangles exceeds the packed-layout "
+            f"cap ({_NBLK_MASK * BLOCK_TRIS}); increase grid resolution"
+        )
+    first = np.zeros(n_cells, np.int64)
+    np.cumsum(nblk[:-1], out=first[1:])
+    total_blocks = int(first[-1] + nblk[-1]) if n_cells else 0
+    total_blocks = max(total_blocks, 1)
+    if total_blocks > _FIRST_MASK:
+        raise ValueError(f"{total_blocks} blocks exceeds the 21-bit block index")
+
+    # occupancy + distance field (z-major linear index -> (x,y,z) shaped
+    # as [z,y,x] to match offset = z*nx*ny + y*nx + x, grid.h:73-75)
+    occ = (counts > 0).reshape(nz, ny, nx)
+    dist = chebyshev_distance_field(occ).reshape(-1)
+
+    info = (
+        first.astype(np.uint32)
+        | (nblk.astype(np.uint32) << _NBLK_SHIFT)
+        | (dist.astype(np.uint32) << _DIST_SHIFT)
+    )
+
+    # scatter triangle data into block rows (vectorized)
+    v = verts.astype(np.float32)[faces]  # (F, 3, 3)
+    tri9 = v.reshape(-1, 9)  # (F, 9) [v0 v1 v2]
+
+    blocks = np.zeros((total_blocks, 128), np.float32)
+    slot_tri = np.full((total_blocks * BLOCK_TRIS,), -1, np.int32)
+
+    nnz = tri_ids.shape[0]
+    if nnz:
+        # CSR entry e belongs to cell c(e); its slot within the cell is
+        # e - cell_start[c]; its block row is first[c] + slot//14.
+        entry_cell = np.repeat(np.arange(n_cells, dtype=np.int64), counts)
+        within = np.arange(nnz, dtype=np.int64) - cell_start[entry_cell]
+        row = first[entry_cell] + within // BLOCK_TRIS
+        slot = within % BLOCK_TRIS
+        blocks_flat = blocks.reshape(-1)
+        lane0 = row * 128 + slot * 9
+        for c in range(9):
+            blocks_flat[lane0 + c] = tri9[tri_ids, c]
+        slot_tri[row * BLOCK_TRIS + slot] = tri_ids
+
+    meta = PackedGridMeta(
+        n_voxels=(nx, ny, nz),
+        n_blocks=total_blocks,
+        probe_delta=max(min_w * 1e-3, 1e-6),
+    )
+    arrays = PackedGridArrays(
+        lower=grid.arrays.lower,
+        upper=grid.arrays.upper,
+        width=grid.arrays.width,
+        inv_width=grid.arrays.inv_width,
+        cell_info=jnp.asarray(info),
+        blocks=jnp.asarray(blocks),
+        slot_tri=jnp.asarray(slot_tri),
+    )
+    return PackedGrid(arrays=arrays, meta=meta)

@@ -98,6 +98,11 @@ class RenderConfig:
 
     shading: str = "serial"  # "serial" | "parallel"
     faithful: bool = True
+    # "csr": oracle-faithful lock-step DDA over the CSR grid (supports
+    # faithful semantics).  "packed": production block-packed traversal
+    # with empty-space skipping and entry-sorted tiling — the fast path
+    # (requires faithful=False).
+    traversal: str = "csr"
     max_bounces: int = 0  # reflection bounces; parallel reference uses 3
     shadow_eps: float = 1e-1  # Serial/geometry.h:2; parallel uses 1e-4
     shadow_scale: float = 0.1

@@ -65,13 +65,14 @@ class Scene(NamedTuple):
         )
 
 
-def scene_from_meshes(
+def concat_mesh_arrays(
     parts: Sequence[Tuple[MeshArrays, int]],
-    materials: Sequence[MaterialConfig],
-    light: LightConfig,
-    dtype=jnp.float32,
-) -> Scene:
-    """Concatenate (mesh, material_index) parts into one Scene."""
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side concat -> (verts (V,3) f32, faces (F,3) i32, fmat (F,) i32).
+
+    Kept in numpy so host consumers (grid build, packing) never round-trip
+    through the device (device->host pulls are slow on tunneled TPUs).
+    """
     all_verts = []
     all_faces = []
     all_fmat = []
@@ -81,22 +82,54 @@ def scene_from_meshes(
         all_faces.append(mesh.faces + voffset)
         all_fmat.append(np.full((mesh.faces.shape[0],), midx, dtype=np.int32))
         voffset += mesh.verts.shape[0]
+    return (
+        np.concatenate(all_verts, axis=0).astype(np.float32),
+        np.concatenate(all_faces, axis=0).astype(np.int32),
+        np.concatenate(all_fmat, axis=0),
+    )
+
+
+def scene_from_numpy(
+    verts: np.ndarray,
+    faces: np.ndarray,
+    fmat: np.ndarray,
+    materials: Sequence[MaterialConfig],
+    light: LightConfig,
+    dtype=jnp.float32,
+) -> Scene:
     return Scene(
-        verts=jnp.asarray(np.concatenate(all_verts, axis=0), dtype=dtype),
-        faces=jnp.asarray(np.concatenate(all_faces, axis=0)),
-        face_material=jnp.asarray(np.concatenate(all_fmat, axis=0)),
+        verts=jnp.asarray(verts, dtype=dtype),
+        faces=jnp.asarray(faces),
+        face_material=jnp.asarray(fmat),
         materials=MaterialTable.from_configs(materials, dtype=dtype),
         light_pos=jnp.asarray(light.position, dtype=dtype),
         light_intensity=jnp.asarray(light.intensity, dtype=dtype),
     )
 
 
-def build_scene(cfg: SceneConfig, dtype=jnp.float32) -> Scene:
+def scene_from_meshes(
+    parts: Sequence[Tuple[MeshArrays, int]],
+    materials: Sequence[MaterialConfig],
+    light: LightConfig,
+    dtype=jnp.float32,
+) -> Scene:
+    """Concatenate (mesh, material_index) parts into one Scene."""
+    verts, faces, fmat = concat_mesh_arrays(parts)
+    return scene_from_numpy(verts, faces, fmat, materials, light, dtype=dtype)
+
+
+def scene_numpy_arrays(cfg: SceneConfig) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Load cfg.meshes and return host (verts, faces, fmat) numpy arrays."""
     parts = []
     for m in cfg.meshes:
         mesh = load_obj(m.path, offset=m.offset, scale=m.scale)
         parts.append((mesh, m.material_index))
-    return scene_from_meshes(parts, cfg.materials, cfg.light, dtype=dtype)
+    return concat_mesh_arrays(parts)
+
+
+def build_scene(cfg: SceneConfig, dtype=jnp.float32) -> Scene:
+    verts, faces, fmat = scene_numpy_arrays(cfg)
+    return scene_from_numpy(verts, faces, fmat, cfg.materials, cfg.light, dtype=dtype)
 
 
 # ---------------------------------------------------------------------------

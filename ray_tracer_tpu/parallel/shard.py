@@ -41,7 +41,12 @@ from ray_tracer_tpu.models.scenes import Scene
 from ray_tracer_tpu.ops.camera import camera_rays
 from ray_tracer_tpu.ops.intersect import BruteResult, barycentric_pass, cramer_tbg
 from ray_tracer_tpu.parallel.mesh import make_mesh
-from ray_tracer_tpu.render.renderer import Prepared, pad_rays, render_rays_tiled
+from ray_tracer_tpu.render.renderer import (
+    Prepared,
+    pad_rays,
+    render_rays_tiled,
+    render_rays_tiled_sorted,
+)
 
 
 def _pad_to(n: int, m: int) -> int:
@@ -67,7 +72,9 @@ def _sharded_image_fn(meta: GridMeta, cfg: SceneConfig, mesh: Mesh, axis: str, b
     perm = stride_permutation(padded, n_shards) if balance else np.arange(padded)
     inv_perm = np.argsort(perm)
 
-    def shard_body(scene: Scene, grid: GridArrays, rays: RayBatch) -> jnp.ndarray:
+    def shard_body(scene: Scene, grid, rays: RayBatch) -> jnp.ndarray:
+        if rcfg.traversal == "packed":
+            return render_rays_tiled_sorted(rays, scene, grid, meta, rcfg)
         return render_rays_tiled(rays, scene, grid, meta, rcfg)
 
     sharded = jax.shard_map(
@@ -98,6 +105,9 @@ def render_sharded(
     """Render with rays sharded over `axis` of `mesh` -> (H, W, 3)."""
     if mesh is None:
         mesh = make_mesh()
+    if prep.cfg.render.traversal == "packed":
+        fn = _sharded_image_fn(prep.packed.meta, prep.cfg, mesh, axis, balance)
+        return fn(prep.scene, prep.packed.arrays)
     fn = _sharded_image_fn(prep.grid.meta, prep.cfg, mesh, axis, balance)
     return fn(prep.scene, prep.grid.arrays)
 

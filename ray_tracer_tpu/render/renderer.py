@@ -41,26 +41,47 @@ from ray_tracer_tpu.ops.shade import (
     shade_parallel,
     shade_serial,
 )
+from ray_tracer_tpu.accel.packed import PackedGrid, PackedGridArrays, PackedGridMeta, pack_grid
 from ray_tracer_tpu.ops.traverse import traverse_grid
+from ray_tracer_tpu.ops.traverse_packed import traverse_packed
 
 
 class Prepared(NamedTuple):
     scene: Scene
     grid: UniformGrid
     cfg: SceneConfig
+    packed: "PackedGrid" = None  # built when cfg.render.traversal == "packed"
 
 
 def prepare(cfg: SceneConfig, scene: Scene = None) -> Prepared:
-    """Host-side setup: load meshes, build the grid (numpy / native C++)."""
+    """Host-side setup: load meshes, build the grid (numpy / native C++).
+
+    Geometry stays in host numpy through the whole build — pulling arrays
+    back off a tunneled TPU is slow and flaky — and is shipped to the
+    device once, inside the Scene.
+    """
     if scene is None:
-        scene = build_scene(cfg)
+        from ray_tracer_tpu.models.scenes import scene_from_numpy, scene_numpy_arrays
+
+        verts_np, faces_np, fmat_np = scene_numpy_arrays(cfg)
+        scene = scene_from_numpy(
+            verts_np, faces_np, fmat_np, cfg.materials, cfg.light
+        )
+    else:
+        verts_np = np.asarray(scene.verts)
+        faces_np = np.asarray(scene.faces)
     grid = build_grid(
-        np.asarray(scene.verts),
-        np.asarray(scene.faces),
+        verts_np,
+        faces_np,
         resolution_multiplier=cfg.render.grid.resolution_multiplier,
         max_resolution=cfg.render.grid.max_resolution,
     )
-    return Prepared(scene=scene, grid=grid, cfg=cfg)
+    packed = None
+    if cfg.render.traversal == "packed":
+        if cfg.render.faithful:
+            raise ValueError("traversal='packed' requires faithful=False")
+        packed = pack_grid(grid, verts_np, faces_np)
+    return Prepared(scene=scene, grid=grid, cfg=cfg, packed=packed)
 
 
 def render_rays(
@@ -89,16 +110,26 @@ def render_rays(
     primary_gate = None if (serial and faithful) else (0.0 if serial else eps)
     early = not faithful
 
-    trav = partial(
-        traverse_grid,
-        grid=grid,
-        meta=meta,
-        v0=jax.lax.stop_gradient(v0),
-        v1=jax.lax.stop_gradient(v1),
-        v2=jax.lax.stop_gradient(v2),
-        det_dtype=rcfg.det_dtype,
-        early_exit=early,
-    )
+    if rcfg.traversal == "packed":
+        assert not faithful, "packed traversal has production semantics only"
+
+        def trav(rb, t_gate, stop_on_first_hit=False):
+            return traverse_packed(
+                rb, grid, meta,
+                t_gate=0.0 if t_gate is None else t_gate,
+                stop_on_first_hit=stop_on_first_hit,
+            )
+    else:
+        trav = partial(
+            traverse_grid,
+            grid=grid,
+            meta=meta,
+            v0=jax.lax.stop_gradient(v0),
+            v1=jax.lax.stop_gradient(v1),
+            v2=jax.lax.stop_gradient(v2),
+            det_dtype=rcfg.det_dtype,
+            early_exit=early,
+        )
 
     r = rays.count
     result = jnp.zeros((r, 3), v0.dtype)
@@ -221,14 +252,61 @@ def render_rays_tiled(
     return colors.reshape(padded, 3)[:r]
 
 
+def entry_sort_keys(rays: RayBatch, lower, upper, inv_width, n_voxels) -> jnp.ndarray:
+    """Sort key for wavefront compaction: rays that miss the grid AABB go
+    LAST (key = big), the rest sort by their entry-voxel linear index so
+    spatially coherent rays share a tile.  A lock-step SIMD wave pays for
+    its slowest lane; sorting concentrates the work so empty-sky tiles
+    retire after one while_loop evaluation — the TPU counterpart of the
+    reference's ray-gen frustum cull (Parallel/raytracer.cu:154-173)."""
+    nvox = jnp.asarray(n_voxels, jnp.int32)
+    invd = 1.0 / rays.dirn
+    t_near = (lower - rays.orig) * invd
+    t_far = (upper - rays.orig) * invd
+    t0 = jnp.maximum(jnp.max(jnp.minimum(t_near, t_far), axis=-1), rays.mint)
+    t1 = jnp.minimum(jnp.min(jnp.maximum(t_near, t_far), axis=-1), rays.maxt)
+    entered = (t0 <= t1) & jnp.isfinite(t0)
+    p = rays.orig + rays.dirn * t0[:, None]
+    cell = jnp.clip(
+        jnp.floor((p - lower) * inv_width).astype(jnp.int32), 0, nvox - 1
+    )
+    nx, ny, _ = n_voxels
+    lin = cell[:, 2] * (nx * ny) + cell[:, 1] * nx + cell[:, 0]
+    return jnp.where(entered, lin, jnp.iinfo(jnp.int32).max)
+
+
+def render_rays_tiled_sorted(
+    rays: RayBatch,
+    scene: Scene,
+    grid: PackedGridArrays,
+    meta: PackedGridMeta,
+    rcfg: RenderConfig,
+) -> jnp.ndarray:
+    """Entry-sorted, tiled render for the packed production path."""
+    r = rays.count
+    key = entry_sort_keys(rays, grid.lower, grid.upper, grid.inv_width, meta.n_voxels)
+    order = jnp.argsort(key)
+    inv_order = jnp.argsort(order)
+    sorted_rays = jax.tree.map(lambda x: x[order], rays)
+    colors = render_rays_tiled(sorted_rays, scene, grid, meta, rcfg)
+    return colors[inv_order]
+
+
 @partial(jax.jit, static_argnames=("meta", "cfg"))
-def _render_image(scene: Scene, grid: GridArrays, meta: GridMeta, cfg: SceneConfig):
+def _render_image(scene: Scene, grid, meta, cfg: SceneConfig):
     rcfg = cfg.render
     rays = camera_rays(cfg.camera, dtype=jnp.dtype(rcfg.dtype))
-    colors = render_rays_tiled(rays, scene, grid, meta, rcfg)
+    if rcfg.traversal == "packed":
+        colors = render_rays_tiled_sorted(rays, scene, grid, meta, rcfg)
+    else:
+        colors = render_rays_tiled(rays, scene, grid, meta, rcfg)
     return colors.reshape(cfg.camera.height, cfg.camera.width, 3)
 
 
 def render(prep: Prepared) -> jnp.ndarray:
     """Render the prepared scene -> (H, W, 3) float32 linear color."""
+    if prep.cfg.render.traversal == "packed":
+        return _render_image(
+            prep.scene, prep.packed.arrays, prep.packed.meta, prep.cfg
+        )
     return _render_image(prep.scene, prep.grid.arrays, prep.grid.meta, prep.cfg)

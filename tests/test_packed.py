@@ -1,0 +1,143 @@
+"""Block-packed grid + production traversal (accel/packed.py,
+ops/traverse_packed.py): layout invariants, brute-force agreement,
+render path, sharding, and gradients."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ray_tracer_tpu.accel.packed import (
+    BLOCK_TRIS,
+    chebyshev_distance_field,
+    decode_cell_info,
+    pack_grid,
+)
+from ray_tracer_tpu.core.rays import RayBatch
+from ray_tracer_tpu.ops.camera import camera_rays
+from ray_tracer_tpu.ops.intersect import intersect_brute
+from ray_tracer_tpu.ops.traverse_packed import traverse_packed
+
+
+@pytest.fixture(scope="module")
+def packed(tiny_prep):
+    return pack_grid(
+        tiny_prep.grid,
+        np.asarray(tiny_prep.scene.verts),
+        np.asarray(tiny_prep.scene.faces),
+    )
+
+
+@pytest.fixture(scope="module")
+def packed_prep(tiny_prep):
+    from ray_tracer_tpu.render.renderer import prepare
+
+    cfg = dataclasses.replace(
+        tiny_prep.cfg,
+        render=dataclasses.replace(
+            tiny_prep.cfg.render, faithful=False, traversal="packed", ray_tile=64
+        ),
+    )
+    return prepare(cfg, scene=tiny_prep.scene)
+
+
+def test_pack_layout_matches_csr(tiny_prep, packed):
+    """Every CSR (cell, slot) entry appears at the right block/lane with
+    the right 9 floats, and slot_tri round-trips the triangle id."""
+    grid = tiny_prep.grid
+    cs = np.asarray(grid.arrays.cell_start)
+    ids = np.asarray(grid.arrays.tri_ids)
+    verts = np.asarray(tiny_prep.scene.verts)
+    faces = np.asarray(tiny_prep.scene.faces)
+    tri9 = verts[faces].reshape(-1, 9).astype(np.float32)
+    info = np.asarray(packed.arrays.cell_info)
+    blocks = np.asarray(packed.arrays.blocks)
+    slot_tri = np.asarray(packed.arrays.slot_tri)
+
+    first, nblk, dist = (np.asarray(x) for x in decode_cell_info(jnp.asarray(info)))
+    rng = np.random.default_rng(0)
+    for c in rng.choice(len(cs) - 1, size=200, replace=False):
+        count = cs[c + 1] - cs[c]
+        assert nblk[c] == -(-count // BLOCK_TRIS)
+        assert (dist[c] == 0) == (count > 0) or count > 0
+        for j in range(count):
+            row = first[c] + j // BLOCK_TRIS
+            slot = j % BLOCK_TRIS
+            tid = ids[cs[c] + j]
+            assert slot_tri[row * BLOCK_TRIS + slot] == tid
+            np.testing.assert_array_equal(
+                blocks[row, slot * 9:(slot + 1) * 9], tri9[tid]
+            )
+
+
+def test_distance_field_property():
+    occ = np.zeros((6, 5, 4), bool)
+    occ[1, 2, 3] = True
+    occ[5, 0, 0] = True
+    dist = chebyshev_distance_field(occ)
+    xs = np.argwhere(occ)
+    for idx in np.ndindex(occ.shape):
+        want = min(np.abs(np.asarray(idx) - x).max() for x in xs)
+        assert dist[idx] == min(want, 31), idx
+
+
+def test_traverse_packed_matches_brute(tiny_prep, packed):
+    rays = camera_rays(tiny_prep.cfg.camera)
+    v0, v1, v2 = tiny_prep.scene.triangle_soa()
+    want = intersect_brute(rays, v0, v1, v2, t_lower=1e-4)
+    got = traverse_packed(rays, packed.arrays, packed.meta, t_gate=1e-4)
+    np.testing.assert_array_equal(np.asarray(want.hit), np.asarray(got.hit))
+    h = np.asarray(want.hit)
+    np.testing.assert_array_equal(np.asarray(want.tri_id)[h], np.asarray(got.tri_id)[h])
+    np.testing.assert_allclose(np.asarray(want.t)[h], np.asarray(got.t)[h], rtol=1e-5)
+
+
+def test_traverse_packed_occlusion_mode(tiny_prep, packed):
+    rays = camera_rays(tiny_prep.cfg.camera)
+    full = traverse_packed(rays, packed.arrays, packed.meta, t_gate=1e-4)
+    occ = traverse_packed(
+        rays, packed.arrays, packed.meta, t_gate=1e-4, stop_on_first_hit=True
+    )
+    np.testing.assert_array_equal(np.asarray(full.hit), np.asarray(occ.hit))
+    assert np.asarray(occ.steps).sum() <= np.asarray(full.steps).sum()
+
+
+def test_packed_render_matches_csr_fast_path(tiny_prep, packed_prep):
+    """Same scene through csr-fast and packed pipelines: images agree on
+    all but possible boundary pixels."""
+    from ray_tracer_tpu.io.ppm import tonemap_u8
+    from ray_tracer_tpu.render.renderer import prepare, render
+
+    fast_cfg = dataclasses.replace(
+        tiny_prep.cfg,
+        render=dataclasses.replace(tiny_prep.cfg.render, faithful=False, ray_tile=64),
+    )
+    a = tonemap_u8(np.asarray(render(prepare(fast_cfg, scene=tiny_prep.scene))))
+    b = tonemap_u8(np.asarray(render(packed_prep)))
+    diff = np.abs(a.astype(int) - b.astype(int)).max(axis=-1)
+    assert (diff > 2).mean() < 0.01, f"{(diff > 2).mean():.3%} pixels differ"
+
+
+def test_packed_render_sharded_equals_single(packed_prep, eight_device_mesh):
+    from ray_tracer_tpu.parallel.shard import render_sharded
+    from ray_tracer_tpu.render.renderer import render
+
+    single = np.asarray(render(packed_prep))
+    sharded = np.asarray(render_sharded(packed_prep, mesh=eight_device_mesh))
+    np.testing.assert_array_equal(single, sharded)
+
+
+def test_packed_gradients_finite_and_nonzero(packed_prep):
+    from ray_tracer_tpu.opt.fit import image_loss, split_scene
+
+    prep = packed_prep
+    params = split_scene(prep.scene)
+    target = jnp.zeros((prep.cfg.camera.height, prep.cfg.camera.width, 3), jnp.float32)
+    g = jax.grad(image_loss)(
+        params, prep.scene, prep.packed.arrays, prep.packed.meta, prep.cfg, target
+    )
+    leaves = jax.tree.leaves(g)
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+    assert any(np.abs(np.asarray(x)).max() > 0 for x in leaves)
