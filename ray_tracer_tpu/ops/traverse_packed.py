@@ -116,10 +116,9 @@ def traverse_packed(
     def cond(s):
         return (s["i"] < max_steps) & jnp.any(s["alive"])
 
-    def body(s):
+    def cell_phase(s):
+        """Probe + cell_info fetch for lanes not mid-voxel."""
         alive, testing, t_cur = s["alive"], s["testing"], s["t_cur"]
-
-        # ---- cell probe + info fetch (lanes not mid-voxel) ---------------
         probe = t_cur + delta
         p = o + d * probe[:, None]
         cellf = (p - grid.lower) * grid.inv_width
@@ -143,16 +142,21 @@ def traverse_packed(
 
         start_test = fetch & inside & occupied
         jump = fetch & inside & ~occupied
-        first_blk = jnp.where(start_test, first, s["first_blk"])
-        n_blk = jnp.where(start_test, nblk, s["n_blk"])
-        cursor = jnp.where(start_test, 0, s["cursor"])
-        t_exit_cell = jnp.where(start_test, t_exit, s["t_exit_cell"])
-        t_cur = jnp.where(jump, t_exit, t_cur)
-        testing = testing | start_test
-        alive = alive & ~die
+        return dict(
+            s,
+            first_blk=jnp.where(start_test, first, s["first_blk"]),
+            n_blk=jnp.where(start_test, nblk, s["n_blk"]),
+            cursor=jnp.where(start_test, 0, s["cursor"]),
+            t_exit_cell=jnp.where(start_test, t_exit, s["t_exit_cell"]),
+            t_cur=jnp.where(jump, t_exit, t_cur),
+            testing=testing | start_test,
+            alive=alive & ~die,
+        )
 
-        # ---- one block row of 14 triangles (lanes mid-voxel) -------------
-        blk = jnp.clip(first_blk + cursor, 0, n_blocks - 1)
+    def block_phase(s):
+        """Test one 14-triangle block row for lanes mid-voxel."""
+        testing = s["testing"]
+        blk = jnp.clip(s["first_blk"] + s["cursor"], 0, n_blocks - 1)
         row = grid.blocks[blk]  # GATHER 2: (R,128) f32
         tri = row[:, : BLOCK_TRIS * 9].reshape(r, BLOCK_TRIS, 9)
         t, beta, gamma = cramer_tbg(
@@ -168,25 +172,34 @@ def traverse_packed(
         slot = jnp.argmin(tm, axis=-1).astype(jnp.int32)
         m = jnp.take_along_axis(tm, slot[:, None], axis=-1)[:, 0]
         upd = m < s["best_t"]
-        best_t = jnp.where(upd, m, s["best_t"])
-        best_blk = jnp.where(upd, blk, s["best_blk"])
-        best_slot = jnp.where(upd, slot, s["best_slot"])
 
-        cursor = jnp.where(testing, cursor + 1, cursor)
-        done = testing & (cursor >= n_blk)
-        t_cur = jnp.where(done, t_exit_cell, t_cur)
-        testing = testing & ~done
-
-        # ---- early termination -------------------------------------------
-        limit = jnp.minimum(rays.maxt, best_t)
-        alive = alive & (testing | (t_cur <= limit))
-        if stop_on_first_hit:
-            alive = alive & ~jnp.isfinite(best_t)
-
+        cursor = jnp.where(testing, s["cursor"] + 1, s["cursor"])
+        done = testing & (cursor >= s["n_blk"])
         return dict(
-            alive=alive, testing=testing, t_cur=t_cur, t_exit_cell=t_exit_cell,
-            first_blk=first_blk, n_blk=n_blk, cursor=cursor,
-            best_t=best_t, best_blk=best_blk, best_slot=best_slot,
+            s,
+            best_t=jnp.where(upd, m, s["best_t"]),
+            best_blk=jnp.where(upd, blk, s["best_blk"]),
+            best_slot=jnp.where(upd, slot, s["best_slot"]),
+            cursor=cursor,
+            t_cur=jnp.where(done, s["t_exit_cell"], s["t_cur"]),
+            testing=testing & ~done,
+        )
+
+    def body(s):
+        # Both phases run unconditionally; predication by masks.  (A
+        # lax.cond phase-skip variant measured SLOWER — the per-iteration
+        # any() reductions and branch overhead exceed the skipped-gather
+        # savings at production tile sizes.)
+        s = cell_phase(s)
+        s = block_phase(s)
+
+        limit = jnp.minimum(rays.maxt, s["best_t"])
+        alive = s["alive"] & (s["testing"] | (s["t_cur"] <= limit))
+        if stop_on_first_hit:
+            alive = alive & ~jnp.isfinite(s["best_t"])
+        return dict(
+            s,
+            alive=alive,
             steps=s["steps"] + s["alive"].astype(jnp.int32),
             i=s["i"] + 1,
         )
