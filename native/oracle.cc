@@ -53,6 +53,7 @@ static inline V3 v3(float x, float y, float z) { return V3{x, y, z}; }
 static inline V3 add(V3 a, V3 b) { return v3(a.x + b.x, a.y + b.y, a.z + b.z); }
 static inline V3 sub(V3 a, V3 b) { return v3(a.x - b.x, a.y - b.y, a.z - b.z); }
 static inline V3 mul(V3 a, float s) { return v3(a.x * s, a.y * s, a.z * s); }
+static inline V3 had(V3 a, V3 b) { return v3(a.x * b.x, a.y * b.y, a.z * b.z); }
 static inline float dot(V3 a, V3 b) { return a.x * b.x + a.y * b.y + a.z * b.z; }
 static inline V3 cross(V3 a, V3 b) {
   return v3(a.y * b.z - a.z * b.y, a.z * b.x - a.x * b.z, a.x * b.y - a.y * b.x);
@@ -80,10 +81,12 @@ static inline double det3(double a1, double a2, double a3, double b1, double b2,
 
 struct TriSoup {
   std::vector<V3> a, b, c;  // per-triangle vertices
+  std::vector<int32_t> mat;  // per-triangle material index (parallel variant)
   size_t size() const { return a.size(); }
 };
 
-bool LoadObj(const std::string& path, V3 offset, float scale, TriSoup* out) {
+bool LoadObj(const std::string& path, V3 offset, float scale, int mat_index,
+             TriSoup* out) {
   std::ifstream in(path);
   if (!in) return false;
   std::vector<V3> verts;
@@ -108,6 +111,7 @@ bool LoadObj(const std::string& path, V3 offset, float scale, TriSoup* out) {
       out->a.push_back(verts[idx[0] - 1]);
       out->b.push_back(verts[idx[1] - 1]);
       out->c.push_back(verts[idx[2] - 1]);
+      out->mat.push_back(mat_index);
     }
   }
   return true;
@@ -208,9 +212,11 @@ struct HitState {
   bool any_pass = false;
 };
 
-// Test one triangle; updates state.  use_eps gates the t-update only.
+// Test one triangle; updates state.  use_gate gates the t-update only
+// (serial shadow rays: gate = kShadowEps, geometry.h:166-167; the CUDA
+// variant gates t > 1e-4 always, Parallel/geometry.cuh:155-161).
 static inline void TestTri(const TriSoup& tris, int32_t i, V3 o, V3 d,
-                           bool use_eps, HitState* st) {
+                           bool use_gate, double gate, HitState* st) {
   const V3 A = tris.a[i], B = tris.b[i], C = tris.c[i];
   double det_a = det3(A.x - B.x, A.x - C.x, d.x,
                       A.y - B.y, A.y - C.y, d.y,
@@ -226,7 +232,7 @@ static inline void TestTri(const TriSoup& tris, int32_t i, V3 o, V3 d,
                       A.z - B.z, A.z - o.z, d.z) / det_a;
   if (beta > 0 && gamma > 0 && beta + gamma < 1) {
     st->any_pass = true;
-    if (t < double(st->t_min) && (!use_eps || t > kShadowEps)) {
+    if (t < double(st->t_min) && (!use_gate || t > gate)) {
       st->t_min = float(t);
       st->tri = i;
     }
@@ -254,7 +260,7 @@ static bool SlabIntersect(const Grid& g, V3 o, V3 d, float mint, float maxt,
 }
 
 HitState Traverse(const TriSoup& tris, const Grid& g, V3 o, V3 d, float mint,
-                  float maxt, bool use_eps) {
+                  float maxt, bool use_gate, double gate = double(kShadowEps)) {
   HitState st;
   V3 at_min = add(o, mul(d, mint));
   bool inside = at_min.x >= g.lo.x && at_min.x <= g.hi.x &&
@@ -290,7 +296,7 @@ HitState Traverse(const TriSoup& tris, const Grid& g, V3 o, V3 d, float mint,
   for (;;) {
     int64_t cell = int64_t(pos[2]) * g.n[0] * g.n[1] + int64_t(pos[1]) * g.n[0] + pos[0];
     for (int64_t j = g.cell_start[cell]; j < g.cell_start[cell + 1]; ++j)
-      TestTri(tris, g.tri_ids[j], o, d, use_eps, &st);
+      TestTri(tris, g.tri_ids[j], o, d, use_gate, gate, &st);
 
     int bits = ((next_cross[0] < next_cross[1]) << 2) +
                ((next_cross[0] < next_cross[2]) << 1) +
@@ -340,16 +346,73 @@ V3 TracePixel(const TriSoup& tris, const Grid& g, V3 o, V3 d,
   V3 color = add(specular, diffuse);
 
   V3 shadow_dir = norm(mul(sub(sp.light_pos, poi), -1.f));  // AWAY from light
-  HitState sh = Traverse(tris, g, poi, shadow_dir, kShadowEps, kInf, /*use_eps=*/true);
+  HitState sh = Traverse(tris, g, poi, shadow_dir, kShadowEps, kInf, /*use_gate=*/true);
   if (sh.any_pass) color = mul(color, sp.shadow_scale);
   return add(color, ambient);
+}
+
+// --------------------------------------------------------------------------
+// Parallel-reference (CUDA variant) shading: material table, shadow ray
+// toward the light halving the color, recursive mirror reflection
+// (Parallel/raytracer.cu:445-524, materials :449-453, reflect :875-878)
+// --------------------------------------------------------------------------
+
+constexpr float kParEps = 1e-4f;
+constexpr int kReflectDepth = 3;
+
+struct Material {
+  V3 base;
+  float kd, ks, spec_alpha, ka, km;
+  bool reflective;
+};
+
+// The 4-entry palette the CUDA kernel rebuilds inside every shading call.
+static const Material kParMaterials[4] = {
+    {v3(0, 0, 255), 1.f, 1.5f, 1.25f, 0.3f, 0.6f, true},
+    {v3(255, 0, 0), 10.f, 10.f, 1.25f, 0.3f, 0.f, false},
+    {v3(0, 20, 0), 10.f, 10.f, 1.25f, 0.3f, 0.9999f, true},
+    {v3(255, 0, 0), 10.f, 10.f, 1.25f, 0.3f, 0.f, false},
+};
+
+V3 ParallelTrace(const TriSoup& tris, const Grid& g, V3 o, V3 d, V3 light,
+                 int depth) {
+  HitState hit =
+      Traverse(tris, g, o, d, /*mint=*/0.f, kInf, /*use_gate=*/true, kParEps);
+  if (hit.tri < 0) return v3(0, 0, 0);
+
+  const Material& m = kParMaterials[tris.mat[hit.tri] & 3];
+  V3 A = tris.a[hit.tri], B = tris.b[hit.tri], C = tris.c[hit.tri];
+  V3 poi = add(o, mul(d, hit.t_min));
+  V3 view = norm(mul(d, -1.f));
+  V3 l = norm(sub(light, poi));
+  V3 h = norm(add(view, l));            // NORMALIZED half vector (cu:478)
+  V3 n = cross(sub(C, B), sub(A, B));   // (v2-v1) x (v0-v1), geometry.cuh:160
+
+  float ndl = std::max(0.f, dot(n, l));
+  float ndh = std::max(0.f, dot(n, h));
+  V3 diffuse = mul(mul(m.base, ndl), m.kd);
+  V3 specular = mul(mul(m.base, std::pow(ndh, m.spec_alpha)), m.ks);
+  V3 color = add(add(diffuse, specular), mul(m.base, m.ka));
+
+  // shadow ray TOWARD the light, mint = eps + 0.02, in-shadow halves
+  HitState sh = Traverse(tris, g, poi, l, kParEps + 0.02f, kInf,
+                         /*use_gate=*/true, kParEps);
+  if (sh.tri >= 0) color = mul(color, 0.5f);
+
+  if (m.reflective && depth < kReflectDepth) {
+    V3 nn = norm(n);
+    V3 rdir = norm(sub(d, mul(nn, 2.f * dot(d, nn))));
+    V3 rec = ParallelTrace(tris, g, poi, rdir, light, depth + 1);
+    color = add(mul(had(color, m.base), 1.f - m.km), mul(rec, m.km));
+  }
+  return color;
 }
 
 }  // namespace
 
 int main(int argc, char** argv) {
   int width = 512, height = 512, repeat = 1;
-  std::string out_path = "out.ppm", float_out;
+  std::string out_path = "out.ppm", float_out, variant = "serial";
   V3 cam_pos = v3(3, 5, 3), cam_target = v3(0, 0, 0), cam_up = v3(0, -1, 0);
   float fov = 45.f;
   ShadeParams sp;
@@ -371,19 +434,25 @@ int main(int argc, char** argv) {
     else if (a == "--up") parse3(next(), &cam_up);
     else if (a == "--fov") fov = std::atof(next());
     else if (a == "--light") parse3(next(), &sp.light_pos);
+    else if (a == "--variant") variant = next();
     else if (a == "--mesh") {
-      // path[:ox,oy,oz[:scale]]
+      // path[:ox,oy,oz[:scale[:mat]]]
       std::string spec = next();
       V3 offset = v3(0, 0, 0);
       float scale = 1.0f;
+      int mat = 0;
       size_t p1 = spec.find(':');
       std::string path = spec.substr(0, p1);
       if (p1 != std::string::npos) {
         size_t p2 = spec.find(':', p1 + 1);
         parse3(spec.substr(p1 + 1, p2 - p1 - 1).c_str(), &offset);
-        if (p2 != std::string::npos) scale = std::atof(spec.substr(p2 + 1).c_str());
+        if (p2 != std::string::npos) {
+          size_t p3 = spec.find(':', p2 + 1);
+          scale = std::atof(spec.substr(p2 + 1, p3 - p2 - 1).c_str());
+          if (p3 != std::string::npos) mat = std::atoi(spec.substr(p3 + 1).c_str());
+        }
       }
-      if (!LoadObj(path, offset, scale, &tris)) {
+      if (!LoadObj(path, offset, scale, mat, &tris)) {
         std::fprintf(stderr, "failed to load %s\n", path.c_str());
         return 1;
       }
@@ -424,7 +493,10 @@ int main(int argc, char** argv) {
         dir = add(dir, mul(u, aspect * (x - width / 2.0f + 0.5f) / width));
         dir = add(dir, mul(v, (y - height / 2.0f + 0.5f) / height));
         dir = norm(dir);
-        image[size_t(y) * width + x] = TracePixel(tris, grid, cam_pos, dir, sp);
+        image[size_t(y) * width + x] =
+            variant == "parallel"
+                ? ParallelTrace(tris, grid, cam_pos, dir, sp.light_pos, 0)
+                : TracePixel(tris, grid, cam_pos, dir, sp);
       }
     }
     auto t1 = std::chrono::steady_clock::now();

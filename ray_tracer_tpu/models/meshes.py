@@ -42,6 +42,63 @@ def make_plane(extent: float = 10.0, y: float = -1.0, density: int = 10) -> Mesh
     return MeshArrays(verts.astype(np.float32), faces, uvs, uv_faces)
 
 
+def make_reference_plane(squares_per_unit: int = 10) -> MeshArrays:
+    """Exact reproduction of the reference's asset generator
+    (plane_mesh_creator.py:1-81), including its quirks:
+
+      * the float stepper runs one step PAST the far edge (`to_` is
+        B.x + step with an inclusive bound), so the 10x10-unit plane at
+        y=-1 gets 101x101 squares ([-5, 5.1] per axis), 10,404 deduped
+        vertices and 20,402 faces — matching assets/plane.obj exactly;
+      * slice coordinates are rounded to log10(squares_per_unit)
+        decimals each iteration;
+      * faces wind (A, C, B), (A, D, C) with one shared dummy uv.
+    """
+    from math import log10
+
+    step = 1.0 / squares_per_unit
+    nd = int(log10(squares_per_unit))
+    lo, hi = -5.0, 5.0
+
+    def stepper(from_, to_):
+        vals = []
+        while from_ <= to_:
+            from_ = round(from_, nd)
+            vals.append(from_)
+            from_ += step
+        return vals
+
+    xs = [lo] + stepper(lo + step, hi + step)
+    zs = [lo] + stepper(lo + step, hi + step)
+
+    verts = []
+    find = {}
+    faces = []
+
+    def vid(x, z):
+        key = (x, z)
+        if key not in find:
+            find[key] = len(verts)
+            verts.append((x, -1.0, z))
+        return find[key]
+
+    for i in range(1, len(xs)):
+        x0, x1 = xs[i - 1], xs[i]
+        for j in range(1, len(zs)):
+            z0, z1 = zs[j - 1], zs[j]
+            a = vid(x0, z0)
+            b = vid(x1, z0)
+            c = vid(x1, z1)
+            dd = vid(x0, z1)
+            faces.append((a, c, b))
+            faces.append((a, dd, c))
+
+    v = np.asarray(verts, dtype=np.float32)
+    f = np.asarray(faces, dtype=np.int32)
+    uvs = np.zeros((1, 2), dtype=np.float32)
+    return MeshArrays(v, f, uvs, np.zeros_like(f))
+
+
 def make_uv_sphere(
     center: Tuple[float, float, float] = (0.0, 0.0, 0.0),
     radius: float = 1.0,

@@ -1,0 +1,90 @@
+"""Structured render observability (SURVEY §5).
+
+The reference's only diagnostics are printf'd queue counters and two
+cudaEvent spans (Parallel/raytracer.cu:678-706).  Here: per-stage
+structured metrics — rays traced, hit rates, DDA step statistics,
+grid occupancy — collected in one device round-trip.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ray_tracer_tpu.core import vecmath as vm
+from ray_tracer_tpu.core.rays import RayBatch
+from ray_tracer_tpu.ops.camera import camera_rays
+from ray_tracer_tpu.ops.traverse import traverse_grid
+from ray_tracer_tpu.ops.traverse_packed import traverse_packed
+
+
+def _summary(res, prefix: str, out: Dict[str, float]) -> None:
+    steps = np.asarray(res["steps"])
+    hit = np.asarray(res["hit"])
+    out[f"{prefix}_rays"] = int(steps.size)
+    out[f"{prefix}_hits"] = int(hit.sum())
+    out[f"{prefix}_hit_rate"] = float(hit.mean())
+    out[f"{prefix}_steps_mean"] = float(steps.mean())
+    out[f"{prefix}_steps_p99"] = float(np.percentile(steps, 99))
+    out[f"{prefix}_steps_max"] = int(steps.max())
+
+
+def collect_render_metrics(prep) -> Dict[str, float]:
+    """Trace the prepared scene's primary + shadow rays and report
+    per-stage statistics plus grid occupancy.  One host round-trip."""
+    cfg = prep.cfg
+    rcfg = cfg.render
+    packed = rcfg.traversal == "packed"
+    rays = camera_rays(cfg.camera)
+
+    if packed:
+        arrays, meta = prep.packed.arrays, prep.packed.meta
+
+        def trace(rb, gate, stop):
+            return traverse_packed(rb, arrays, meta, t_gate=gate, stop_on_first_hit=stop)
+    else:
+        v0, v1, v2 = prep.scene.triangle_soa()
+
+        def trace(rb, gate, stop):
+            return traverse_grid(
+                rays=rb, grid=prep.grid.arrays, meta=prep.grid.meta,
+                v0=v0, v1=v1, v2=v2, t_gate=gate,
+                early_exit=not rcfg.faithful, stop_on_first_hit=stop,
+                det_dtype=rcfg.det_dtype,
+            )
+
+    prim = trace(rays, 0.0 if rcfg.shading == "serial" else rcfg.shadow_eps, False)
+
+    # shadow rays from primary hit points
+    poi = rays.at(prim.t)
+    light = prep.scene.light_pos
+    to_light = light - poi
+    sdir = -vm.normalize(to_light) if rcfg.shading == "serial" else vm.normalize(to_light)
+    sorig = jnp.where(prim.hit[:, None], poi, jnp.inf)
+    srays = RayBatch.make(sorig, sdir, mint=rcfg.shadow_eps)
+    shad = trace(srays, rcfg.shadow_eps, True)
+
+    # single device pull
+    dev = {
+        "p_steps": prim.steps, "p_hit": prim.hit,
+        "s_steps": shad.steps, "s_hit": shad.hit,
+    }
+    host = jax.device_get(dev)
+
+    out: Dict[str, float] = {}
+    _summary({"steps": host["p_steps"], "hit": host["p_hit"]}, "primary", out)
+    _summary({"steps": host["s_steps"], "hit": host["s_hit"]}, "shadow", out)
+    out["shadowed_fraction_of_hits"] = float(
+        host["s_hit"].sum() / max(host["p_hit"].sum(), 1)
+    )
+
+    gm = prep.grid.meta
+    out["grid_cells"] = int(gm.total_voxels)
+    out["grid_nnz"] = int(gm.nnz)
+    out["grid_max_per_voxel"] = int(gm.max_per_voxel)
+    if prep.packed is not None:
+        out["packed_blocks"] = int(prep.packed.meta.n_blocks)
+    return out

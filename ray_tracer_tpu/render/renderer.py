@@ -34,7 +34,7 @@ from ray_tracer_tpu.core import vecmath as vm
 from ray_tracer_tpu.core.rays import RayBatch
 from ray_tracer_tpu.models.scenes import Scene, build_scene
 from ray_tracer_tpu.ops.camera import camera_rays
-from ray_tracer_tpu.ops.intersect import cramer_t_safe
+from ray_tracer_tpu.ops.intersect import cramer_t_safe, intersect_brute
 from ray_tracer_tpu.ops.shade import (
     hit_geometry_parallel,
     hit_geometry_serial,
@@ -119,6 +119,17 @@ def render_rays(
                 t_gate=0.0 if t_gate is None else t_gate,
                 stop_on_first_hit=stop_on_first_hit,
             )
+    elif rcfg.traversal == "brute":
+        # The reference's naive O(N) integrator kept in-tree as an A/B
+        # cross-check for the accelerated path (Serial/raytracer.cpp:21-69
+        # call commented at :171; Parallel/raytracer.cu:372-443).  Exact
+        # same hit semantics as the CSR walk in every eps regime.
+        sg = tuple(jax.lax.stop_gradient(x) for x in (v0, v1, v2))
+
+        def trav(rb, t_gate, stop_on_first_hit=False):
+            return intersect_brute(
+                rb, *sg, t_lower=t_gate, det_dtype=jnp.dtype(rcfg.det_dtype)
+            )
     else:
         trav = partial(
             traverse_grid,
@@ -132,10 +143,9 @@ def render_rays(
         )
 
     r = rays.count
-    result = jnp.zeros((r, 3), v0.dtype)
-    weight = jnp.ones((r, 1), v0.dtype)
     cur = rays
     inf3 = jnp.full((r, 3), jnp.inf, v0.dtype)
+    locals_ = []  # per-depth (local color, continuation weight km*reflecting)
 
     for depth in range(rcfg.max_bounces + 1):
         res = trav(cur, t_gate=primary_gate)
@@ -198,17 +208,22 @@ def render_rays(
             color * mat.base_color * (1.0 - mat.km)[:, None],
             jnp.where(hit[:, None], color, background),
         )
-        result = result + weight * local
+        locals_.append((local, jnp.where(reflecting, mat.km, 0.0)[:, None]))
         if depth == rcfg.max_bounces:
             break
 
-        weight = weight * jnp.where(reflecting, mat.km, 0.0)[:, None]
         rdir = vm.normalize(
             vm.reflect(vm.normalize(cur.dirn), vm.normalize(geom.normal))
         )
         rorig = jnp.where(reflecting[:, None], geom.poi, inf3)
         cur = RayBatch.make(rorig, rdir, mint=eps)
 
+    # Fold depths deepest-first so the blend associates exactly like the
+    # reference's recursion (fast_trace at raytracer.cu:508-520):
+    # color_d = local_d + km_d * color_{d+1}.
+    result = locals_[-1][0]
+    for local, km in reversed(locals_[:-1]):
+        result = local + km * result
     return result
 
 

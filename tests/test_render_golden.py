@@ -59,6 +59,37 @@ def test_float32_dets_close_to_oracle(oracle_image):
     assert frac_diff < 0.02, f"{frac_diff:.3%} pixels differ by >2 counts"
 
 
+def test_parallel_scene_bit_identical(oracle_bin, tmp_path):
+    """The CUDA-variant scene (Parallel/raytracer.cu:769-786): material
+    table, shadow toward the light halving color, 3-bounce mirror
+    reflection — bit-identical vs the oracle's --variant parallel."""
+    from ray_tracer_tpu.models.scenes import parallel_scene_config
+
+    out = str(tmp_path / "par.ppm")
+    subprocess.run(
+        [
+            oracle_bin, "--variant", "parallel",
+            "--width", str(SIZE), "--height", str(SIZE), "--out", out,
+            "--camera", "18,18,19", "--fov", "60", "--light", "2,5,0",
+            "--mesh", asset("plane.obj") + ":0,0.4,0:3:0",
+            "--mesh", asset("blub_triangulated.obj") + ":-2,0,0:5:1",
+            "--mesh", asset("spot_triangulated.obj") + ":0,0,0:5:1",
+            "--mesh", asset("blub_triangulated.obj") + ":2,0,0:5:3",
+        ],
+        check=True, capture_output=True, timeout=300,
+    )
+    cfg = parallel_scene_config(SIZE, SIZE)
+    cfg = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, det_dtype="float64", ray_tile=1024)
+    )
+    img = np.asarray(render(prepare(cfg)))
+    ours = str(tmp_path / "ours_par.ppm")
+    write_ppm(ours, img)
+    got = read_ppm(ours)
+    want = read_ppm(out)
+    assert (got == want).all(), f"{(got != want).sum()} byte mismatches"
+
+
 def test_gradient_of_render_is_finite(tiny_prep):
     """Loss gradients through the full pipeline are finite and nonzero."""
     import jax
