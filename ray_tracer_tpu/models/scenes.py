@@ -208,3 +208,44 @@ def flagship_scene(width: int = 1024, height: int = 1024, dtype=jnp.float32):
     """BASELINE config 3 / primary benchmark: spot at 1024x1024,
     grid traversal, primary + shadow rays."""
     return serial_scene(width, height, dtype=dtype)
+
+
+def nefertiti_scene(
+    width: int = 1024,
+    height: int = 1024,
+    n_lat: int = 256,
+    n_lon: int = 512,
+    with_spot: bool = False,
+    dtype=jnp.float32,
+):
+    """BASELINE configs 4-5 workload.  The reference's `nefertiti` scan
+    was stripped from its repo (.MISSING_LARGE_BLOBS, SURVEY.md #22), so
+    a deterministic displaced sphere of comparable size (~260k faces at
+    the default resolution) stands in.  with_spot=True adds the spot
+    mesh beside it (config 5's two-mesh 2048x2048 scene)."""
+    import dataclasses
+
+    bust = mesh_gen.make_displaced_sphere(n_lat=n_lat, n_lon=n_lon, radius=1.2)
+    parts = [(bust, 0)]
+    if with_spot:
+        spot = load_obj(asset("spot_triangulated.obj"), offset=(2.6, 0.0, 0.0))
+        parts.append((spot, 1))
+    materials = (
+        MaterialConfig(base_color=(210.0, 180.0, 140.0), kd=2.0, ks=4.0,
+                       spec_alpha=6.0, ka=0.2),
+        MaterialConfig(base_color=(200.0, 60.0, 60.0), kd=2.0, ks=4.0,
+                       spec_alpha=4.0, ka=0.2),
+    )
+    light = LightConfig(position=(4.0, 5.0, 3.0), intensity=1.0)
+    scene = scene_from_meshes(parts, materials, light, dtype=dtype)
+    cfg = SceneConfig(
+        materials=materials,
+        camera=CameraConfig(position=(0.0, 1.5, 4.5), target=(0.8 if with_spot else 0.0, 0, 0),
+                            up=(0, 1, 0), fov_degrees=45.0, width=width, height=height),
+        light=light,
+        render=RenderConfig(
+            shading="parallel", faithful=False, traversal="packed",
+            max_bounces=0, shadow_eps=1e-3, shadow_scale=0.5, ray_tile=512,
+        ),
+    )
+    return scene, cfg

@@ -1,0 +1,87 @@
+"""Multi-host bring-up: process groups and cross-host data movement.
+
+The reference has no distributed backend at all (SURVEY.md §2); this is
+the framework's multi-host layer.  On a pod slice every host runs the
+same program: `initialize()` forms the process group over DCN, the
+global mesh spans all chips, `shard_map` programs (parallel/shard.py)
+run unchanged — XLA routes collectives over ICI within a slice and DCN
+across slices.
+
+Single-process (1 host, N chips, or the CPU-simulated mesh used in
+tests) is the degenerate case: every helper works without
+jax.distributed being initialized.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+from ray_tracer_tpu.utils.log import get_logger
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Form the multi-host process group (idempotent).
+
+    With no arguments, jax.distributed auto-detects the TPU pod
+    environment (hostnames/megascale env).  Explicit arguments support
+    CPU-cluster simulation: one python process per fake host with
+    jax.distributed.initialize(addr, N, i).
+    """
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        if coordinator_address is None and num_processes is None:
+            jax.distributed.initialize()
+        else:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+    except Exception as e:  # single-host runs reach here; that's fine
+        get_logger(__name__).info("single-process mode (%s)", e)
+
+
+def is_host0() -> bool:
+    return jax.process_index() == 0
+
+
+def global_mesh(axis_names: Tuple[str, ...] = ("rays",),
+                shape: Optional[Sequence[int]] = None) -> Mesh:
+    """Mesh over ALL devices of ALL hosts, host-major so the "rays"
+    data-parallel axis crosses DCN only at host boundaries."""
+    devices = jax.devices()
+    n = len(devices)
+    if shape is None:
+        shape = (n,) + (1,) * (len(axis_names) - 1)
+    return Mesh(np.asarray(devices).reshape(shape), axis_names)
+
+
+def host_tile_bounds(total_rays: int) -> Tuple[int, int]:
+    """This host's contiguous slice of the flat ray index space —
+    for host-local framebuffer assembly / PPM writing on host 0."""
+    p = jax.process_count()
+    i = jax.process_index()
+    per = -(-total_rays // p)
+    lo = min(i * per, total_rays)
+    hi = min(lo + per, total_rays)
+    return lo, hi
+
+
+def broadcast_scene_host0(scene):
+    """Replicate host-0's scene pytree to every host (geometry is
+    replicated per host in the stock sharding; SURVEY.md §2 mapping).
+    Uses multihost_utils; a no-op with one process."""
+    if jax.process_count() == 1:
+        return scene
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.broadcast_one_to_all(scene)

@@ -119,6 +119,20 @@ def render_rays(
                 t_gate=0.0 if t_gate is None else t_gate,
                 stop_on_first_hit=stop_on_first_hit,
             )
+    elif rcfg.traversal == "brute_pallas":
+        # VPU-peak Pallas all-pairs sweep (ops/pallas_intersect.py):
+        # triangles resident in VMEM, online nearest-hit reduction.
+        # Fastest path for small-to-moderate scenes (no grid build, no
+        # gathers); production f32 semantics.
+        assert not faithful, "brute_pallas has production semantics only"
+        from ray_tracer_tpu.ops.pallas_intersect import intersect_brute_pallas
+
+        sgp = tuple(jax.lax.stop_gradient(x) for x in (v0, v1, v2))
+
+        def trav(rb, t_gate, stop_on_first_hit=False):
+            return intersect_brute_pallas(
+                rb, *sgp, t_lower=0.0 if t_gate is None else t_gate
+            )
     elif rcfg.traversal == "brute":
         # The reference's naive O(N) integrator kept in-tree as an A/B
         # cross-check for the accelerated path (Serial/raytracer.cpp:21-69
