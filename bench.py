@@ -75,11 +75,12 @@ def main() -> None:
         cfg,
         render=dataclasses.replace(
             cfg.render, faithful=False, det_dtype="float32",
-            traversal="packed", ray_tile=512,
-            # TPU-tuned: coarser grid than the reference heuristic (3.0)
-            # trades per-voxel triangle count for fewer lock-step DDA
-            # iterations; 1.25 measured fastest on v5e.
-            grid=GridConfig(resolution_multiplier=1.25),
+            traversal="packed", ray_tile=512, packed_block_tris=56,
+            # TPU-tuned: much coarser grid than the reference heuristic
+            # (3.0) + 56-triangle/512-lane block rows — fewer lock-step
+            # DDA iterations beat shorter per-voxel lists on v5e
+            # (8.2 Mrays/s vs 7.0 at the 14-tri/128-lane default).
+            grid=GridConfig(resolution_multiplier=0.75),
         ),
     )
     t0 = time.perf_counter()

@@ -38,7 +38,7 @@ import numpy as np
 
 from ray_tracer_tpu.accel.grid import UniformGrid
 
-BLOCK_TRIS = 14  # 14 triangles * 9 floats = 126 of 128 lanes
+BLOCK_TRIS = 14  # default: 14 triangles * 9 floats = 126 of 128 lanes
 DIST_CAP = 31
 
 _FIRST_BITS = 21
@@ -53,6 +53,8 @@ class PackedGridMeta(NamedTuple):
     n_voxels: Tuple[int, int, int]
     n_blocks: int
     probe_delta: float  # robust cell-probe nudge, in t units (dirs are unit)
+    block_tris: int = BLOCK_TRIS  # triangles per block row
+    row_lanes: int = 128  # block row width (multiple of 128)
 
     @property
     def total_voxels(self) -> int:
@@ -113,8 +115,20 @@ def chebyshev_distance_field(occupied: np.ndarray, cap: int = DIST_CAP) -> np.nd
     return dist
 
 
-def pack_grid(grid: UniformGrid, verts: np.ndarray, faces: np.ndarray) -> PackedGrid:
-    """Build the packed layout from the CSR grid (host-side numpy)."""
+def pack_grid(
+    grid: UniformGrid,
+    verts: np.ndarray,
+    faces: np.ndarray,
+    block_tris: int = BLOCK_TRIS,
+) -> PackedGrid:
+    """Build the packed layout from the CSR grid (host-side numpy).
+
+    block_tris sets the row capacity; the row width is 9*block_tris
+    rounded up to a multiple of 128 lanes (14 -> 128, 28 -> 256,
+    56 -> 512).  Wider rows halve the iteration count for dense voxels
+    at slightly higher per-gather cost — tune per scene density.
+    """
+    row_lanes = -(-(block_tris * 9) // 128) * 128
     nx, ny, nz = grid.meta.n_voxels
     n_cells = nx * ny * nz
     host = grid.host
@@ -128,11 +142,11 @@ def pack_grid(grid: UniformGrid, verts: np.ndarray, faces: np.ndarray) -> Packed
         min_w = float(np.min(host.width))
     counts = np.diff(cell_start).astype(np.int64)
 
-    nblk = (counts + BLOCK_TRIS - 1) // BLOCK_TRIS
+    nblk = (counts + block_tris - 1) // block_tris
     if nblk.max(initial=0) > _NBLK_MASK:
         raise ValueError(
             f"voxel with {counts.max()} triangles exceeds the packed-layout "
-            f"cap ({_NBLK_MASK * BLOCK_TRIS}); increase grid resolution"
+            f"cap ({_NBLK_MASK * block_tris}); increase grid resolution"
         )
     first = np.zeros(n_cells, np.int64)
     np.cumsum(nblk[:-1], out=first[1:])
@@ -156,27 +170,29 @@ def pack_grid(grid: UniformGrid, verts: np.ndarray, faces: np.ndarray) -> Packed
     v = verts.astype(np.float32)[faces]  # (F, 3, 3)
     tri9 = v.reshape(-1, 9)  # (F, 9) [v0 v1 v2]
 
-    blocks = np.zeros((total_blocks, 128), np.float32)
-    slot_tri = np.full((total_blocks * BLOCK_TRIS,), -1, np.int32)
+    blocks = np.zeros((total_blocks, row_lanes), np.float32)
+    slot_tri = np.full((total_blocks * block_tris,), -1, np.int32)
 
     nnz = tri_ids.shape[0]
     if nnz:
         # CSR entry e belongs to cell c(e); its slot within the cell is
-        # e - cell_start[c]; its block row is first[c] + slot//14.
+        # e - cell_start[c]; its block row is first[c] + slot//block_tris.
         entry_cell = np.repeat(np.arange(n_cells, dtype=np.int64), counts)
         within = np.arange(nnz, dtype=np.int64) - cell_start[entry_cell]
-        row = first[entry_cell] + within // BLOCK_TRIS
-        slot = within % BLOCK_TRIS
+        row = first[entry_cell] + within // block_tris
+        slot = within % block_tris
         blocks_flat = blocks.reshape(-1)
-        lane0 = row * 128 + slot * 9
+        lane0 = row * row_lanes + slot * 9
         for c in range(9):
             blocks_flat[lane0 + c] = tri9[tri_ids, c]
-        slot_tri[row * BLOCK_TRIS + slot] = tri_ids
+        slot_tri[row * block_tris + slot] = tri_ids
 
     meta = PackedGridMeta(
         n_voxels=(nx, ny, nz),
         n_blocks=total_blocks,
         probe_delta=max(min_w * 1e-3, 1e-6),
+        block_tris=block_tris,
+        row_lanes=row_lanes,
     )
     arrays = PackedGridArrays(
         lower=grid.arrays.lower,

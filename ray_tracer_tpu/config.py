@@ -103,6 +103,7 @@ class RenderConfig:
     # with empty-space skipping and entry-sorted tiling — the fast path
     # (requires faithful=False).
     traversal: str = "csr"
+    packed_block_tris: int = 14  # triangles per packed block row (14/28/56)
     max_bounces: int = 0  # reflection bounces; parallel reference uses 3
     shadow_eps: float = 1e-1  # Serial/geometry.h:2; parallel uses 1e-4
     shadow_scale: float = 0.1

@@ -41,7 +41,6 @@ import jax
 import jax.numpy as jnp
 
 from ray_tracer_tpu.accel.packed import (
-    BLOCK_TRIS,
     PackedGridArrays,
     PackedGridMeta,
     decode_cell_info,
@@ -74,6 +73,7 @@ def traverse_packed(
     nx, ny, nz = meta.n_voxels
     nvox = jnp.asarray([nx, ny, nz], jnp.int32)
     n_blocks = meta.n_blocks
+    bt = meta.block_tris
     delta = jnp.float32(meta.probe_delta)
     if max_steps is None:
         # cells on the longest axis-path plus one block row per packed row
@@ -157,8 +157,8 @@ def traverse_packed(
         """Test one 14-triangle block row for lanes mid-voxel."""
         testing = s["testing"]
         blk = jnp.clip(s["first_blk"] + s["cursor"], 0, n_blocks - 1)
-        row = grid.blocks[blk]  # GATHER 2: (R,128) f32
-        tri = row[:, : BLOCK_TRIS * 9].reshape(r, BLOCK_TRIS, 9)
+        row = grid.blocks[blk]  # GATHER 2: (R, row_lanes) f32
+        tri = row[:, : bt * 9].reshape(r, bt, 9)
         t, beta, gamma = cramer_tbg(
             o[:, None, :], d[:, None, :],
             tri[..., 0:3], tri[..., 3:6], tri[..., 6:9],
@@ -207,7 +207,7 @@ def traverse_packed(
     out = jax.lax.while_loop(cond, body, state)
     hit = jnp.isfinite(out["best_t"])
     slot_idx = jnp.clip(
-        out["best_blk"] * BLOCK_TRIS + out["best_slot"], 0,
+        out["best_blk"] * bt + out["best_slot"], 0,
         grid.slot_tri.shape[0] - 1,
     )
     tri_id = jnp.where(hit, grid.slot_tri[slot_idx], -1)

@@ -80,7 +80,9 @@ def prepare(cfg: SceneConfig, scene: Scene = None) -> Prepared:
     if cfg.render.traversal == "packed":
         if cfg.render.faithful:
             raise ValueError("traversal='packed' requires faithful=False")
-        packed = pack_grid(grid, verts_np, faces_np)
+        packed = pack_grid(
+            grid, verts_np, faces_np, block_tris=cfg.render.packed_block_tris
+        )
     return Prepared(scene=scene, grid=grid, cfg=cfg, packed=packed)
 
 

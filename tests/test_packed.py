@@ -94,6 +94,24 @@ def test_traverse_packed_matches_brute(tiny_prep, packed):
     np.testing.assert_allclose(np.asarray(want.t)[h], np.asarray(got.t)[h], rtol=1e-5)
 
 
+def test_wide_block_traversal_matches_brute(tiny_prep):
+    """56-triangle/512-lane block rows (the TPU-tuned production config)
+    find exactly the same hits."""
+    prep = tiny_prep
+    wide = pack_grid(
+        prep.grid, np.asarray(prep.scene.verts), np.asarray(prep.scene.faces),
+        block_tris=56,
+    )
+    assert wide.meta.row_lanes == 512
+    rays = camera_rays(prep.cfg.camera)
+    v0, v1, v2 = prep.scene.triangle_soa()
+    want = intersect_brute(rays, v0, v1, v2, t_lower=1e-4)
+    got = traverse_packed(rays, wide.arrays, wide.meta, t_gate=1e-4)
+    np.testing.assert_array_equal(np.asarray(want.hit), np.asarray(got.hit))
+    h = np.asarray(want.hit)
+    np.testing.assert_array_equal(np.asarray(want.tri_id)[h], np.asarray(got.tri_id)[h])
+
+
 def test_traverse_packed_occlusion_mode(tiny_prep, packed):
     rays = camera_rays(tiny_prep.cfg.camera)
     full = traverse_packed(rays, packed.arrays, packed.meta, t_gate=1e-4)
