@@ -38,6 +38,10 @@ def _build_cfg(args):
         scene = None
     elif args.scene == "gradcheck":
         scene, cfg = scenes.gradcheck_scene(args.width, args.height)
+    elif args.scene == "nefertiti":
+        scene, cfg = scenes.nefertiti_scene(args.width, args.height)
+    elif args.scene == "nefertiti_spot":
+        scene, cfg = scenes.nefertiti_scene(args.width, args.height, with_spot=True)
     else:
         raise SystemExit(f"unknown scene {args.scene!r}")
     if args.width and not args.config:
@@ -113,6 +117,24 @@ def cmd_bench(args) -> None:
     )] + (["--size", str(args.width)] if args.width else []))
 
 
+def cmd_stats(args) -> None:
+    from ray_tracer_tpu.render.metrics import collect_render_metrics
+    from ray_tracer_tpu.render.renderer import prepare
+
+    cfg, scene = _build_cfg(args)
+    prep = prepare(cfg, scene=scene)
+    print(json.dumps(collect_render_metrics(prep), indent=2))
+
+
+def cmd_debug(args) -> None:
+    from ray_tracer_tpu.render.debug import trace_pixel
+    from ray_tracer_tpu.render.renderer import prepare
+
+    cfg, scene = _build_cfg(args)
+    prep = prepare(cfg, scene=scene)
+    print(json.dumps(trace_pixel(prep, args.x, args.y), indent=2))
+
+
 def cmd_info(_args) -> None:
     import jax
 
@@ -130,9 +152,9 @@ def main(argv=None) -> None:
     ap = argparse.ArgumentParser(prog="ray_tracer_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
+    scene_choices = ["serial", "parallel", "gradcheck", "nefertiti", "nefertiti_spot"]
     r = sub.add_parser("render", help="render a scene to PPM")
-    r.add_argument("--scene", default="serial",
-                   choices=["serial", "parallel", "gradcheck"])
+    r.add_argument("--scene", default="serial", choices=scene_choices)
     r.add_argument("--config", help="scene config JSON (overrides --scene)")
     r.add_argument("--width", type=int, default=256)
     r.add_argument("--height", type=int, default=0)
@@ -161,6 +183,25 @@ def main(argv=None) -> None:
     b = sub.add_parser("bench", help="run the primary benchmark")
     b.add_argument("--width", type=int, default=0)
     b.set_defaults(fn=cmd_bench)
+
+    st = sub.add_parser("stats", help="per-stage render metrics (SURVEY §5)")
+    st.add_argument("--scene", default="serial", choices=scene_choices)
+    st.add_argument("--config")
+    st.add_argument("--width", type=int, default=64)
+    st.add_argument("--height", type=int, default=0)
+    st.add_argument("--fast", action="store_true")
+    st.set_defaults(fn=cmd_stats)
+
+    dbg = sub.add_parser("debug", help="single-pixel diagnostic trace "
+                         "(the reference's debug-thread hook)")
+    dbg.add_argument("--scene", default="serial", choices=scene_choices)
+    dbg.add_argument("--config")
+    dbg.add_argument("--width", type=int, default=64)
+    dbg.add_argument("--height", type=int, default=0)
+    dbg.add_argument("--x", type=int, required=True)
+    dbg.add_argument("--y", type=int, required=True)
+    dbg.add_argument("--fast", action="store_true")
+    dbg.set_defaults(fn=cmd_debug)
 
     i = sub.add_parser("info", help="device / build info")
     i.set_defaults(fn=cmd_info)

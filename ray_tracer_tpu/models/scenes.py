@@ -42,7 +42,11 @@ class Scene(NamedTuple):
     """Differentiable scene parameters + static topology.
 
     verts/materials/light_* are differentiable leaves; faces and
-    face_material are integer topology.
+    face_material are integer topology.  uvs/uv_faces carry the OBJ's
+    `vt` data (the reference parses and stores it per triangle,
+    Serial/raytracer.cpp:252-283, but never samples it in shading —
+    kept here for the same parity and for texture extensions;
+    `interpolate_uv` maps hits to uv space).  None when absent.
     """
 
     verts: jnp.ndarray  # (V,3) f32
@@ -51,6 +55,18 @@ class Scene(NamedTuple):
     materials: MaterialTable
     light_pos: jnp.ndarray  # (3,)
     light_intensity: jnp.ndarray  # ()
+    uvs: Optional[jnp.ndarray] = None  # (VT,2) f32
+    uv_faces: Optional[jnp.ndarray] = None  # (F,3) i32, -1 where absent
+
+    def interpolate_uv(self, tri: jnp.ndarray, beta: jnp.ndarray,
+                       gamma: jnp.ndarray) -> jnp.ndarray:
+        """Barycentric uv at hits: (R,) tri ids + (R,) beta/gamma -> (R,2)."""
+        if self.uvs is None or self.uv_faces is None:
+            raise ValueError("scene has no uv data")
+        f = jnp.maximum(self.uv_faces[tri], 0)  # (R,3)
+        u0, u1, u2 = self.uvs[f[:, 0]], self.uvs[f[:, 1]], self.uvs[f[:, 2]]
+        alpha = 1.0 - beta - gamma
+        return alpha[:, None] * u0 + beta[:, None] * u1 + gamma[:, None] * u2
 
     @property
     def num_faces(self) -> int:
@@ -67,8 +83,9 @@ class Scene(NamedTuple):
 
 def concat_mesh_arrays(
     parts: Sequence[Tuple[MeshArrays, int]],
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Host-side concat -> (verts (V,3) f32, faces (F,3) i32, fmat (F,) i32).
+):
+    """Host-side concat -> (verts (V,3) f32, faces (F,3) i32, fmat (F,) i32,
+    uvs (VT,2) f32, uv_faces (F,3) i32 with -1 for faces without vt).
 
     Kept in numpy so host consumers (grid build, packing) never round-trip
     through the device (device->host pulls are slow on tunneled TPUs).
@@ -76,16 +93,30 @@ def concat_mesh_arrays(
     all_verts = []
     all_faces = []
     all_fmat = []
+    all_uvs = []
+    all_uvf = []
     voffset = 0
+    uvoffset = 0
     for mesh, midx in parts:
+        nf = mesh.faces.shape[0]
         all_verts.append(mesh.verts)
         all_faces.append(mesh.faces + voffset)
-        all_fmat.append(np.full((mesh.faces.shape[0],), midx, dtype=np.int32))
+        all_fmat.append(np.full((nf,), midx, dtype=np.int32))
+        if mesh.uvs.size and mesh.uv_faces.size:
+            all_uvs.append(mesh.uvs)
+            all_uvf.append(mesh.uv_faces + uvoffset)
+            uvoffset += mesh.uvs.shape[0]
+        else:
+            all_uvf.append(np.full((nf, 3), -1, dtype=np.int32))
         voffset += mesh.verts.shape[0]
+    uvs = (np.concatenate(all_uvs, axis=0).astype(np.float32)
+           if all_uvs else np.zeros((1, 2), np.float32))
     return (
         np.concatenate(all_verts, axis=0).astype(np.float32),
         np.concatenate(all_faces, axis=0).astype(np.int32),
         np.concatenate(all_fmat, axis=0),
+        uvs,
+        np.concatenate(all_uvf, axis=0).astype(np.int32),
     )
 
 
@@ -95,6 +126,8 @@ def scene_from_numpy(
     fmat: np.ndarray,
     materials: Sequence[MaterialConfig],
     light: LightConfig,
+    uvs: Optional[np.ndarray] = None,
+    uv_faces: Optional[np.ndarray] = None,
     dtype=jnp.float32,
 ) -> Scene:
     return Scene(
@@ -104,6 +137,8 @@ def scene_from_numpy(
         materials=MaterialTable.from_configs(materials, dtype=dtype),
         light_pos=jnp.asarray(light.position, dtype=dtype),
         light_intensity=jnp.asarray(light.intensity, dtype=dtype),
+        uvs=jnp.asarray(uvs, dtype=dtype) if uvs is not None else None,
+        uv_faces=jnp.asarray(uv_faces) if uv_faces is not None else None,
     )
 
 
@@ -114,12 +149,15 @@ def scene_from_meshes(
     dtype=jnp.float32,
 ) -> Scene:
     """Concatenate (mesh, material_index) parts into one Scene."""
-    verts, faces, fmat = concat_mesh_arrays(parts)
-    return scene_from_numpy(verts, faces, fmat, materials, light, dtype=dtype)
+    verts, faces, fmat, uvs, uvf = concat_mesh_arrays(parts)
+    return scene_from_numpy(
+        verts, faces, fmat, materials, light, uvs, uvf, dtype=dtype
+    )
 
 
-def scene_numpy_arrays(cfg: SceneConfig) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Load cfg.meshes and return host (verts, faces, fmat) numpy arrays."""
+def scene_numpy_arrays(cfg: SceneConfig):
+    """Load cfg.meshes and return host numpy arrays
+    (verts, faces, fmat, uvs, uv_faces)."""
     parts = []
     for m in cfg.meshes:
         mesh = load_obj(m.path, offset=m.offset, scale=m.scale)
@@ -128,8 +166,10 @@ def scene_numpy_arrays(cfg: SceneConfig) -> Tuple[np.ndarray, np.ndarray, np.nda
 
 
 def build_scene(cfg: SceneConfig, dtype=jnp.float32) -> Scene:
-    verts, faces, fmat = scene_numpy_arrays(cfg)
-    return scene_from_numpy(verts, faces, fmat, cfg.materials, cfg.light, dtype=dtype)
+    verts, faces, fmat, uvs, uvf = scene_numpy_arrays(cfg)
+    return scene_from_numpy(
+        verts, faces, fmat, cfg.materials, cfg.light, uvs, uvf, dtype=dtype
+    )
 
 
 # ---------------------------------------------------------------------------

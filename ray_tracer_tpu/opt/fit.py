@@ -70,6 +70,8 @@ def merge_scene(params: SceneParams, scene: Scene) -> Scene:
         ),
         light_pos=params.light_pos,
         light_intensity=params.light_intensity,
+        uvs=scene.uvs,
+        uv_faces=scene.uv_faces,
     )
 
 

@@ -1,0 +1,111 @@
+"""Single-pixel debug hook.
+
+The reference hard-wires a debug thread for pixel (275, 240) whose AABB
+slab test prints bounds/ray state (Parallel/raytracer.cu:367,
+Parallel/geometry.cuh:237-255).  The TPU-native equivalent: trace any
+pixel through every stage and return the intermediates as a dict —
+no special-cased kernel, just the same pure functions on a 1-ray batch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ray_tracer_tpu.core import vecmath as vm
+from ray_tracer_tpu.core.aabb import AABB, slab_intersect
+from ray_tracer_tpu.core.rays import RayBatch
+from ray_tracer_tpu.ops.camera import camera_rays
+from ray_tracer_tpu.ops.traverse import traverse_grid
+from ray_tracer_tpu.ops.traverse_packed import traverse_packed
+
+
+def trace_pixel(prep, x: int, y: int) -> Dict[str, Any]:
+    """Full diagnostic trace of pixel (x, y): camera ray, grid entry,
+    traversal result, hit geometry, shadow query, shading inputs."""
+    cfg = prep.cfg
+    rcfg = cfg.render
+    all_rays = camera_rays(cfg.camera)
+    idx = y * cfg.camera.width + x
+    ray = jax.tree.map(lambda a: a[idx:idx + 1], all_rays)
+
+    packed = rcfg.traversal == "packed"
+    garr = prep.packed.arrays if packed else prep.grid.arrays
+    box = AABB(garr.lower, garr.upper)
+    slab_hit, t0, t1 = slab_intersect(box, ray)
+
+    if packed:
+        res = traverse_packed(
+            ray, prep.packed.arrays, prep.packed.meta,
+            t_gate=0.0 if rcfg.shading == "serial" else rcfg.shadow_eps,
+        )
+    else:
+        v0, v1, v2 = prep.scene.triangle_soa()
+        res = traverse_grid(
+            ray, prep.grid.arrays, prep.grid.meta, v0, v1, v2,
+            t_gate=None if rcfg.faithful and rcfg.shading == "serial" else 0.0,
+            early_exit=not rcfg.faithful,
+            det_dtype=rcfg.det_dtype,
+        )
+
+    out: Dict[str, Any] = {
+        "pixel": (x, y),
+        "ray_origin": np.asarray(ray.orig)[0].tolist(),
+        "ray_dir": np.asarray(ray.dirn)[0].tolist(),
+        "grid_bounds": (np.asarray(garr.lower).tolist(), np.asarray(garr.upper).tolist()),
+        "slab_hit": bool(np.asarray(slab_hit)[0]),
+        "slab_t0": float(np.asarray(t0)[0]),
+        "slab_t1": float(np.asarray(t1)[0]),
+        "hit": bool(np.asarray(res.hit)[0]),
+        "t": float(np.asarray(res.t)[0]),
+        "tri_id": int(np.asarray(res.tri_id)[0]),
+        "steps": int(np.asarray(res.steps)[0]),
+    }
+    if not out["hit"]:
+        return out
+
+    tri = int(out["tri_id"])
+    verts = np.asarray(prep.scene.verts)
+    faces = np.asarray(prep.scene.faces)
+    tv = verts[faces[tri]]
+    poi = np.asarray(ray.orig)[0] + np.asarray(ray.dirn)[0] * out["t"]
+    light = np.asarray(prep.scene.light_pos)
+    serial = rcfg.shading == "serial"
+    if serial:
+        normal = np.cross(tv[0] - tv[1], tv[2] - tv[0])
+        sdir = -(light - poi)
+    else:
+        normal = np.cross(tv[2] - tv[1], tv[0] - tv[1])
+        sdir = light - poi
+    sdir = sdir / np.linalg.norm(sdir)
+    srays = RayBatch.make(jnp.asarray(poi[None]), jnp.asarray(sdir[None]),
+                          mint=rcfg.shadow_eps)
+    if packed:
+        sres = traverse_packed(
+            srays, prep.packed.arrays, prep.packed.meta,
+            t_gate=rcfg.shadow_eps, stop_on_first_hit=True,
+        )
+        in_shadow = bool(np.asarray(sres.hit)[0])
+    else:
+        v0, v1, v2 = prep.scene.triangle_soa()
+        sres = traverse_grid(
+            srays, prep.grid.arrays, prep.grid.meta, v0, v1, v2,
+            t_gate=rcfg.shadow_eps, det_dtype=rcfg.det_dtype,
+        )
+        in_shadow = bool(np.asarray(
+            sres.any_pass if (serial and rcfg.faithful) else sres.hit
+        )[0])
+
+    mat_idx = int(np.asarray(prep.scene.face_material)[tri])
+    out.update({
+        "poi": poi.tolist(),
+        "normal": normal.tolist(),
+        "material_index": mat_idx,
+        "shadow_dir": sdir.tolist(),
+        "in_shadow": in_shadow,
+        "triangle": tv.tolist(),
+    })
+    return out

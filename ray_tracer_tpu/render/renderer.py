@@ -63,9 +63,10 @@ def prepare(cfg: SceneConfig, scene: Scene = None) -> Prepared:
     if scene is None:
         from ray_tracer_tpu.models.scenes import scene_from_numpy, scene_numpy_arrays
 
-        verts_np, faces_np, fmat_np = scene_numpy_arrays(cfg)
+        verts_np, faces_np, fmat_np, uvs_np, uvf_np = scene_numpy_arrays(cfg)
         scene = scene_from_numpy(
-            verts_np, faces_np, fmat_np, cfg.materials, cfg.light
+            verts_np, faces_np, fmat_np, cfg.materials, cfg.light,
+            uvs_np, uvf_np,
         )
     else:
         verts_np = np.asarray(scene.verts)

@@ -35,6 +35,35 @@ def test_info_command(capsys):
     assert len(info["devices"]) >= 8
 
 
+def test_stats_command(capsys):
+    cli.main(["stats", "--scene", "gradcheck", "--width", "16", "--fast"])
+    m = json.loads(capsys.readouterr().out)
+    assert m["primary_rays"] == 256
+
+
+def test_debug_command(capsys):
+    cli.main(["debug", "--scene", "gradcheck", "--width", "16",
+              "--x", "8", "--y", "12", "--fast"])
+    d = json.loads(capsys.readouterr().out)
+    assert d["pixel"] == [8, 12]
+    assert "slab_hit" in d and "steps" in d
+
+
+def test_uv_carrying_and_interpolation():
+    import jax.numpy as jnp
+
+    from ray_tracer_tpu.models.scenes import serial_scene_config, build_scene
+
+    scene = build_scene(serial_scene_config(8, 8))
+    assert scene.uvs is not None and scene.uv_faces is not None
+    assert scene.uv_faces.shape[0] == scene.faces.shape[0]
+    uv = scene.interpolate_uv(
+        jnp.array([0, 1]), jnp.array([0.25, 0.1]), jnp.array([0.25, 0.2])
+    )
+    assert uv.shape == (2, 2)
+    assert np.isfinite(np.asarray(uv)).all()
+
+
 def test_fit_command(capsys):
     cli.main(["fit", "--scene", "gradcheck", "--width", "16", "--steps", "5",
               "--trainable", "base_color,kd"])
