@@ -53,11 +53,53 @@ def oracle_mrays(size: int) -> float:
         return 0.0
 
 
+def _bench_grad(prep, args, size: int) -> None:
+    """BASELINE config 4: forward + backward (one train step) throughput."""
+    import jax
+    import jax.numpy as jnp
+
+    from ray_tracer_tpu.opt.fit import make_train_step, split_scene
+
+    step, init = make_train_step(
+        prep.packed.meta if prep.cfg.render.traversal == "packed" else prep.grid.meta,
+        prep.cfg, lr=1e-3,
+        trainable=("base_color", "kd", "ks", "ka", "light_pos"),
+    )
+    params = split_scene(prep.scene)
+    opt_state = init(params)
+    garr = (prep.packed.arrays if prep.cfg.render.traversal == "packed"
+            else prep.grid.arrays)
+    target = jnp.zeros((size, size, 3), jnp.float32)
+
+    p, o, loss = step(params, opt_state, prep.scene, garr, target)
+    float(jax.device_get(loss))
+    n = max(args.repeat, 2)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        p, o, loss = step(p, o, prep.scene, garr, target)
+    float(jax.device_get(loss))
+    sec = (time.perf_counter() - t0) / n
+    rays = size * size * 2
+    print(json.dumps({
+        "metric": f"train_step_mrays_per_s_{args.scene}",
+        "value": round(rays / sec / 1e6, 4),
+        "unit": "Mrays/s (fwd+bwd)",
+        "vs_baseline": 0.0,  # the reference has no backward pass
+        "seconds_per_step": round(sec, 4),
+        "size": size,
+    }))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=1024)
     ap.add_argument("--oracle-size", type=int, default=512)
     ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument("--scene", default="spot", choices=["spot", "nefertiti"],
+                    help="spot = BASELINE config 3 (primary metric); "
+                         "nefertiti = config 4 (260k-tri stand-in)")
+    ap.add_argument("--grad", action="store_true",
+                    help="benchmark one fwd+bwd train step instead of forward")
     args = ap.parse_args()
 
     import dataclasses
@@ -70,7 +112,13 @@ def main() -> None:
     size = args.size
     from ray_tracer_tpu.config import GridConfig
 
-    cfg = serial_scene_config(size, size)
+    scene = None
+    if args.scene == "nefertiti":
+        from ray_tracer_tpu.models.scenes import nefertiti_scene
+
+        scene, cfg = nefertiti_scene(size, size)
+    else:
+        cfg = serial_scene_config(size, size)
     cfg = dataclasses.replace(
         cfg,
         render=dataclasses.replace(
@@ -87,9 +135,13 @@ def main() -> None:
     log(f"device: {jax.devices()[0]}")
     log(f"backend up: {time.perf_counter() - t0:.1f}s")
     t0 = time.perf_counter()
-    prep = prepare(cfg)
+    prep = prepare(cfg, scene=scene)
     log(f"prepare: {time.perf_counter() - t0:.1f}s; "
-        f"scene: spot+blub {prep.scene.num_faces} tris @ {size}x{size}")
+        f"scene: {args.scene} {prep.scene.num_faces} tris @ {size}x{size}")
+
+    if args.grad:
+        _bench_grad(prep, args, size)
+        return
 
     def sync(x):
         # block_until_ready is unreliable through the axon relay; a host

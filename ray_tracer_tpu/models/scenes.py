@@ -33,6 +33,32 @@ from ray_tracer_tpu.models.materials import (
 
 ASSET_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "assets")
 
+# Host mirrors of device geometry, keyed by id() of the device verts
+# array with a weakref finalizer for cleanup: prepare() and grid
+# rebuilds consult this instead of pulling arrays back off the device
+# (slow/flaky on tunneled TPUs).
+import weakref
+
+_HOST_GEOMETRY: dict = {}
+
+
+def _register_host_geometry(device_verts, verts_np, faces_np) -> None:
+    key = id(device_verts)
+    _HOST_GEOMETRY[key] = (verts_np, faces_np)
+    try:
+        weakref.finalize(device_verts, _HOST_GEOMETRY.pop, key, None)
+    except TypeError:
+        pass  # not weak-referenceable: entry lives for the process
+
+
+def host_geometry(scene: "Scene"):
+    """-> (verts_np, faces_np) host mirror, pulling from device only if
+    the scene was built outside this module."""
+    cached = _HOST_GEOMETRY.get(id(scene.verts))
+    if cached is not None:
+        return cached
+    return np.asarray(scene.verts), np.asarray(scene.faces)
+
 
 def asset(name: str) -> str:
     return os.path.join(ASSET_DIR, name)
@@ -130,7 +156,7 @@ def scene_from_numpy(
     uv_faces: Optional[np.ndarray] = None,
     dtype=jnp.float32,
 ) -> Scene:
-    return Scene(
+    scene = Scene(
         verts=jnp.asarray(verts, dtype=dtype),
         faces=jnp.asarray(faces),
         face_material=jnp.asarray(fmat),
@@ -140,6 +166,12 @@ def scene_from_numpy(
         uvs=jnp.asarray(uvs, dtype=dtype) if uvs is not None else None,
         uv_faces=jnp.asarray(uv_faces) if uv_faces is not None else None,
     )
+    _register_host_geometry(
+        scene.verts,
+        np.asarray(verts, dtype=np.float32),
+        np.asarray(faces, dtype=np.int32),
+    )
+    return scene
 
 
 def scene_from_meshes(

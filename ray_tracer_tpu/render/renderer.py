@@ -69,8 +69,9 @@ def prepare(cfg: SceneConfig, scene: Scene = None) -> Prepared:
             uvs_np, uvf_np,
         )
     else:
-        verts_np = np.asarray(scene.verts)
-        faces_np = np.asarray(scene.faces)
+        from ray_tracer_tpu.models.scenes import host_geometry
+
+        verts_np, faces_np = host_geometry(scene)
     grid = build_grid(
         verts_np,
         faces_np,
