@@ -104,6 +104,7 @@ class RenderConfig:
     # (requires faithful=False).
     traversal: str = "csr"
     packed_block_tris: int = 14  # triangles per packed block row (14/28/56)
+    packed_unroll: int = 1  # march steps per while_loop iteration
     max_bounces: int = 0  # reflection bounces; parallel reference uses 3
     shadow_eps: float = 1e-1  # Serial/geometry.h:2; parallel uses 1e-4
     shadow_scale: float = 0.1

@@ -59,7 +59,7 @@ class PackedTraceResult(NamedTuple):
 
 @partial(
     jax.jit,
-    static_argnames=("meta", "t_gate", "stop_on_first_hit", "max_steps"),
+    static_argnames=("meta", "t_gate", "stop_on_first_hit", "max_steps", "unroll"),
 )
 def traverse_packed(
     rays: RayBatch,
@@ -69,6 +69,7 @@ def traverse_packed(
     t_gate: float = 0.0,
     stop_on_first_hit: bool = False,
     max_steps: Optional[int] = None,
+    unroll: int = 1,
 ) -> PackedTraceResult:
     nx, ny, nz = meta.n_voxels
     nvox = jnp.asarray([nx, ny, nz], jnp.int32)
@@ -113,8 +114,10 @@ def traverse_packed(
         i=jnp.asarray(0, jnp.int32),
     )
 
+    max_iters = -(-max_steps // unroll)
+
     def cond(s):
-        return (s["i"] < max_steps) & jnp.any(s["alive"])
+        return (s["i"] < max_iters) & jnp.any(s["alive"])
 
     def cell_phase(s):
         """Probe + cell_info fetch for lanes not mid-voxel."""
@@ -189,20 +192,23 @@ def traverse_packed(
         # Both phases run unconditionally; predication by masks.  (A
         # lax.cond phase-skip variant measured SLOWER — the per-iteration
         # any() reductions and branch overhead exceed the skipped-gather
-        # savings at production tile sizes.)
-        s = cell_phase(s)
-        s = block_phase(s)
+        # savings at production tile sizes.)  `unroll` march steps per
+        # while iteration amortize the loop-control overhead that
+        # dominates at small tiles.
+        for _ in range(unroll):
+            s = cell_phase(s)
+            s = block_phase(s)
 
-        limit = jnp.minimum(rays.maxt, s["best_t"])
-        alive = s["alive"] & (s["testing"] | (s["t_cur"] <= limit))
-        if stop_on_first_hit:
-            alive = alive & ~jnp.isfinite(s["best_t"])
-        return dict(
-            s,
-            alive=alive,
-            steps=s["steps"] + s["alive"].astype(jnp.int32),
-            i=s["i"] + 1,
-        )
+            limit = jnp.minimum(rays.maxt, s["best_t"])
+            alive = s["alive"] & (s["testing"] | (s["t_cur"] <= limit))
+            if stop_on_first_hit:
+                alive = alive & ~jnp.isfinite(s["best_t"])
+            s = dict(
+                s,
+                alive=alive,
+                steps=s["steps"] + s["alive"].astype(jnp.int32),
+            )
+        return dict(s, i=s["i"] + 1)
 
     out = jax.lax.while_loop(cond, body, state)
     hit = jnp.isfinite(out["best_t"])

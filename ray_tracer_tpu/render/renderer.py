@@ -122,6 +122,7 @@ def render_rays(
                 rb, grid, meta,
                 t_gate=0.0 if t_gate is None else t_gate,
                 stop_on_first_hit=stop_on_first_hit,
+                unroll=rcfg.packed_unroll,
             )
     elif rcfg.traversal == "brute_pallas":
         # VPU-peak Pallas all-pairs sweep (ops/pallas_intersect.py):
