@@ -28,4 +28,49 @@ __version__ = "0.1.0"
 
 from ray_tracer_tpu import config  # noqa: F401
 
-__all__ = ["config", "__version__"]
+__all__ = [
+    "config",
+    "__version__",
+    "SceneConfig",
+    "RenderConfig",
+    "prepare",
+    "render",
+    "render_sharded",
+    "serial_scene_config",
+    "parallel_scene_config",
+    "write_ppm",
+]
+
+
+def __getattr__(name):
+    """Lazy top-level API (importing jax-heavy modules on demand):
+
+        import ray_tracer_tpu as rt
+        prep = rt.prepare(rt.serial_scene_config(256, 256))
+        rt.write_ppm("out.ppm", rt.render(prep))
+    """
+    from ray_tracer_tpu.config import RenderConfig, SceneConfig
+
+    lazy = {
+        "SceneConfig": lambda: SceneConfig,
+        "RenderConfig": lambda: RenderConfig,
+    }
+    if name in ("prepare", "render"):
+        from ray_tracer_tpu.render import renderer
+
+        return getattr(renderer, name)
+    if name == "render_sharded":
+        from ray_tracer_tpu.parallel.shard import render_sharded
+
+        return render_sharded
+    if name in ("serial_scene_config", "parallel_scene_config"):
+        from ray_tracer_tpu.models import scenes
+
+        return getattr(scenes, name)
+    if name == "write_ppm":
+        from ray_tracer_tpu.io.ppm import write_ppm
+
+        return write_ppm
+    if name in lazy:
+        return lazy[name]()
+    raise AttributeError(name)

@@ -19,8 +19,6 @@ matching the reference's framebuffer layout.
 from __future__ import annotations
 
 import math
-from typing import Tuple
-
 import jax.numpy as jnp
 
 from ray_tracer_tpu.config import CameraConfig

@@ -14,7 +14,6 @@ import time
 from typing import Dict, List, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ray_tracer_tpu.parallel.mesh import make_mesh

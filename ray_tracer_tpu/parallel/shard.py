@@ -25,17 +25,17 @@ evenly — the load-balance fix for BASELINE.md's >=85% scaling target.
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
-from typing import Optional, Tuple
+from functools import lru_cache
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding
+from jax.sharding import Mesh
 from jax.sharding import PartitionSpec as P
 
 from ray_tracer_tpu.accel.grid import GridArrays, GridMeta
-from ray_tracer_tpu.config import RenderConfig, SceneConfig
+from ray_tracer_tpu.config import SceneConfig
 from ray_tracer_tpu.core.rays import RayBatch
 from ray_tracer_tpu.models.scenes import Scene
 from ray_tracer_tpu.ops.camera import camera_rays

@@ -15,7 +15,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ray_tracer_tpu.core import vecmath as vm
 from ray_tracer_tpu.core.aabb import AABB, slab_intersect
 from ray_tracer_tpu.core.rays import RayBatch
 from ray_tracer_tpu.ops.camera import camera_rays

@@ -32,7 +32,7 @@ from ray_tracer_tpu.accel.grid import GridArrays, GridMeta, UniformGrid, build_g
 from ray_tracer_tpu.config import RenderConfig, SceneConfig
 from ray_tracer_tpu.core import vecmath as vm
 from ray_tracer_tpu.core.rays import RayBatch
-from ray_tracer_tpu.models.scenes import Scene, build_scene
+from ray_tracer_tpu.models.scenes import Scene
 from ray_tracer_tpu.ops.camera import camera_rays
 from ray_tracer_tpu.ops.intersect import cramer_t_safe, intersect_brute
 from ray_tracer_tpu.ops.shade import (
@@ -41,7 +41,7 @@ from ray_tracer_tpu.ops.shade import (
     shade_parallel,
     shade_serial,
 )
-from ray_tracer_tpu.accel.packed import PackedGrid, PackedGridArrays, PackedGridMeta, pack_grid
+from ray_tracer_tpu.accel.packed import PackedGrid, pack_grid
 from ray_tracer_tpu.ops.traverse import traverse_grid
 from ray_tracer_tpu.ops.traverse_packed import traverse_packed
 
