@@ -105,6 +105,10 @@ class RenderConfig:
     traversal: str = "csr"
     packed_block_tris: int = 14  # triangles per packed block row (14/28/56)
     packed_unroll: int = 1  # march steps per while_loop iteration
+    # Soft-edge visibility scale (0 = reference-exact hard shadows).
+    # > 0: shadow attenuation becomes sigmoid(blocker barycentric margin
+    # / scale) — differentiable across silhouettes (SURVEY hard part #2).
+    soft_visibility: float = 0.0
     max_bounces: int = 0  # reflection bounces; parallel reference uses 3
     shadow_eps: float = 1e-1  # Serial/geometry.h:2; parallel uses 1e-4
     shadow_scale: float = 0.1

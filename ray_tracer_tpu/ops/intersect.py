@@ -116,6 +116,52 @@ def cramer_t_safe(
     return tn_safe / A_safe
 
 
+def cramer_bg_safe(
+    orig: jnp.ndarray,
+    dirn: jnp.ndarray,
+    v0: jnp.ndarray,
+    v1: jnp.ndarray,
+    v2: jnp.ndarray,
+    valid: jnp.ndarray,
+    det_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(beta, gamma) only, inputs sanitized on invalid lanes (see
+    cramer_t_safe) — used by the soft-visibility path to differentiate
+    the blocker's barycentric margin without nan leakage from lanes
+    whose gathered triangle is arbitrary or whose ray is retired."""
+    vmask = valid[..., None]
+    o = jnp.where(vmask, orig, 0.0).astype(det_dtype)
+    d = jnp.where(vmask, dirn, 1.0).astype(det_dtype)
+    a = v0.astype(det_dtype)
+    b = v1.astype(det_dtype)
+    c = v2.astype(det_dtype)
+    e1 = a - b
+    e2 = a - c
+    s = a - o
+    A = vm.det3(
+        e1[..., 0], e2[..., 0], d[..., 0],
+        e1[..., 1], e2[..., 1], d[..., 1],
+        e1[..., 2], e2[..., 2], d[..., 2],
+    )
+    bn = vm.det3(
+        s[..., 0], e2[..., 0], d[..., 0],
+        s[..., 1], e2[..., 1], d[..., 1],
+        s[..., 2], e2[..., 2], d[..., 2],
+    )
+    gn = vm.det3(
+        e1[..., 0], s[..., 0], d[..., 0],
+        e1[..., 1], s[..., 1], d[..., 1],
+        e1[..., 2], s[..., 2], d[..., 2],
+    )
+    guard = valid & (A != 0)
+    A_safe = jnp.where(guard, A, jnp.asarray(1.0, det_dtype))
+    z = jnp.asarray(0.0, det_dtype)
+    return (
+        jnp.where(guard, bn, z) / A_safe,
+        jnp.where(guard, gn, z) / A_safe,
+    )
+
+
 def barycentric_pass(beta: jnp.ndarray, gamma: jnp.ndarray) -> jnp.ndarray:
     """The reference's acceptance predicate (Serial/geometry.h:162)."""
     return (beta > 0) & (gamma > 0) & (beta + gamma < 1)

@@ -29,6 +29,17 @@ from ray_tracer_tpu.core import vecmath as vm
 from ray_tracer_tpu.models.materials import MaterialTable
 
 
+def _apply_shadow(color: jnp.ndarray, shadow, scale: float) -> jnp.ndarray:
+    """Shadow attenuation.  A BOOL mask takes the reference's exact
+    branch (color * scale when shadowed — bitwise-faithful); a FLOAT
+    factor f in [0,1] (soft visibility) blends continuously:
+    color * (1 - f*(1-scale)), which equals the hard branch at f in
+    {0,1} up to float rounding."""
+    if shadow.dtype == jnp.bool_:
+        return jnp.where(shadow[:, None], color * scale, color)
+    return color * (1.0 - shadow * (1.0 - scale))[:, None]
+
+
 def _pow_safe(base: jnp.ndarray, exponent: jnp.ndarray) -> jnp.ndarray:
     """pow with differentiable-safe base 0: forward equals jnp.power for
     base >= 0 (0^a = 0 for a > 0), but the a-gradient base^a * log(base)
@@ -76,7 +87,7 @@ def shade_serial(
     ambient = base * mat.ka[:, None]
 
     color = specular + diffuse
-    color = jnp.where(in_shadow[:, None], color * shadow_scale, color)
+    color = _apply_shadow(color, in_shadow, shadow_scale)
     return color + ambient
 
 
@@ -99,4 +110,4 @@ def shade_parallel(
     ambient = base * mat.ka[:, None]
 
     color = diffuse + specular + ambient
-    return jnp.where(in_shadow[:, None], color * shadow_scale, color)
+    return _apply_shadow(color, in_shadow, shadow_scale)

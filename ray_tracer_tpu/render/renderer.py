@@ -34,7 +34,7 @@ from ray_tracer_tpu.core import vecmath as vm
 from ray_tracer_tpu.core.rays import RayBatch
 from ray_tracer_tpu.models.scenes import Scene
 from ray_tracer_tpu.ops.camera import camera_rays
-from ray_tracer_tpu.ops.intersect import cramer_t_safe, intersect_brute
+from ray_tracer_tpu.ops.intersect import cramer_bg_safe, cramer_t_safe, intersect_brute
 from ray_tracer_tpu.ops.shade import (
     hit_geometry_parallel,
     hit_geometry_serial,
@@ -208,6 +208,25 @@ def render_rays(
         srays = RayBatch.make(jax.lax.stop_gradient(sorig), jax.lax.stop_gradient(sdir), mint=smint)
         sres = trav(srays, t_gate=eps, stop_on_first_hit=early)
         in_shadow = (sres.any_pass if (serial and faithful) else sres.hit) & hit
+
+        if rcfg.soft_visibility > 0.0:
+            # SURVEY hard part #2: hard occlusion has zero-measure
+            # gradients.  Recompute the recorded blocker's barycentric
+            # margin from the DIFFERENTIABLE vertices and squash it:
+            # f = sigmoid(margin / s) -> 1 deep inside the blocker,
+            # 0.5 at its silhouette — gradients pull blocker edges
+            # across shadow boundaries.  (One-sided: shadow rays that
+            # missed entirely contribute f = 0.)
+            stri = jnp.maximum(sres.tri_id, 0)
+            sbeta, sgamma = cramer_bg_safe(
+                srays.orig, srays.dirn, v0[stri], v1[stri], v2[stri],
+                sres.hit, det_dtype=jnp.dtype(rcfg.det_dtype),
+            )
+            margin = jnp.minimum(
+                jnp.minimum(sbeta, sgamma), 1.0 - sbeta - sgamma
+            ).astype(jnp.float32)
+            f = jax.nn.sigmoid(margin / rcfg.soft_visibility)
+            in_shadow = jnp.where(in_shadow, f, 0.0)
 
         if serial:
             color = shade_serial(
