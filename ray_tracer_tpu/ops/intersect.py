@@ -88,12 +88,14 @@ def cramer_t_safe(
 
     On `valid` lanes the arithmetic (det expansion order, division) is
     bit-identical to `cramer_tbg`'s t.  On invalid lanes — whose gathered
-    triangle is arbitrary and may give A == 0 — the divisor is replaced
-    by 1 so neither forward (inf) nor backward (inf * 0 = nan) poisons
-    downstream `where` masking.
+    triangle is arbitrary (A may be 0) and whose ray may carry inf
+    origins (retired bounce lanes) — ALL inputs are sanitized first:
+    guarding only the outputs would still leak inf residuals into the
+    backward pass as nan (inf * zero-cotangent).
     """
-    o = orig.astype(det_dtype)
-    d = dirn.astype(det_dtype)
+    vmask = valid[..., None]
+    o = jnp.where(vmask, orig, 0.0).astype(det_dtype)
+    d = jnp.where(vmask, dirn, 1.0).astype(det_dtype)
     a = v0.astype(det_dtype)
     b = v1.astype(det_dtype)
     c = v2.astype(det_dtype)

@@ -167,7 +167,12 @@ def render_rays(
     locals_ = []  # per-depth (local color, continuation weight km*reflecting)
 
     for depth in range(rcfg.max_bounces + 1):
-        res = trav(cur, t_gate=primary_gate)
+        # The traversal is a stop-gradient island (its while_loop is not
+        # reverse-differentiable and must not be): search on detached
+        # rays, then recompute t/geometry differentiably from the found
+        # topology below.  Matters from bounce 1 on, where `cur` derives
+        # from differentiable hit points.
+        res = trav(jax.lax.stop_gradient(cur), t_gate=primary_gate)
         hit = res.any_pass if (serial and faithful) else res.hit
         tri = jnp.maximum(res.tri_id, 0)
 
@@ -182,17 +187,23 @@ def render_rays(
         # residual would poison the backward pass via inf * 0 = nan.
         ddt = jnp.dtype(rcfg.det_dtype)
         t_re = cramer_t_safe(cur.orig, cur.dirn, tv0, tv1, tv2, res.hit, det_dtype=ddt)
-        t = jnp.where(res.hit, t_re.astype(res.t.dtype), res.t)
+        # Miss lanes get t = 0 rather than the traversal's +inf: their
+        # geometry is discarded by the `hit` selects, but inf would ride
+        # into poi = orig + dirn*t, whose transpose multiplies the zero
+        # cotangent by t — inf * 0 = nan in the dirn (hence vertex)
+        # gradients from bounce 1 on.
+        t = jnp.where(res.hit, t_re.astype(res.t.dtype), jnp.zeros_like(res.t))
         mat = scene.materials.gather(scene.face_material[tri])
 
+        # Retired bounce lanes carry inf origins; sanitize BEFORE any
+        # arithmetic so no inf/nan residual exists for the backward pass
+        # to multiply with a zero cotangent (inf * 0 = nan).  Hit lanes
+        # are untouched — forward image is bit-identical.
+        orig_safe = jnp.where(res.hit[:, None], cur.orig, jnp.zeros_like(cur.orig))
         if serial:
-            geom = hit_geometry_serial(cur.orig, cur.dirn, t, tv0, tv1, tv2)
+            geom = hit_geometry_serial(orig_safe, cur.dirn, t, tv0, tv1, tv2)
         else:
-            geom = hit_geometry_parallel(cur.orig, cur.dirn, t, tv0, tv1, tv2)
-        # Non-hit lanes carry inf origins / inf t; their shading output is
-        # discarded by the `hit` select below, but inf in the residuals
-        # would still turn the backward pass to nan (inf * 0).  Zero the
-        # intersection point on those lanes — forward image unchanged.
+            geom = hit_geometry_parallel(orig_safe, cur.dirn, t, tv0, tv1, tv2)
         geom = geom._replace(
             poi=jnp.where(hit[:, None], geom.poi, jnp.zeros_like(geom.poi))
         )
