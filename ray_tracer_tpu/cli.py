@@ -65,6 +65,12 @@ def cmd_render(args) -> None:
 
     cfg, scene = _build_cfg(args)
     prep = prepare(cfg, scene=scene)
+    profile_ctx = None
+    if getattr(args, "profile", None):
+        import jax as _jax
+
+        profile_ctx = _jax.profiler.trace(args.profile)
+        profile_ctx.__enter__()
     t0 = time.perf_counter()
     if args.devices and args.devices > 1:
         from ray_tracer_tpu.parallel.mesh import make_mesh
@@ -75,6 +81,9 @@ def cmd_render(args) -> None:
         img = render(prep)
     jax.block_until_ready(img)
     dt = time.perf_counter() - t0
+    if profile_ctx is not None:
+        profile_ctx.__exit__(None, None, None)
+        print(f"profiler trace written to {args.profile}", file=sys.stderr)
     write_ppm(args.out, np.asarray(img))
     rays = cfg.camera.width * cfg.camera.height * 2
     print(f"wrote {args.out} ({cfg.camera.width}x{cfg.camera.height}) "
@@ -163,6 +172,8 @@ def main(argv=None) -> None:
                    help="production semantics (early-exit DDA, f32 dets)")
     r.add_argument("--devices", type=int, default=0,
                    help="shard rays over this many devices")
+    r.add_argument("--profile", default=None,
+                   help="write a jax.profiler trace to this directory")
     r.set_defaults(fn=cmd_render)
 
     f = sub.add_parser("fit", help="inverse-rendering optimization demo")
