@@ -114,7 +114,6 @@ class RenderConfig:
     shadow_scale: float = 0.1
     background: Vec3 = (0.0, 0.0, 0.0)
     ray_tile: int = 16384  # rays per traversal tile (static-shape chunk)
-    max_tris_per_voxel: Optional[int] = None  # None => derived from grid
     dtype: str = "float32"  # compute dtype on device
     det_dtype: str = "float32"  # "float64" on CPU matches oracle bitwise
     grid: GridConfig = field(default_factory=GridConfig)

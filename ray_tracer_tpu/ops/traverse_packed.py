@@ -8,8 +8,9 @@ each live ray pays exactly two gathered rows per step:
 
   1. `cell_info[cell]` — a packed uint32 with the voxel's block range
      and its Chebyshev distance to the nearest occupied voxel;
-  2. `blocks[row]` — one 128-lane row holding 14 whole triangles,
-     tested in a single fused VPU sweep.
+  2. `blocks[row]` — one block row (meta.block_tris whole triangles,
+     56 in the tuned production config) tested in a single fused VPU
+     sweep.
 
 March structure (all lanes in lock-step, predicated):
 
@@ -18,8 +19,8 @@ March structure (all lanes in lock-step, predicated):
     (b) leaps the empty Chebyshev-safe box in one step — empty-sky
     rays cross a 64-cell grid in a handful of steps instead of ~180,
     which matters because a SIMD wave retires at its slowest lane;
-  * a lane mid-voxel tests one block row per step (14 triangles),
-    recording the nearest accepted hit as (block, slot);
+  * a lane mid-voxel tests one block row per step, recording the
+    nearest accepted hit as (block, slot);
   * a lane dies when its next cell entry lies beyond min(maxt, best_t)
     (early exit) or, for occlusion queries, on any accepted hit.
 
@@ -157,7 +158,7 @@ def traverse_packed(
         )
 
     def block_phase(s):
-        """Test one 14-triangle block row for lanes mid-voxel."""
+        """Test one block row (meta.block_tris triangles) for lanes mid-voxel."""
         testing = s["testing"]
         blk = jnp.clip(s["first_blk"] + s["cursor"], 0, n_blocks - 1)
         row = grid.blocks[blk]  # GATHER 2: (R, row_lanes) f32
