@@ -81,8 +81,12 @@ def traverse_packed(
         # cells on the longest axis-path plus one block row per packed row
         max_steps = 4 * (nx + ny + nz) + 64
 
-    o = rays.orig
-    d = rays.dirn
+    # the packed path is f32 by contract; coerce so x64-mode callers
+    # (tests, notebooks) don't promote the while_loop carry dtypes
+    o = rays.orig.astype(jnp.float32)
+    d = rays.dirn.astype(jnp.float32)
+    mint = rays.mint.astype(jnp.float32)
+    maxt = rays.maxt.astype(jnp.float32)
     r = rays.count
     inf = jnp.float32(jnp.inf)
     invd = 1.0 / d  # +/-inf on axis-parallel rays; IEEE max/min below is fine
@@ -92,8 +96,8 @@ def traverse_packed(
     t_far = (grid.upper - o) * invd
     lo = jnp.minimum(t_near, t_far)
     hi = jnp.maximum(t_near, t_far)
-    t0 = jnp.maximum(jnp.max(lo, axis=-1), rays.mint)
-    t1 = jnp.minimum(jnp.min(hi, axis=-1), rays.maxt)
+    t0 = jnp.maximum(jnp.max(lo, axis=-1), mint)
+    t1 = jnp.minimum(jnp.min(hi, axis=-1), maxt)
     entered = t0 <= t1
 
     zf = jnp.where(jnp.isfinite(o[:, 0]), 0.0, 0.0).astype(jnp.float32)
@@ -200,7 +204,7 @@ def traverse_packed(
             s = cell_phase(s)
             s = block_phase(s)
 
-            limit = jnp.minimum(rays.maxt, s["best_t"])
+            limit = jnp.minimum(maxt, s["best_t"])
             alive = s["alive"] & (s["testing"] | (s["t_cur"] <= limit))
             if stop_on_first_hit:
                 alive = alive & ~jnp.isfinite(s["best_t"])

@@ -1,0 +1,97 @@
+"""Framework robustness: degenerate inputs a production system meets."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ray_tracer_tpu.accel.grid import build_grid
+from ray_tracer_tpu.accel.packed import pack_grid
+from ray_tracer_tpu.config import (
+    CameraConfig, LightConfig, MaterialConfig, RenderConfig, SceneConfig,
+)
+from ray_tracer_tpu.core.rays import RayBatch
+from ray_tracer_tpu.io.obj import MeshArrays
+from ray_tracer_tpu.models.scenes import scene_from_meshes
+from ray_tracer_tpu.ops.intersect import intersect_brute
+from ray_tracer_tpu.ops.traverse_packed import traverse_packed
+from ray_tracer_tpu.render.renderer import prepare, render
+
+
+def _one_tri_scene(verts, traversal="csr"):
+    mesh = MeshArrays(
+        verts=np.asarray(verts, np.float32),
+        faces=np.array([[0, 1, 2]], np.int32),
+        uvs=np.zeros((1, 2), np.float32),
+        uv_faces=np.zeros((1, 3), np.int32),
+    )
+    mat = MaterialConfig(base_color=(100.0, 100.0, 100.0), kd=2.0, ks=1.0,
+                         spec_alpha=4.0, ka=0.2)
+    light = LightConfig(position=(0, 5, 0), intensity=1.0)
+    scene = scene_from_meshes([(mesh, 0)], [mat], light)
+    cfg = SceneConfig(
+        materials=(mat,),
+        camera=CameraConfig(position=(0, 3, 3), target=(0, 0, 0), up=(0, 1, 0),
+                            fov_degrees=45.0, width=8, height=8),
+        light=light,
+        render=RenderConfig(shading="parallel", faithful=False, ray_tile=64,
+                            shadow_eps=1e-3, traversal=traversal),
+    )
+    return prepare(cfg, scene=scene)
+
+
+def test_single_triangle_grid_and_render():
+    prep = _one_tri_scene([[-1, 0, -1], [1, 0, -1], [0, 0, 1]])
+    img = np.asarray(render(prep))
+    assert np.isfinite(img).all() and img.max() > 0
+
+
+def test_single_triangle_packed():
+    prep = _one_tri_scene([[-1, 0, -1], [1, 0, -1], [0, 0, 1]], traversal="packed")
+    img = np.asarray(render(prep))
+    assert np.isfinite(img).all() and img.max() > 0
+
+
+def test_degenerate_triangle_never_hits():
+    """Zero-area triangle: zero determinant -> strict test rejects."""
+    v0 = jnp.array([[0.0, 0.0, 0.0]])
+    v1 = jnp.array([[1.0, 0.0, 0.0]])
+    v2 = jnp.array([[2.0, 0.0, 0.0]])  # collinear
+    rays = RayBatch.make(jnp.array([[0.5, 1.0, 0.0]]), jnp.array([[0.0, -1.0, 0.0]]))
+    res = intersect_brute(rays, v0, v1, v2)
+    assert not bool(res.hit[0]) and not bool(res.any_pass[0])
+
+
+def test_axis_parallel_rays_through_grid():
+    """Rays exactly parallel to grid planes exercise the inf inv-dir
+    paths in slab + DDA; results must stay finite."""
+    prep = _one_tri_scene([[-1, 0, -1], [1, 0, -1], [0, 0, 1]], traversal="packed")
+    rays = RayBatch.make(
+        jnp.array([[0.0, 0.5, -5.0], [0.2, -3.0, 0.0], [-5.0, 0.0, 0.2]]),
+        jnp.array([[0.0, 0.0, 1.0], [0.0, 1.0, 0.0], [1.0, 0.0, 0.0]]),
+    )
+    res = traverse_packed(rays, prep.packed.arrays, prep.packed.meta, t_gate=1e-4)
+    t = np.asarray(res.t)
+    assert np.isfinite(t[np.asarray(res.hit)]).all()
+
+
+def test_flat_scene_grid_has_unit_axis():
+    """A perfectly flat scene (zero extent on one axis) builds a 1-voxel
+    axis with zero width (inv_width 0) without dividing by zero."""
+    verts = np.array([[-1, 0, -1], [1, 0, -1], [1, 0, 1], [-1, 0, 1]], np.float32)
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    grid = build_grid(verts, faces, use_native=False)
+    assert grid.meta.n_voxels[1] == 1
+    assert float(np.asarray(grid.arrays.inv_width)[1]) == 0.0
+    packed = pack_grid(grid, verts, faces)
+    assert packed.meta.n_blocks >= 1
+
+
+def test_tiny_images():
+    prep = _one_tri_scene([[-1, 0, -1], [1, 0, -1], [0, 0, 1]])
+    cfg = dataclasses.replace(
+        prep.cfg, camera=dataclasses.replace(prep.cfg.camera, width=1, height=1)
+    )
+    img = np.asarray(render(prepare(cfg, scene=prep.scene)))
+    assert img.shape == (1, 1, 3)
