@@ -37,13 +37,16 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ray_tracer_tpu.accel.grid import GridArrays, GridMeta
 from ray_tracer_tpu.core.aabb import AABB, slab_intersect
 from ray_tracer_tpu.core.rays import RayBatch
 from ray_tracer_tpu.ops.intersect import barycentric_pass, cramer_tbg
 
-_CMP_TO_AXIS = jnp.asarray([2, 1, 2, 1, 2, 2, 0, 0], dtype=jnp.int32)
+# numpy (not jnp) so importing this module never initializes a backend —
+# required for jax.distributed.initialize to run first on multi-host.
+_CMP_TO_AXIS = np.asarray([2, 1, 2, 1, 2, 2, 0, 0], dtype=np.int32)
 
 
 class TraceResult(NamedTuple):
@@ -158,7 +161,7 @@ def traverse_grid(
             + 2 * (n0 < n2).astype(jnp.int32)
             + (n1 < n2).astype(jnp.int32)
         )
-        step_axis = _CMP_TO_AXIS[bits]  # (R,)
+        step_axis = jnp.asarray(_CMP_TO_AXIS)[bits]  # (R,)
         onehot = step_axis[:, None] == jnp.arange(3, dtype=jnp.int32)[None, :]
         ncr = jnp.take_along_axis(next_crossing, step_axis[:, None], axis=1)[:, 0]
 

@@ -34,9 +34,11 @@ def initialize(
     environment (hostnames/megascale env).  Explicit arguments support
     CPU-cluster simulation: one python process per fake host with
     jax.distributed.initialize(addr, N, i).
+
+    NOTE: must run before anything touches a backend (jax.devices(),
+    jax.process_count(), any computation) — backend init pins the
+    process group to single-process.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
     try:
         if coordinator_address is None and num_processes is None:
             jax.distributed.initialize()
@@ -46,6 +48,10 @@ def initialize(
                 num_processes=num_processes,
                 process_id=process_id,
             )
+    except RuntimeError as e:
+        if "already initialized" in str(e).lower():
+            return
+        get_logger(__name__).info("single-process mode (%s)", e)
     except Exception as e:  # single-host runs reach here; that's fine
         get_logger(__name__).info("single-process mode (%s)", e)
 
