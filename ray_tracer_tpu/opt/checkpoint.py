@@ -46,10 +46,31 @@ def save_checkpoint(directory: str, params: Any, opt_state: Any = None,
     return path
 
 
+def latest_step(directory: str) -> Optional[int]:
+    """Highest step number checkpointed under `directory`, or None."""
+    steps = []
+    try:
+        for name in os.listdir(directory):
+            if name.startswith("step_"):
+                try:
+                    steps.append(int(name[5:]))
+                except ValueError:
+                    pass
+    except FileNotFoundError:
+        return None
+    return max(steps) if steps else None
+
+
 def restore_checkpoint(directory: str, like: Any,
                        step_num: Optional[int] = None) -> Tuple[Any, Optional[Any]]:
     """Restore (params, opt_state) with `like` = {'params': ..., 'opt_state': ...}
-    template pytree (opt_state may be None in the template)."""
+    template pytree (opt_state may be None in the template).  With no
+    step_num, restores the 'latest' tag if present, else the highest
+    step_N directory."""
+    if step_num is None and not os.path.exists(
+        os.path.join(_paths(directory, None), "meta.json")
+    ):
+        step_num = latest_step(directory)
     path = _paths(directory, step_num)
     with open(os.path.join(path, "meta.json")) as fh:
         meta = json.load(fh)

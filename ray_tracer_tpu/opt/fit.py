@@ -191,6 +191,7 @@ def fit(
     rebuild_grid_every: int = 0,
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 50,
+    resume: bool = False,
     log_every: int = 10,
 ) -> Tuple[SceneParams, list]:
     """Run the optimization loop; returns (final params, loss history).
@@ -199,9 +200,12 @@ def fit(
     host-side grid build every k steps so moved geometry stays indexed.
     The rebuild changes GridMeta (shapes) and so re-jits the step when
     cell occupancy shifts — amortized across the k steps.
+
+    resume=True restores the newest checkpoint in checkpoint_dir (if any)
+    before stepping — crash/preemption recovery for long fits.
     """
     from ray_tracer_tpu.accel.grid import build_grid
-    from ray_tracer_tpu.opt.checkpoint import save_checkpoint
+    from ray_tracer_tpu.opt.checkpoint import restore_checkpoint, save_checkpoint
     from ray_tracer_tpu.utils.log import get_logger
     import numpy as np
 
@@ -212,6 +216,16 @@ def fit(
         meta, cfg, optimizer=optimizer, lr=lr, mesh=mesh, trainable=trainable
     )
     opt_state = init(params)
+    if resume and checkpoint_dir:
+        from ray_tracer_tpu.opt.checkpoint import latest_step
+
+        if latest_step(checkpoint_dir) is not None:
+            params, restored_opt = restore_checkpoint(
+                checkpoint_dir, {"params": params, "opt_state": opt_state}
+            )
+            if restored_opt is not None:
+                opt_state = restored_opt
+            log.info("resumed from step %s", latest_step(checkpoint_dir))
     losses = []
     for i in range(steps):
         params, opt_state, loss = step(params, opt_state, scene, grid, target)

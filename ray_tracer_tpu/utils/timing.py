@@ -28,18 +28,26 @@ class Timer:
         start = time.perf_counter()
         yield
         if result is not None:
-            jax.block_until_ready(result)
+            hard_sync(result)
         self.spans[name] = self.spans.get(name, 0.0) + time.perf_counter() - start
 
 
+def hard_sync(x) -> None:
+    """Force a REAL device sync.  block_until_ready can return before the
+    device finishes on relay-tunneled backends; materializing one element
+    to the host cannot."""
+    leaf = jax.tree.leaves(x)[0]
+    jax.device_get(leaf.reshape(-1)[0] if hasattr(leaf, "reshape") else leaf)
+
+
 def time_fn(fn: Callable, *args, warmup: int = 1, iters: int = 3) -> float:
-    """Median wall-clock seconds of fn(*args), device-fenced."""
+    """Median wall-clock seconds of fn(*args), hard-synced."""
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        hard_sync(fn(*args))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        hard_sync(fn(*args))
         times.append(time.perf_counter() - t0)
     times.sort()
     return times[len(times) // 2]

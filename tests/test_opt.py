@@ -43,6 +43,18 @@ def test_merge_split_roundtrip(tiny_prep):
     )
 
 
+def test_checkpoint_restore_latest_step(tiny_prep, tmp_path):
+    """restore with no step_num falls back to the highest step_N dir."""
+    params = split_scene(tiny_prep.scene)
+    d = str(tmp_path / "ckpt2")
+    save_checkpoint(d, params, step_num=5)
+    save_checkpoint(d, params._replace(kd=params.kd * 2), step_num=9)
+    p2, _ = restore_checkpoint(d, {"params": params, "opt_state": None})
+    np.testing.assert_array_equal(
+        np.asarray(p2.kd), np.asarray(params.kd) * 2
+    )
+
+
 def test_checkpoint_roundtrip(tiny_prep, tmp_path):
     params = split_scene(tiny_prep.scene)
     step, init = make_train_step(tiny_prep.grid.meta, tiny_prep.cfg)
