@@ -53,6 +53,10 @@ def _build_cfg(args):
         cfg = dataclasses.replace(
             cfg, render=dataclasses.replace(cfg.render, faithful=False)
         )
+    if getattr(args, "spp", 1) > 1:
+        cfg = dataclasses.replace(
+            cfg, render=dataclasses.replace(cfg.render, spp=args.spp)
+        )
     return cfg, scene
 
 
@@ -174,6 +178,8 @@ def main(argv=None) -> None:
                    help="shard rays over this many devices")
     r.add_argument("--profile", default=None,
                    help="write a jax.profiler trace to this directory")
+    r.add_argument("--spp", type=int, default=1,
+                   help="anti-aliasing: spp x spp subpixel samples per pixel")
     r.set_defaults(fn=cmd_render)
 
     f = sub.add_parser("fit", help="inverse-rendering optimization demo")

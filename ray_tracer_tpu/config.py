@@ -109,6 +109,10 @@ class RenderConfig:
     # > 0: shadow attenuation becomes sigmoid(blocker barycentric margin
     # / scale) — differentiable across silhouettes (SURVEY hard part #2).
     soft_visibility: float = 0.0
+    # Anti-aliasing: spp x spp regular subpixel samples averaged per
+    # pixel (1 = reference-exact pixel centers).  No reference
+    # counterpart; production feature.
+    spp: int = 1
     max_bounces: int = 0  # reflection bounces; parallel reference uses 3
     shadow_eps: float = 1e-1  # Serial/geometry.h:2; parallel uses 1e-4
     shadow_scale: float = 0.1

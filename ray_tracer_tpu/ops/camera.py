@@ -37,22 +37,39 @@ def camera_basis(cfg: CameraConfig, dtype=jnp.float32):
     return pos, u, v, w, focal_distance
 
 
-def camera_rays(cfg: CameraConfig, dtype=jnp.float32) -> RayBatch:
-    """Primary rays for every pixel, flat index = y*W + x."""
+def camera_rays(cfg: CameraConfig, dtype=jnp.float32, spp: int = 1) -> RayBatch:
+    """Primary rays for every pixel, flat index = y*W + x.
+
+    spp > 1 (anti-aliasing, no reference counterpart) emits spp x spp
+    regular subpixel samples per pixel, subsample-major:
+    ray[s*H*W + y*W + x]; callers average blocks of H*W.  spp == 1 keeps
+    the reference's exact pixel-center expression (bitwise goldens).
+    """
     pos, u, v, w, fd = camera_basis(cfg, dtype=dtype)
     width, height = cfg.width, cfg.height
     aspect = float(width) / float(height)
 
     x = jnp.arange(width, dtype=dtype)
     y = jnp.arange(height, dtype=dtype)
-    xw = aspect * (x - width / 2.0 + 0.5) / width  # (W,)
-    yw = (y - height / 2.0 + 0.5) / height  # (H,)
 
-    dirs = (
-        -w * fd
-        + u * xw[None, :, None]  # broadcast over (H, W, 3)
-        + v * yw[:, None, None]
-    )
-    dirs = vm.normalize(dirs).reshape(-1, 3)
+    if spp == 1:
+        offsets = [(0.5, 0.5)]
+    else:
+        offsets = [
+            ((sx + 0.5) / spp, (sy + 0.5) / spp)
+            for sy in range(spp) for sx in range(spp)
+        ]
+
+    all_dirs = []
+    for ox, oy in offsets:
+        xw = aspect * (x - width / 2.0 + ox) / width  # (W,)
+        yw = (y - height / 2.0 + oy) / height  # (H,)
+        dirs = (
+            -w * fd
+            + u * xw[None, :, None]  # broadcast over (H, W, 3)
+            + v * yw[:, None, None]
+        )
+        all_dirs.append(vm.normalize(dirs).reshape(-1, 3))
+    dirs = all_dirs[0] if len(all_dirs) == 1 else jnp.concatenate(all_dirs, axis=0)
     orig = jnp.broadcast_to(pos, dirs.shape)
     return RayBatch.make(orig, dirs, mint=0.0, maxt=jnp.inf)

@@ -67,7 +67,7 @@ def _sharded_image_fn(meta: GridMeta, cfg: SceneConfig, mesh: Mesh, axis: str, b
     n_shards = mesh.shape[axis]
     rcfg = cfg.render
     h, w = cfg.camera.height, cfg.camera.width
-    r = h * w
+    r = h * w * rcfg.spp * rcfg.spp
     padded = _pad_to(r, n_shards)
     perm = stride_permutation(padded, n_shards) if balance else np.arange(padded)
     inv_perm = np.argsort(perm)
@@ -86,11 +86,13 @@ def _sharded_image_fn(meta: GridMeta, cfg: SceneConfig, mesh: Mesh, axis: str, b
 
     @jax.jit
     def run(scene: Scene, grid: GridArrays) -> jnp.ndarray:
-        rays = camera_rays(cfg.camera, dtype=jnp.dtype(rcfg.dtype))
+        rays = camera_rays(cfg.camera, dtype=jnp.dtype(rcfg.dtype), spp=rcfg.spp)
         rays = pad_rays(rays, padded)
         rays = jax.tree.map(lambda x: x[jnp.asarray(perm)], rays)
         colors = sharded(scene, grid, rays)
         colors = colors[jnp.asarray(inv_perm)][:r]
+        if rcfg.spp > 1:
+            colors = colors.reshape(rcfg.spp * rcfg.spp, -1, 3).mean(axis=0)
         return colors.reshape(h, w, 3)
 
     return run

@@ -359,11 +359,13 @@ def render_rays_tiled_sorted(
 @partial(jax.jit, static_argnames=("meta", "cfg"))
 def _render_image(scene: Scene, grid, meta, cfg: SceneConfig):
     rcfg = cfg.render
-    rays = camera_rays(cfg.camera, dtype=jnp.dtype(rcfg.dtype))
+    rays = camera_rays(cfg.camera, dtype=jnp.dtype(rcfg.dtype), spp=rcfg.spp)
     if rcfg.traversal == "packed":
         colors = render_rays_tiled_sorted(rays, scene, grid, meta, rcfg)
     else:
         colors = render_rays_tiled(rays, scene, grid, meta, rcfg)
+    if rcfg.spp > 1:
+        colors = colors.reshape(rcfg.spp * rcfg.spp, -1, 3).mean(axis=0)
     return colors.reshape(cfg.camera.height, cfg.camera.width, 3)
 
 

@@ -69,3 +69,17 @@ def test_fit_command(capsys):
               "--trainable", "base_color,kd"])
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rec["last_loss"] <= rec["first_loss"]
+
+
+def test_supersampling_spp2(tmp_path):
+    """spp=2 renders and softens edges relative to spp=1."""
+    a = str(tmp_path / "a.ppm")
+    b = str(tmp_path / "b.ppm")
+    cli.main(["render", "--scene", "gradcheck", "--width", "16",
+              "--out", a, "--fast"])
+    cli.main(["render", "--scene", "gradcheck", "--width", "16",
+              "--out", b, "--fast", "--spp", "2"])
+    ia, ib = read_ppm(a).astype(int), read_ppm(b).astype(int)
+    assert (ia != ib).any()  # edges differ
+    # interiors agree: most pixels within 1 count
+    assert (np.abs(ia - ib).max(axis=-1) <= 1).mean() > 0.7

@@ -20,17 +20,26 @@ SIZE = 32
 
 
 @pytest.fixture(scope="module")
-def oracle_image(oracle_bin, tmp_path_factory):
-    out = str(tmp_path_factory.mktemp("golden") / "oracle.ppm")
+def oracle_images(oracle_bin, tmp_path_factory):
+    d = tmp_path_factory.mktemp("golden")
+    out = str(d / "oracle.ppm")
+    fout = str(d / "oracle.f32")
     subprocess.run(
         [
             oracle_bin, "--width", str(SIZE), "--height", str(SIZE), "--out", out,
+            "--float-out", fout,
             "--mesh", asset("spot_triangulated.obj"),
             "--mesh", asset("blub_triangulated.obj") + ":1.5,0,0",
         ],
         check=True, capture_output=True, timeout=300,
     )
-    return read_ppm(out)
+    floats = np.fromfile(fout, dtype=np.float32).reshape(SIZE, SIZE, 3)
+    return read_ppm(out), floats
+
+
+@pytest.fixture(scope="module")
+def oracle_image(oracle_images):
+    return oracle_images[0]
 
 
 def test_serial_scene_bit_identical(oracle_image, tmp_path):
@@ -45,6 +54,23 @@ def test_serial_scene_bit_identical(oracle_image, tmp_path):
     assert (got == oracle_image).all(), (
         f"{(got != oracle_image).sum()} byte mismatches"
     )
+
+
+def test_serial_scene_float_buffer_near_exact(oracle_images):
+    """The raw float32 framebuffer BEFORE tonemapping: XLA and g++ fuse
+    the f32 shading arithmetic differently, so a handful of values drift
+    by ~1e-2 on a 0-1000 scale (~1.5% of floats at 32²); the u8 artifact
+    — the reference's actual output — stays bitwise (test above).  Pin
+    the drift so a real semantic regression cannot hide behind it."""
+    _, oracle_floats = oracle_images
+    cfg = serial_scene_config(SIZE, SIZE)
+    cfg = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, det_dtype="float64")
+    )
+    img = np.asarray(render(prepare(cfg))).astype(np.float32)
+    diff = np.abs(img - oracle_floats)
+    assert (img != oracle_floats).mean() < 0.05
+    assert diff.max() < 0.1, diff.max()
 
 
 def test_float32_dets_close_to_oracle(oracle_image):
