@@ -113,6 +113,10 @@ class RenderConfig:
     # pixel (1 = reference-exact pixel centers).  No reference
     # counterpart; production feature.
     spp: int = 1
+    # Packed path: fuse the shadow pass into the primary march (lanes
+    # rearm as their own shadow ray on primary retirement) — fewer
+    # while-loop instances, shadow work overlaps the primary tail.
+    fused_shadow: bool = True
     max_bounces: int = 0  # reflection bounces; parallel reference uses 3
     shadow_eps: float = 1e-1  # Serial/geometry.h:2; parallel uses 1e-4
     shadow_scale: float = 0.1

@@ -225,3 +225,236 @@ def traverse_packed(
     return PackedTraceResult(
         any_pass=hit, hit=hit, t=out["best_t"], tri_id=tri_id, steps=out["steps"]
     )
+
+
+class FusedTraceResult(NamedTuple):
+    hit: jnp.ndarray  # (R,) bool — primary hit
+    t: jnp.ndarray  # (R,) f32 primary nearest t
+    tri_id: jnp.ndarray  # (R,) i32 primary triangle (-1 on miss)
+    in_shadow: jnp.ndarray  # (R,) bool — shadow ray found a blocker
+    shadow_tri_id: jnp.ndarray  # (R,) i32 blocker id (-1 if unshadowed)
+    steps: jnp.ndarray  # (R,) i32 total iterations
+
+
+@partial(
+    jax.jit,
+    static_argnames=("meta", "primary_gate", "shadow_gate", "shadow_mint",
+                     "serial_quirk", "max_steps"),
+)
+def traverse_packed_fused_shadow(
+    rays: RayBatch,
+    grid: PackedGridArrays,
+    meta: PackedGridMeta,
+    light_pos: jnp.ndarray,
+    *,
+    primary_gate: float = 0.0,
+    shadow_gate: float = 1e-4,
+    shadow_mint: float = 1e-4,
+    serial_quirk: bool = False,
+    max_steps: Optional[int] = None,
+) -> FusedTraceResult:
+    """Primary nearest-hit + shadow occlusion in ONE lock-step march.
+
+    Wavefront pipelining without queues: the moment a lane's primary
+    march retires, it REARMS in place as its own shadow ray (origin at
+    the recorded hit point, direction per the shading mode — the serial
+    reference's away-from-light quirk, Serial/raytracer.cpp:106, or the
+    CUDA variant's toward-light ray, Parallel/raytracer.cu:492-506) and
+    keeps marching while neighbors finish their primaries.  Compared to
+    two sequential passes this halves the while-loop instances and
+    absorbs the shadow work into the primary wave's tail — the TPU
+    counterpart of the reference's decoupled intersect/shading kernels
+    overlapping in streams, with the scheduler compiled away.
+
+    Forward-only (everything is stop-gradient territory; the renderer
+    recomputes differentiable quantities from the returned ids).
+    """
+    nx, ny, nz = meta.n_voxels
+    nvox = jnp.asarray([nx, ny, nz], jnp.int32)
+    n_blocks = meta.n_blocks
+    bt = meta.block_tris
+    delta = jnp.float32(meta.probe_delta)
+    if max_steps is None:
+        max_steps = 2 * (4 * (nx + ny + nz) + 64)
+
+    o0 = rays.orig.astype(jnp.float32)
+    d0 = rays.dirn.astype(jnp.float32)
+    mint0 = rays.mint.astype(jnp.float32)
+    maxt0 = rays.maxt.astype(jnp.float32)
+    r = rays.count
+    inf = jnp.float32(jnp.inf)
+    light = light_pos.astype(jnp.float32)
+
+    def slab_entry(o, d, mint, maxt):
+        invd = 1.0 / d
+        t_near = (grid.lower - o) * invd
+        t_far = (grid.upper - o) * invd
+        t0 = jnp.maximum(jnp.max(jnp.minimum(t_near, t_far), axis=-1), mint)
+        t1 = jnp.minimum(jnp.min(jnp.maximum(t_near, t_far), axis=-1), maxt)
+        return t0, (t0 <= t1) & jnp.isfinite(t0)
+
+    t_ent, entered = slab_entry(o0, d0, mint0, maxt0)
+
+    zf = jnp.where(jnp.isfinite(o0[:, 0]), 0.0, 0.0).astype(jnp.float32)
+    zi = zf.astype(jnp.int32)
+    zb = zi != 0
+
+    state = dict(
+        o=o0, d=d0,
+        phase=zb,  # False = primary, True = shadow
+        gate=zf + jnp.float32(primary_gate),
+        alive=entered,
+        testing=zb,
+        t_cur=t_ent,
+        t_exit_cell=zf,
+        first_blk=zi, n_blk=zi, cursor=zi,
+        best_t=zf + inf, best_blk=zi, best_slot=zi,
+        p_best_t=zf + inf, p_best_blk=zi, p_best_slot=zi,
+        shadow_hit=zb,
+        steps=zi,
+        i=jnp.asarray(0, jnp.int32),
+    )
+
+    def cond(s):
+        return (s["i"] < max_steps) & jnp.any(s["alive"])
+
+    def march(s):
+        """One cell-probe + one block-test step (per-lane o/d/gate)."""
+        o, d = s["o"], s["d"]
+        invd = 1.0 / d
+        alive, testing, t_cur = s["alive"], s["testing"], s["t_cur"]
+
+        probe = t_cur + delta
+        p = o + d * probe[:, None]
+        cell = jnp.floor((p - grid.lower) * grid.inv_width).astype(jnp.int32)
+        inside = jnp.all((cell >= 0) & (cell < nvox), axis=-1)
+        fetch = alive & ~testing
+        die = fetch & ~inside
+
+        cc = jnp.clip(cell, 0, nvox - 1)
+        lin = cc[:, 2] * (nx * ny) + cc[:, 1] * nx + cc[:, 0]
+        first, nblk, dist = decode_cell_info(grid.cell_info[lin])
+        occupied = nblk > 0
+        rad = jnp.where(occupied, 1, jnp.maximum(dist, 1))[:, None]
+        blo = grid.lower + (cell - (rad - 1)).astype(jnp.float32) * grid.width
+        bhi = grid.lower + (cell + rad).astype(jnp.float32) * grid.width
+        tf = jnp.maximum((blo - o) * invd, (bhi - o) * invd)
+        t_exit = jnp.maximum(jnp.min(tf, axis=-1), probe)
+
+        start_test = fetch & inside & occupied
+        jump = fetch & inside & ~occupied
+        first_blk = jnp.where(start_test, first, s["first_blk"])
+        n_blk = jnp.where(start_test, nblk, s["n_blk"])
+        cursor = jnp.where(start_test, 0, s["cursor"])
+        t_exit_cell = jnp.where(start_test, t_exit, s["t_exit_cell"])
+        t_cur = jnp.where(jump, t_exit, t_cur)
+        testing = testing | start_test
+        alive = alive & ~die
+
+        blk = jnp.clip(first_blk + cursor, 0, n_blocks - 1)
+        row = grid.blocks[blk]
+        tri = row[:, : bt * 9].reshape(r, bt, 9)
+        t, beta, gamma = cramer_tbg(
+            o[:, None, :], d[:, None, :],
+            tri[..., 0:3], tri[..., 3:6], tri[..., 6:9],
+            det_dtype=jnp.float32,
+        )
+        accept = (
+            (beta > 0) & (gamma > 0) & (beta + gamma < 1)
+            & (t > s["gate"][:, None]) & testing[:, None]
+        )
+        tm = jnp.where(accept, t, inf)
+        slot = jnp.argmin(tm, axis=-1).astype(jnp.int32)
+        m = jnp.take_along_axis(tm, slot[:, None], axis=-1)[:, 0]
+        upd = m < s["best_t"]
+        best_t = jnp.where(upd, m, s["best_t"])
+        best_blk = jnp.where(upd, blk, s["best_blk"])
+        best_slot = jnp.where(upd, slot, s["best_slot"])
+
+        cursor = jnp.where(testing, cursor + 1, cursor)
+        done = testing & (cursor >= n_blk)
+        t_cur = jnp.where(done, t_exit_cell, t_cur)
+        testing = testing & ~done
+
+        return dict(
+            s, alive=alive, testing=testing, t_cur=t_cur,
+            t_exit_cell=t_exit_cell, first_blk=first_blk, n_blk=n_blk,
+            cursor=cursor, best_t=best_t, best_blk=best_blk, best_slot=best_slot,
+        )
+
+    def body(s):
+        pre_alive = s["alive"]
+        s = march(s)
+        walked_out = pre_alive & ~s["alive"]  # probed outside the grid
+        phase = s["phase"]
+        best_t, testing, t_cur = s["best_t"], s["testing"], s["t_cur"]
+
+        # retirement per phase (early exit past the nearest hit, OR the
+        # march walked off the grid — boundary-cell hits land here)
+        limit = jnp.minimum(maxt0, best_t)
+        retire_primary = ~phase & (
+            (s["alive"] & ~testing & (t_cur > limit)) | walked_out
+        )
+        retire_shadow = phase & (
+            (s["alive"] & (
+                jnp.isfinite(best_t)  # occlusion: first accepted hit
+                | (~testing & (t_cur > maxt0))
+            ))
+            | walked_out
+        )
+
+        # lanes whose primary just finished REARM as their shadow ray
+        hit0 = retire_primary & jnp.isfinite(best_t)
+        poi = s["o"] + s["d"] * best_t[:, None]
+        to_light = light - poi
+        norm = jnp.sqrt(jnp.sum(to_light * to_light, axis=-1, keepdims=True))
+        sdir_t = to_light / jnp.where(norm > 0, norm, 1.0)
+        sdir = -sdir_t if serial_quirk else sdir_t
+        new_o = jnp.where(hit0[:, None], poi, s["o"])
+        new_d = jnp.where(hit0[:, None], sdir, s["d"])
+        smint = jnp.full_like(best_t, jnp.float32(shadow_mint))
+        st_ent, s_entered = slab_entry(new_o, new_d, smint, maxt0)
+
+        s = dict(
+            s,
+            o=new_o, d=new_d,
+            phase=phase | hit0,
+            gate=jnp.where(hit0, jnp.float32(shadow_gate), s["gate"]),
+            p_best_t=jnp.where(retire_primary, best_t, s["p_best_t"]),
+            p_best_blk=jnp.where(retire_primary, s["best_blk"], s["p_best_blk"]),
+            p_best_slot=jnp.where(retire_primary, s["best_slot"], s["p_best_slot"]),
+            best_t=jnp.where(hit0, inf, best_t),
+            best_blk=jnp.where(hit0, 0, s["best_blk"]),
+            best_slot=jnp.where(hit0, 0, s["best_slot"]),
+            t_cur=jnp.where(hit0, st_ent, t_cur),
+            testing=s["testing"] & ~hit0,
+            cursor=jnp.where(hit0, 0, s["cursor"]),
+            shadow_hit=s["shadow_hit"] | (retire_shadow & jnp.isfinite(best_t)),
+            alive=(s["alive"] | hit0)  # rearmed lanes resurrect as shadow rays
+            & ~(retire_primary & ~jnp.isfinite(best_t))  # primary miss: done
+            & ~(hit0 & ~s_entered)  # shadow ray misses the grid: done
+            & ~retire_shadow,
+            steps=s["steps"] + pre_alive.astype(jnp.int32),
+        )
+        return dict(s, i=s["i"] + 1)
+
+    out = jax.lax.while_loop(cond, body, state)
+    # lanes still in phase 0 at exhaustion: harvest their primary record
+    final_primary_t = jnp.where(out["phase"], out["p_best_t"], out["best_t"])
+    final_primary_blk = jnp.where(out["phase"], out["p_best_blk"], out["best_blk"])
+    final_primary_slot = jnp.where(out["phase"], out["p_best_slot"], out["best_slot"])
+    # a shadow lane that died mid-march with a recorded blocker counts
+    shadow = out["shadow_hit"] | (out["phase"] & jnp.isfinite(out["best_t"]))
+
+    hit = jnp.isfinite(final_primary_t)
+    pidx = jnp.clip(final_primary_blk * bt + final_primary_slot, 0,
+                    grid.slot_tri.shape[0] - 1)
+    tri_id = jnp.where(hit, grid.slot_tri[pidx], -1)
+    sidx = jnp.clip(out["best_blk"] * bt + out["best_slot"], 0,
+                    grid.slot_tri.shape[0] - 1)
+    shadow_tri = jnp.where(shadow & out["phase"], grid.slot_tri[sidx], -1)
+    return FusedTraceResult(
+        hit=hit, t=final_primary_t, tri_id=tri_id,
+        in_shadow=shadow & hit, shadow_tri_id=shadow_tri,
+        steps=out["steps"],
+    )

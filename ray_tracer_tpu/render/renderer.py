@@ -43,7 +43,11 @@ from ray_tracer_tpu.ops.shade import (
 )
 from ray_tracer_tpu.accel.packed import PackedGrid, pack_grid
 from ray_tracer_tpu.ops.traverse import traverse_grid
-from ray_tracer_tpu.ops.traverse_packed import traverse_packed
+from ray_tracer_tpu.ops.traverse_packed import (
+    PackedTraceResult,
+    traverse_packed,
+    traverse_packed_fused_shadow,
+)
 
 
 class Prepared(NamedTuple):
@@ -166,13 +170,33 @@ def render_rays(
     inf3 = jnp.full((r, 3), jnp.inf, v0.dtype)
     locals_ = []  # per-depth (local color, continuation weight km*reflecting)
 
+    fused = rcfg.traversal == "packed" and rcfg.fused_shadow
+
     for depth in range(rcfg.max_bounces + 1):
         # The traversal is a stop-gradient island (its while_loop is not
         # reverse-differentiable and must not be): search on detached
         # rays, then recompute t/geometry differentiably from the found
         # topology below.  Matters from bounce 1 on, where `cur` derives
         # from differentiable hit points.
-        res = trav(jax.lax.stop_gradient(cur), t_gate=primary_gate)
+        fres = None
+        if fused and depth == 0:
+            # one march for primary + shadow: lanes rearm as their own
+            # shadow ray the moment the primary retires (wavefront
+            # pipelining; ops/traverse_packed.traverse_packed_fused_shadow)
+            fres = traverse_packed_fused_shadow(
+                jax.lax.stop_gradient(cur), grid, meta,
+                jax.lax.stop_gradient(scene.light_pos),
+                primary_gate=0.0 if primary_gate is None else primary_gate,
+                shadow_gate=eps,
+                shadow_mint=eps if serial else eps + 0.02,
+                serial_quirk=serial,
+            )
+            res = PackedTraceResult(
+                any_pass=fres.hit, hit=fres.hit, t=fres.t,
+                tri_id=fres.tri_id, steps=fres.steps,
+            )
+        else:
+            res = trav(jax.lax.stop_gradient(cur), t_gate=primary_gate)
         hit = res.any_pass if (serial and faithful) else res.hit
         tri = jnp.maximum(res.tri_id, 0)
 
@@ -217,8 +241,15 @@ def render_rays(
         smint = eps if serial else eps + 0.02
         sorig = jnp.where(hit[:, None], geom.poi, inf3)
         srays = RayBatch.make(jax.lax.stop_gradient(sorig), jax.lax.stop_gradient(sdir), mint=smint)
-        sres = trav(srays, t_gate=eps, stop_on_first_hit=early)
-        in_shadow = (sres.any_pass if (serial and faithful) else sres.hit) & hit
+        if fres is not None:
+            in_shadow = fres.in_shadow & hit
+            shadow_tri = fres.shadow_tri_id
+            shadow_hit_rec = fres.in_shadow
+        else:
+            sres = trav(srays, t_gate=eps, stop_on_first_hit=early)
+            in_shadow = (sres.any_pass if (serial and faithful) else sres.hit) & hit
+            shadow_tri = sres.tri_id
+            shadow_hit_rec = sres.hit
 
         if rcfg.soft_visibility > 0.0:
             # SURVEY hard part #2: hard occlusion has zero-measure
@@ -228,10 +259,10 @@ def render_rays(
             # 0.5 at its silhouette — gradients pull blocker edges
             # across shadow boundaries.  (One-sided: shadow rays that
             # missed entirely contribute f = 0.)
-            stri = jnp.maximum(sres.tri_id, 0)
+            stri = jnp.maximum(shadow_tri, 0)
             sbeta, sgamma = cramer_bg_safe(
                 srays.orig, srays.dirn, v0[stri], v1[stri], v2[stri],
-                sres.hit, det_dtype=jnp.dtype(rcfg.det_dtype),
+                shadow_hit_rec, det_dtype=jnp.dtype(rcfg.det_dtype),
             )
             margin = jnp.minimum(
                 jnp.minimum(sbeta, sgamma), 1.0 - sbeta - sgamma

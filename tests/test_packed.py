@@ -138,6 +138,64 @@ def test_packed_render_matches_csr_fast_path(tiny_prep, packed_prep):
     assert (diff > 2).mean() < 0.01, f"{(diff > 2).mean():.3%} pixels differ"
 
 
+def test_fused_shadow_march_equals_two_pass(tiny_prep):
+    """The fused primary+shadow march (lanes rearm as shadow rays on
+    primary retirement) must give the identical image to the sequential
+    two-pass pipeline."""
+    from ray_tracer_tpu.render.renderer import prepare, render
+
+    base = dataclasses.replace(
+        tiny_prep.cfg,
+        render=dataclasses.replace(
+            tiny_prep.cfg.render, faithful=False, traversal="packed",
+            ray_tile=64, fused_shadow=True,
+        ),
+    )
+    off = dataclasses.replace(
+        base, render=dataclasses.replace(base.render, fused_shadow=False)
+    )
+    a = np.asarray(render(prepare(base, scene=tiny_prep.scene)))
+    b = np.asarray(render(prepare(off, scene=tiny_prep.scene)))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_fused_shadow_direct_matches_components(tiny_prep, packed):
+    """traverse_packed_fused_shadow vs separate primary + shadow calls."""
+    import jax.numpy as jnp
+
+    from ray_tracer_tpu.core import vecmath as vm
+    from ray_tracer_tpu.ops.traverse_packed import traverse_packed_fused_shadow
+
+    prep = tiny_prep
+    rays = camera_rays(prep.cfg.camera)
+    eps = 1e-3
+    fused = traverse_packed_fused_shadow(
+        rays, packed.arrays, packed.meta, prep.scene.light_pos,
+        primary_gate=eps, shadow_gate=eps, shadow_mint=eps + 0.02,
+        serial_quirk=False,
+    )
+    prim = traverse_packed(rays, packed.arrays, packed.meta, t_gate=eps)
+    np.testing.assert_array_equal(np.asarray(fused.hit), np.asarray(prim.hit))
+    h = np.asarray(prim.hit)
+    np.testing.assert_array_equal(
+        np.asarray(fused.tri_id)[h], np.asarray(prim.tri_id)[h]
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused.t)[h], np.asarray(prim.t)[h], rtol=1e-6
+    )
+    poi = rays.at(prim.t)
+    sdir = vm.normalize(prep.scene.light_pos - poi)
+    sorig = jnp.where(prim.hit[:, None], poi, jnp.inf)
+    from ray_tracer_tpu.core.rays import RayBatch
+
+    srays = RayBatch.make(sorig, sdir, mint=eps + 0.02)
+    sres = traverse_packed(
+        srays, packed.arrays, packed.meta, t_gate=eps, stop_on_first_hit=True
+    )
+    want_shadow = np.asarray(sres.hit) & h
+    np.testing.assert_array_equal(np.asarray(fused.in_shadow), want_shadow)
+
+
 def test_packed_render_sharded_equals_single(packed_prep, eight_device_mesh):
     from ray_tracer_tpu.parallel.shard import render_sharded
     from ray_tracer_tpu.render.renderer import render
