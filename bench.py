@@ -124,6 +124,11 @@ def main() -> None:
         render=dataclasses.replace(
             cfg.render, faithful=False, det_dtype="float32",
             traversal="packed", ray_tile=768, packed_block_tris=56,
+            # fused primary+shadow march wins on sparse scenes (spot:
+            # +20%) but loses on dense full-frame ones (nefertiti: -19%,
+            # every lane runs both phases so only the heavier body
+            # remains) — pick per scene.
+            fused_shadow=(args.scene == "spot"),
             # TPU-tuned: coarse grid (vs the reference's 3.0 heuristic),
             # 56-triangle/512-lane block rows, fused primary+shadow
             # march -> 9.7 Mrays/s on v5e (7.0 at the first-cut
@@ -166,7 +171,7 @@ def main() -> None:
     base = oracle_mrays(args.oracle_size)
     vs = mrays / base if base > 0 else 0.0
     print(json.dumps({
-        "metric": "mrays_per_s_spot_primary_shadow",
+        "metric": f"mrays_per_s_{args.scene}_primary_shadow",
         "value": round(mrays, 4),
         "unit": "Mrays/s",
         "vs_baseline": round(vs, 4),
