@@ -295,8 +295,6 @@ def nefertiti_scene(
     a deterministic displaced sphere of comparable size (~260k faces at
     the default resolution) stands in.  with_spot=True adds the spot
     mesh beside it (config 5's two-mesh 2048x2048 scene)."""
-    import dataclasses
-
     bust = mesh_gen.make_displaced_sphere(n_lat=n_lat, n_lon=n_lon, radius=1.2)
     parts = [(bust, 0)]
     if with_spot:

@@ -217,3 +217,24 @@ def test_packed_gradients_finite_and_nonzero(packed_prep):
     leaves = jax.tree.leaves(g)
     assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
     assert any(np.abs(np.asarray(x)).max() > 0 for x in leaves)
+
+
+def test_parallel_scene_reflections_on_packed_path():
+    """The reflective CUDA-variant scene through the production packed
+    traversal: close to the faithful csr-fast image (boundary pixels
+    only)."""
+    from ray_tracer_tpu.io.ppm import tonemap_u8
+    from ray_tracer_tpu.models.scenes import parallel_scene_config
+    from ray_tracer_tpu.render.renderer import prepare, render
+
+    cfg = parallel_scene_config(24, 24)
+    csr = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, ray_tile=576)
+    )
+    packed_cfg = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, traversal="packed", ray_tile=576)
+    )
+    a = tonemap_u8(np.asarray(render(prepare(csr))))
+    b = tonemap_u8(np.asarray(render(prepare(packed_cfg))))
+    diff = np.abs(a.astype(int) - b.astype(int)).max(axis=-1)
+    assert (diff > 2).mean() < 0.05, f"{(diff > 2).mean():.2%}"
