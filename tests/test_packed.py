@@ -238,3 +238,25 @@ def test_parallel_scene_reflections_on_packed_path():
     b = tonemap_u8(np.asarray(render(prepare(packed_cfg))))
     diff = np.abs(a.astype(int) - b.astype(int)).max(axis=-1)
     assert (diff > 2).mean() < 0.05, f"{(diff > 2).mean():.2%}"
+
+
+def test_fused_shadow_serial_quirk_equals_two_pass():
+    """Serial shading (away-from-light shadow quirk) through the fused
+    march — the headline bench config — must equal the two-pass image."""
+    from ray_tracer_tpu.models.scenes import serial_scene_config
+    from ray_tracer_tpu.render.renderer import prepare, render
+
+    cfg = serial_scene_config(24, 24)
+    base = dataclasses.replace(
+        cfg,
+        render=dataclasses.replace(
+            cfg.render, faithful=False, traversal="packed", ray_tile=576,
+            fused_shadow=True,
+        ),
+    )
+    off = dataclasses.replace(
+        base, render=dataclasses.replace(base.render, fused_shadow=False)
+    )
+    a = np.asarray(render(prepare(base)))
+    b = np.asarray(render(prepare(off)))
+    np.testing.assert_array_equal(a, b)
