@@ -55,6 +55,7 @@ class PackedGridMeta(NamedTuple):
     probe_delta: float  # robust cell-probe nudge, in t units (dirs are unit)
     block_tris: int = BLOCK_TRIS  # triangles per block row
     row_lanes: int = 128  # block row width (multiple of 128)
+    max_blocks: int = 1  # largest per-voxel block count (march bound)
 
     @property
     def total_voxels(self) -> int:
@@ -193,6 +194,7 @@ def pack_grid(
         probe_delta=max(min_w * 1e-3, 1e-6),
         block_tris=block_tris,
         row_lanes=row_lanes,
+        max_blocks=int(nblk.max(initial=1)),
     )
     arrays = PackedGridArrays(
         lower=grid.arrays.lower,

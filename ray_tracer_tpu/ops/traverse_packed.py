@@ -27,6 +27,11 @@ March structure (all lanes in lock-step, predicated):
 The winning triangle id is resolved AFTER the march with one gather
 from `slot_tri` — ids never ride through the loop.
 
+Both entry points (`traverse_packed` and the fused primary+shadow
+march) share ONE step implementation, `_march_step`, parameterized by
+per-lane ray state — a fix in the probe/leap/accept logic cannot leave
+the two marches divergent.
+
 Not bit-faithful to the serial reference (different visit order for
 equal-t ties across voxels, probe nudge can skip sub-1e-3-width cell
 slivers); renders match the oracle to boundary-pixel tolerance and the
@@ -49,6 +54,8 @@ from ray_tracer_tpu.accel.packed import (
 from ray_tracer_tpu.core.rays import RayBatch
 from ray_tracer_tpu.ops.intersect import cramer_tbg
 
+_INF = float("inf")
+
 
 class PackedTraceResult(NamedTuple):
     any_pass: jnp.ndarray  # == hit (production path has no faithful any_pass)
@@ -56,6 +63,107 @@ class PackedTraceResult(NamedTuple):
     t: jnp.ndarray  # (R,) f32
     tri_id: jnp.ndarray  # (R,) i32, -1 on miss
     steps: jnp.ndarray  # (R,) i32
+
+
+def _default_max_steps(meta: PackedGridMeta) -> int:
+    """Worst case: every cell on the longest axis-aligned walk is occupied
+    at the scene's max per-voxel block count — one probe iteration plus
+    max_blocks block-test iterations per cell."""
+    nx, ny, nz = meta.n_voxels
+    return (nx + ny + nz + 2) * (meta.max_blocks + 1) + 64
+
+
+def _slab_entry(grid, o, d, mint, maxt):
+    """Grid AABB entry t and entered flag (per-lane o/d)."""
+    invd = 1.0 / d
+    t_near = (grid.lower - o) * invd
+    t_far = (grid.upper - o) * invd
+    t0 = jnp.maximum(jnp.max(jnp.minimum(t_near, t_far), axis=-1), mint)
+    t1 = jnp.minimum(jnp.min(jnp.maximum(t_near, t_far), axis=-1), maxt)
+    return t0, (t0 <= t1) & jnp.isfinite(t0)
+
+
+def _march_step(s, *, o, d, invd, gate, maxt, grid, meta):
+    """The shared DDA core: one cell-probe phase + one block-test phase.
+
+    o/d/invd are (R,3), gate/maxt are (R,) — per-lane so the fused march
+    can rearm rays in place.  Updates the march-state keys {alive,
+    testing, t_cur, t_exit_cell, first_blk, n_blk, cursor, best_t,
+    best_blk, best_slot} of dict `s` (other keys pass through).
+    """
+    nx, ny, nz = meta.n_voxels
+    nvox = jnp.asarray([nx, ny, nz], jnp.int32)
+    n_blocks = meta.n_blocks
+    bt = meta.block_tris
+    delta = jnp.float32(meta.probe_delta)
+    inf = jnp.float32(_INF)
+    r = o.shape[0]
+
+    alive, testing, t_cur = s["alive"], s["testing"], s["t_cur"]
+
+    # ---- cell probe + info fetch (lanes not mid-voxel) --------------------
+    probe = t_cur + delta
+    p = o + d * probe[:, None]
+    cell = jnp.floor((p - grid.lower) * grid.inv_width).astype(jnp.int32)
+    inside = jnp.all((cell >= 0) & (cell < nvox), axis=-1)
+    fetch = alive & ~testing
+    die = fetch & ~inside
+
+    cc = jnp.clip(cell, 0, nvox - 1)
+    lin = cc[:, 2] * (nx * ny) + cc[:, 1] * nx + cc[:, 0]
+    first, nblk, dist = decode_cell_info(grid.cell_info[lin])  # GATHER 1
+    occupied = nblk > 0
+
+    # safe-box exit: radius 1 for occupied cells, Chebyshev dist for empty
+    rad = jnp.where(occupied, 1, jnp.maximum(dist, 1))[:, None]
+    blo = grid.lower + (cell - (rad - 1)).astype(jnp.float32) * grid.width
+    bhi = grid.lower + (cell + rad).astype(jnp.float32) * grid.width
+    tf = jnp.maximum((blo - o) * invd, (bhi - o) * invd)
+    t_exit = jnp.maximum(jnp.min(tf, axis=-1), probe)  # monotone progress
+
+    start_test = fetch & inside & occupied
+    jump = fetch & inside & ~occupied
+    first_blk = jnp.where(start_test, first, s["first_blk"])
+    n_blk = jnp.where(start_test, nblk, s["n_blk"])
+    cursor = jnp.where(start_test, 0, s["cursor"])
+    t_exit_cell = jnp.where(start_test, t_exit, s["t_exit_cell"])
+    t_cur = jnp.where(jump, t_exit, t_cur)
+    testing = testing | start_test
+    alive = alive & ~die
+
+    # ---- one block row of meta.block_tris triangles (lanes mid-voxel) ----
+    blk = jnp.clip(first_blk + cursor, 0, n_blocks - 1)
+    row = grid.blocks[blk]  # GATHER 2: (R, row_lanes) f32
+    tri = row[:, : bt * 9].reshape(r, bt, 9)
+    t, beta, gamma = cramer_tbg(
+        o[:, None, :], d[:, None, :],
+        tri[..., 0:3], tri[..., 3:6], tri[..., 6:9],
+        det_dtype=jnp.float32,
+    )
+    accept = (
+        (beta > 0) & (gamma > 0) & (beta + gamma < 1)
+        & (t > gate[:, None]) & (t <= maxt[:, None]) & testing[:, None]
+    )
+    tm = jnp.where(accept, t, inf)
+    slot = jnp.argmin(tm, axis=-1).astype(jnp.int32)
+    m = jnp.take_along_axis(tm, slot[:, None], axis=-1)[:, 0]
+    upd = m < s["best_t"]
+
+    cursor = jnp.where(testing, cursor + 1, cursor)
+    done = testing & (cursor >= n_blk)
+    return dict(
+        s,
+        alive=alive,
+        testing=testing & ~done,
+        t_cur=jnp.where(done, t_exit_cell, t_cur),
+        t_exit_cell=t_exit_cell,
+        first_blk=first_blk,
+        n_blk=n_blk,
+        cursor=cursor,
+        best_t=jnp.where(upd, m, s["best_t"]),
+        best_blk=jnp.where(upd, blk, s["best_blk"]),
+        best_slot=jnp.where(upd, slot, s["best_slot"]),
+    )
 
 
 @partial(
@@ -72,14 +180,9 @@ def traverse_packed(
     max_steps: Optional[int] = None,
     unroll: int = 1,
 ) -> PackedTraceResult:
-    nx, ny, nz = meta.n_voxels
-    nvox = jnp.asarray([nx, ny, nz], jnp.int32)
-    n_blocks = meta.n_blocks
     bt = meta.block_tris
-    delta = jnp.float32(meta.probe_delta)
     if max_steps is None:
-        # cells on the longest axis-path plus one block row per packed row
-        max_steps = 4 * (nx + ny + nz) + 64
+        max_steps = _default_max_steps(meta)
 
     # the packed path is f32 by contract; coerce so x64-mode callers
     # (tests, notebooks) don't promote the while_loop carry dtypes
@@ -87,25 +190,18 @@ def traverse_packed(
     d = rays.dirn.astype(jnp.float32)
     mint = rays.mint.astype(jnp.float32)
     maxt = rays.maxt.astype(jnp.float32)
-    r = rays.count
-    inf = jnp.float32(jnp.inf)
+    inf = jnp.float32(_INF)
     invd = 1.0 / d  # +/-inf on axis-parallel rays; IEEE max/min below is fine
 
-    # grid entry (slab), as in the faithful path
-    t_near = (grid.lower - o) * invd
-    t_far = (grid.upper - o) * invd
-    lo = jnp.minimum(t_near, t_far)
-    hi = jnp.maximum(t_near, t_far)
-    t0 = jnp.maximum(jnp.max(lo, axis=-1), mint)
-    t1 = jnp.minimum(jnp.min(hi, axis=-1), maxt)
-    entered = t0 <= t1
+    t0, entered = _slab_entry(grid, o, d, mint, maxt)
 
     zf = jnp.where(jnp.isfinite(o[:, 0]), 0.0, 0.0).astype(jnp.float32)
     zi = zf.astype(jnp.int32)
     zb = zi != 0
+    gate = zf + jnp.float32(t_gate)
 
     state = dict(
-        alive=entered & jnp.isfinite(t0),
+        alive=entered,
         testing=zb,
         t_cur=t0,
         t_exit_cell=zf,
@@ -124,86 +220,13 @@ def traverse_packed(
     def cond(s):
         return (s["i"] < max_iters) & jnp.any(s["alive"])
 
-    def cell_phase(s):
-        """Probe + cell_info fetch for lanes not mid-voxel."""
-        alive, testing, t_cur = s["alive"], s["testing"], s["t_cur"]
-        probe = t_cur + delta
-        p = o + d * probe[:, None]
-        cellf = (p - grid.lower) * grid.inv_width
-        cell = jnp.floor(cellf).astype(jnp.int32)  # (R,3)
-        inside = jnp.all((cell >= 0) & (cell < nvox), axis=-1)
-        fetch = alive & ~testing
-        die = fetch & ~inside
-
-        cc = jnp.clip(cell, 0, nvox - 1)
-        lin = cc[:, 2] * (nx * ny) + cc[:, 1] * nx + cc[:, 0]
-        info = grid.cell_info[lin]  # GATHER 1: (R,) uint32
-        first, nblk, dist = decode_cell_info(info)
-        occupied = nblk > 0
-
-        # safe-box exit: radius 1 for occupied cells, Chebyshev dist for empty
-        rad = jnp.where(occupied, 1, jnp.maximum(dist, 1))[:, None]
-        blo = grid.lower + (cell - (rad - 1)).astype(jnp.float32) * grid.width
-        bhi = grid.lower + (cell + rad).astype(jnp.float32) * grid.width
-        tf = jnp.maximum((blo - o) * invd, (bhi - o) * invd)
-        t_exit = jnp.maximum(jnp.min(tf, axis=-1), probe)  # monotone progress
-
-        start_test = fetch & inside & occupied
-        jump = fetch & inside & ~occupied
-        return dict(
-            s,
-            first_blk=jnp.where(start_test, first, s["first_blk"]),
-            n_blk=jnp.where(start_test, nblk, s["n_blk"]),
-            cursor=jnp.where(start_test, 0, s["cursor"]),
-            t_exit_cell=jnp.where(start_test, t_exit, s["t_exit_cell"]),
-            t_cur=jnp.where(jump, t_exit, t_cur),
-            testing=testing | start_test,
-            alive=alive & ~die,
-        )
-
-    def block_phase(s):
-        """Test one block row (meta.block_tris triangles) for lanes mid-voxel."""
-        testing = s["testing"]
-        blk = jnp.clip(s["first_blk"] + s["cursor"], 0, n_blocks - 1)
-        row = grid.blocks[blk]  # GATHER 2: (R, row_lanes) f32
-        tri = row[:, : bt * 9].reshape(r, bt, 9)
-        t, beta, gamma = cramer_tbg(
-            o[:, None, :], d[:, None, :],
-            tri[..., 0:3], tri[..., 3:6], tri[..., 6:9],
-            det_dtype=jnp.float32,
-        )
-        accept = (
-            (beta > 0) & (gamma > 0) & (beta + gamma < 1)
-            & (t > t_gate) & testing[:, None]
-        )
-        tm = jnp.where(accept, t, inf)
-        slot = jnp.argmin(tm, axis=-1).astype(jnp.int32)
-        m = jnp.take_along_axis(tm, slot[:, None], axis=-1)[:, 0]
-        upd = m < s["best_t"]
-
-        cursor = jnp.where(testing, s["cursor"] + 1, s["cursor"])
-        done = testing & (cursor >= s["n_blk"])
-        return dict(
-            s,
-            best_t=jnp.where(upd, m, s["best_t"]),
-            best_blk=jnp.where(upd, blk, s["best_blk"]),
-            best_slot=jnp.where(upd, slot, s["best_slot"]),
-            cursor=cursor,
-            t_cur=jnp.where(done, s["t_exit_cell"], s["t_cur"]),
-            testing=testing & ~done,
-        )
-
     def body(s):
-        # Both phases run unconditionally; predication by masks.  (A
-        # lax.cond phase-skip variant measured SLOWER — the per-iteration
-        # any() reductions and branch overhead exceed the skipped-gather
-        # savings at production tile sizes.)  `unroll` march steps per
-        # while iteration amortize the loop-control overhead that
-        # dominates at small tiles.
+        # `unroll` march steps per while iteration amortize loop-control
+        # overhead (measured: unroll=1 is optimal at production tiles;
+        # the knob stays for future hardware).
         for _ in range(unroll):
-            s = cell_phase(s)
-            s = block_phase(s)
-
+            s = _march_step(s, o=o, d=d, invd=invd, gate=gate, maxt=maxt,
+                            grid=grid, meta=meta)
             limit = jnp.minimum(maxt, s["best_t"])
             alive = s["alive"] & (s["testing"] | (s["t_cur"] <= limit))
             if stop_on_first_hit:
@@ -264,36 +287,26 @@ def traverse_packed_fused_shadow(
     two sequential passes this halves the while-loop instances and
     absorbs the shadow work into the primary wave's tail — the TPU
     counterpart of the reference's decoupled intersect/shading kernels
-    overlapping in streams, with the scheduler compiled away.
+    overlapping in streams, with the scheduler compiled away.  Wins on
+    sparse scenes; on dense full-frame scenes the two-pass pipeline is
+    faster (see docs/PERFORMANCE.md) — hence the fused_shadow config.
 
     Forward-only (everything is stop-gradient territory; the renderer
     recomputes differentiable quantities from the returned ids).
     """
-    nx, ny, nz = meta.n_voxels
-    nvox = jnp.asarray([nx, ny, nz], jnp.int32)
-    n_blocks = meta.n_blocks
     bt = meta.block_tris
-    delta = jnp.float32(meta.probe_delta)
     if max_steps is None:
-        max_steps = 2 * (4 * (nx + ny + nz) + 64)
+        # primary + shadow phases, each bounded like traverse_packed
+        max_steps = 2 * _default_max_steps(meta)
 
     o0 = rays.orig.astype(jnp.float32)
     d0 = rays.dirn.astype(jnp.float32)
     mint0 = rays.mint.astype(jnp.float32)
     maxt0 = rays.maxt.astype(jnp.float32)
-    r = rays.count
-    inf = jnp.float32(jnp.inf)
+    inf = jnp.float32(_INF)
     light = light_pos.astype(jnp.float32)
 
-    def slab_entry(o, d, mint, maxt):
-        invd = 1.0 / d
-        t_near = (grid.lower - o) * invd
-        t_far = (grid.upper - o) * invd
-        t0 = jnp.maximum(jnp.max(jnp.minimum(t_near, t_far), axis=-1), mint)
-        t1 = jnp.minimum(jnp.min(jnp.maximum(t_near, t_far), axis=-1), maxt)
-        return t0, (t0 <= t1) & jnp.isfinite(t0)
-
-    t_ent, entered = slab_entry(o0, d0, mint0, maxt0)
+    t_ent, entered = _slab_entry(grid, o0, d0, mint0, maxt0)
 
     zf = jnp.where(jnp.isfinite(o0[:, 0]), 0.0, 0.0).astype(jnp.float32)
     zi = zf.astype(jnp.int32)
@@ -318,73 +331,12 @@ def traverse_packed_fused_shadow(
     def cond(s):
         return (s["i"] < max_steps) & jnp.any(s["alive"])
 
-    def march(s):
-        """One cell-probe + one block-test step (per-lane o/d/gate)."""
-        o, d = s["o"], s["d"]
-        invd = 1.0 / d
-        alive, testing, t_cur = s["alive"], s["testing"], s["t_cur"]
-
-        probe = t_cur + delta
-        p = o + d * probe[:, None]
-        cell = jnp.floor((p - grid.lower) * grid.inv_width).astype(jnp.int32)
-        inside = jnp.all((cell >= 0) & (cell < nvox), axis=-1)
-        fetch = alive & ~testing
-        die = fetch & ~inside
-
-        cc = jnp.clip(cell, 0, nvox - 1)
-        lin = cc[:, 2] * (nx * ny) + cc[:, 1] * nx + cc[:, 0]
-        first, nblk, dist = decode_cell_info(grid.cell_info[lin])
-        occupied = nblk > 0
-        rad = jnp.where(occupied, 1, jnp.maximum(dist, 1))[:, None]
-        blo = grid.lower + (cell - (rad - 1)).astype(jnp.float32) * grid.width
-        bhi = grid.lower + (cell + rad).astype(jnp.float32) * grid.width
-        tf = jnp.maximum((blo - o) * invd, (bhi - o) * invd)
-        t_exit = jnp.maximum(jnp.min(tf, axis=-1), probe)
-
-        start_test = fetch & inside & occupied
-        jump = fetch & inside & ~occupied
-        first_blk = jnp.where(start_test, first, s["first_blk"])
-        n_blk = jnp.where(start_test, nblk, s["n_blk"])
-        cursor = jnp.where(start_test, 0, s["cursor"])
-        t_exit_cell = jnp.where(start_test, t_exit, s["t_exit_cell"])
-        t_cur = jnp.where(jump, t_exit, t_cur)
-        testing = testing | start_test
-        alive = alive & ~die
-
-        blk = jnp.clip(first_blk + cursor, 0, n_blocks - 1)
-        row = grid.blocks[blk]
-        tri = row[:, : bt * 9].reshape(r, bt, 9)
-        t, beta, gamma = cramer_tbg(
-            o[:, None, :], d[:, None, :],
-            tri[..., 0:3], tri[..., 3:6], tri[..., 6:9],
-            det_dtype=jnp.float32,
-        )
-        accept = (
-            (beta > 0) & (gamma > 0) & (beta + gamma < 1)
-            & (t > s["gate"][:, None]) & testing[:, None]
-        )
-        tm = jnp.where(accept, t, inf)
-        slot = jnp.argmin(tm, axis=-1).astype(jnp.int32)
-        m = jnp.take_along_axis(tm, slot[:, None], axis=-1)[:, 0]
-        upd = m < s["best_t"]
-        best_t = jnp.where(upd, m, s["best_t"])
-        best_blk = jnp.where(upd, blk, s["best_blk"])
-        best_slot = jnp.where(upd, slot, s["best_slot"])
-
-        cursor = jnp.where(testing, cursor + 1, cursor)
-        done = testing & (cursor >= n_blk)
-        t_cur = jnp.where(done, t_exit_cell, t_cur)
-        testing = testing & ~done
-
-        return dict(
-            s, alive=alive, testing=testing, t_cur=t_cur,
-            t_exit_cell=t_exit_cell, first_blk=first_blk, n_blk=n_blk,
-            cursor=cursor, best_t=best_t, best_blk=best_blk, best_slot=best_slot,
-        )
-
     def body(s):
         pre_alive = s["alive"]
-        s = march(s)
+        s = _march_step(
+            s, o=s["o"], d=s["d"], invd=1.0 / s["d"], gate=s["gate"],
+            maxt=maxt0, grid=grid, meta=meta,
+        )
         walked_out = pre_alive & ~s["alive"]  # probed outside the grid
         phase = s["phase"]
         best_t, testing, t_cur = s["best_t"], s["testing"], s["t_cur"]
@@ -413,7 +365,7 @@ def traverse_packed_fused_shadow(
         new_o = jnp.where(hit0[:, None], poi, s["o"])
         new_d = jnp.where(hit0[:, None], sdir, s["d"])
         smint = jnp.full_like(best_t, jnp.float32(shadow_mint))
-        st_ent, s_entered = slab_entry(new_o, new_d, smint, maxt0)
+        st_ent, s_entered = _slab_entry(grid, new_o, new_d, smint, maxt0)
 
         s = dict(
             s,

@@ -35,11 +35,20 @@ def save_checkpoint(directory: str, params: Any, opt_state: Any = None,
         ckptr.save(os.path.join(path, "orbax"), state, force=True)
         backend = "orbax"
     except Exception:
-        flat, treedef = jax.tree.flatten(state)
-        np.savez(
-            os.path.join(path, "state.npz"),
-            **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(flat)},
-        )
+        # npz fallback: params and opt_state leaves are PREFIX-NAMESPACED
+        # so a restore template that omits opt_state cannot misalign
+        # (dict flatten order would otherwise hand opt-state leaves back
+        # as params, silently).
+        arrays = {
+            f"p_{i}": np.asarray(x)
+            for i, x in enumerate(jax.tree.leaves(params))
+        }
+        if opt_state is not None:
+            arrays.update({
+                f"o_{i}": np.asarray(x)
+                for i, x in enumerate(jax.tree.leaves(opt_state))
+            })
+        np.savez(os.path.join(path, "state.npz"), **arrays)
         backend = "npz"
     with open(os.path.join(path, "meta.json"), "w") as fh:
         json.dump({"backend": backend, "step": step_num}, fh)
@@ -84,7 +93,19 @@ def restore_checkpoint(directory: str, like: Any,
         state = ckptr.restore(os.path.join(path, "orbax"), item=template)
     else:
         data = np.load(os.path.join(path, "state.npz"))
-        flat, treedef = jax.tree.flatten(template)
-        flat = [data[f"leaf_{i}"] for i in range(len(flat))]
-        state = jax.tree.unflatten(treedef, flat)
+        p_flat, p_def = jax.tree.flatten(template["params"])
+        params = jax.tree.unflatten(
+            p_def, [data[f"p_{i}"] for i in range(len(p_flat))]
+        )
+        state = {"params": params}
+        if "opt_state" in template:
+            if "o_0" not in data:
+                raise ValueError(
+                    "checkpoint was saved without opt_state but the restore "
+                    "template requests it"
+                )
+            o_flat, o_def = jax.tree.flatten(template["opt_state"])
+            state["opt_state"] = jax.tree.unflatten(
+                o_def, [data[f"o_{i}"] for i in range(len(o_flat))]
+            )
     return state["params"], state.get("opt_state")

@@ -128,9 +128,13 @@ def _train_step_fn(meta: GridMeta, cfg: SceneConfig, optimizer_name: str,
         rays = pad_rays(rays, padded)
         tgt = target.reshape(-1, 3)
         if padded != r:
-            tgt = jnp.concatenate(
-                [tgt, jnp.zeros((padded - r, 3), tgt.dtype)]
+            # padding rays render as the BACKGROUND color; pad the target
+            # with the same so padding lanes contribute zero residual
+            # regardless of cfg.render.background.
+            bg = jnp.broadcast_to(
+                jnp.asarray(cfg.render.background, tgt.dtype), (padded - r, 3)
             )
+            tgt = jnp.concatenate([tgt, bg])
         loss, grads = jax.value_and_grad(loss_fn)(params, scene, grid, rays, tgt)
         if trainable is not None:
             frozen = {
@@ -210,7 +214,12 @@ def fit(
     import numpy as np
 
     log = get_logger("ray_tracer_tpu.fit")
-    scene, grid, meta, cfg = prep.scene, prep.grid.arrays, prep.grid.meta, prep.cfg
+    scene, cfg = prep.scene, prep.cfg
+    packed_mode = cfg.render.traversal == "packed"
+    if packed_mode:
+        grid, meta = prep.packed.arrays, prep.packed.meta
+    else:
+        grid, meta = prep.grid.arrays, prep.grid.meta
     params = split_scene(scene)
     step, init = make_train_step(
         meta, cfg, optimizer=optimizer, lr=lr, mesh=mesh, trainable=trainable
@@ -233,12 +242,23 @@ def fit(
         if log_every and i % log_every == 0:
             log.info("step %d loss %.6g", i, losses[-1])
         if rebuild_grid_every and (i + 1) % rebuild_grid_every == 0:
+            verts_np = np.asarray(params.verts)
+            faces_np = np.asarray(scene.faces)
             built = build_grid(
-                np.asarray(params.verts), np.asarray(scene.faces),
+                verts_np, faces_np,
                 resolution_multiplier=cfg.render.grid.resolution_multiplier,
                 max_resolution=cfg.render.grid.max_resolution,
             )
-            grid, new_meta = built.arrays, built.meta
+            if packed_mode:
+                from ray_tracer_tpu.accel.packed import pack_grid
+
+                repacked = pack_grid(
+                    built, verts_np, faces_np,
+                    block_tris=cfg.render.packed_block_tris,
+                )
+                grid, new_meta = repacked.arrays, repacked.meta
+            else:
+                grid, new_meta = built.arrays, built.meta
             if new_meta != meta:
                 meta = new_meta
                 step, _ = make_train_step(

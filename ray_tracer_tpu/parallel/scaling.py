@@ -43,7 +43,7 @@ def scaling_report(
     cam = prep.cfg.camera
     rays = cam.width * cam.height * 2  # primary + shadow
     rows = []
-    base = None
+    base_per_device = None
     for n in device_counts:
         mesh = make_mesh(n, ("rays",))
         _sync(render_sharded(prep, mesh=mesh))  # compile
@@ -54,12 +54,14 @@ def scaling_report(
         _sync(img)
         sec = (time.perf_counter() - t0) / repeats
         mrays = rays / sec / 1e6
-        if base is None:
-            base = mrays
+        if base_per_device is None:
+            # normalize per device so the report is correct even when
+            # device_counts does not start at 1
+            base_per_device = mrays / n
         rows.append({
             "devices": n,
             "mrays_per_s": round(mrays, 4),
-            "efficiency": round(mrays / (base * n), 4),
+            "efficiency": round((mrays / n) / base_per_device, 4),
         })
     return {"rays_per_frame": rays, "rows": rows}
 

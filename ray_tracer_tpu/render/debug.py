@@ -80,8 +80,11 @@ def trace_pixel(prep, x: int, y: int) -> Dict[str, Any]:
         normal = np.cross(tv[2] - tv[1], tv[0] - tv[1])
         sdir = light - poi
     sdir = sdir / np.linalg.norm(sdir)
+    # shadow ray mint matches the renderer: serial uses eps, the CUDA
+    # variant eps + 0.02 (Parallel/raytracer.cu:492-506)
+    smint = rcfg.shadow_eps if serial else rcfg.shadow_eps + 0.02
     srays = RayBatch.make(jnp.asarray(poi[None]), jnp.asarray(sdir[None]),
-                          mint=rcfg.shadow_eps)
+                          mint=smint)
     if packed:
         sres = traverse_packed(
             srays, prep.packed.arrays, prep.packed.meta,

@@ -47,7 +47,7 @@ def render_banded(
     bands = max(1, min(bands, h))
     edges = np.linspace(0, h, bands + 1, dtype=int)
 
-    rays = camera_rays(cfg.camera)
+    rays = camera_rays(cfg.camera, spp=rcfg.spp)
     if rcfg.traversal == "packed":
         garr, meta = prep.packed.arrays, prep.packed.meta
     else:
@@ -58,19 +58,30 @@ def render_banded(
             colors = render_rays_tiled(band_rays, prep.scene, garr, meta, rcfg)
             return np.asarray(jax.device_get(colors))
 
+    # Supersampling: rays are subsample-major (s*H*W + y*W + x), so a
+    # band of rows is rendered once per subsample and averaged — each
+    # (subsample, band) slice stays an independently retryable dispatch.
+    n_sub = rcfg.spp * rcfg.spp
     out = np.zeros((h * w, 3), np.float32)
     for b in range(bands):
         lo, hi = int(edges[b]) * w, int(edges[b + 1]) * w
         if hi <= lo:
             continue
-        band = jax.tree.map(lambda x: x[lo:hi], rays)
-        for attempt in range(retries + 1):
-            try:
-                out[lo:hi] = band_fn(band)
-                break
-            except Exception as e:  # noqa: BLE001 — retry any dispatch error
-                if attempt == retries:
-                    raise
-                log.warning("band %d attempt %d failed (%s); retrying", b, attempt, e)
-                time.sleep(backoff_s * (attempt + 1))
+        acc = np.zeros((hi - lo, 3), np.float32)
+        for s in range(n_sub):
+            off = s * h * w
+            band = jax.tree.map(lambda x: x[off + lo:off + hi], rays)
+            for attempt in range(retries + 1):
+                try:
+                    acc += band_fn(band)
+                    break
+                except Exception as e:  # noqa: BLE001 — retry any dispatch error
+                    if attempt == retries:
+                        raise
+                    log.warning(
+                        "band %d sub %d attempt %d failed (%s); retrying",
+                        b, s, attempt, e,
+                    )
+                    time.sleep(backoff_s * (attempt + 1))
+        out[lo:hi] = acc / n_sub
     return out.reshape(h, w, 3)

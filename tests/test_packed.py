@@ -61,7 +61,7 @@ def test_pack_layout_matches_csr(tiny_prep, packed):
     for c in rng.choice(len(cs) - 1, size=200, replace=False):
         count = cs[c + 1] - cs[c]
         assert nblk[c] == -(-count // BLOCK_TRIS)
-        assert (dist[c] == 0) == (count > 0) or count > 0
+        assert (dist[c] == 0) == (count > 0)
         for j in range(count):
             row = first[c] + j // BLOCK_TRIS
             slot = j % BLOCK_TRIS
