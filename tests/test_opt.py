@@ -68,3 +68,66 @@ def test_checkpoint_roundtrip(tiny_prep, tmp_path):
     ):
         assert a == b
     assert o2 is not None
+
+
+def test_fit_on_packed_traversal(tiny_prep):
+    """fit() selects the packed grid when cfg uses the production path
+    (regression: previously crashed with AttributeError on GridMeta)."""
+    import dataclasses
+
+    from ray_tracer_tpu.opt.fit import fit
+    from ray_tracer_tpu.render.renderer import prepare, render
+
+    cfg = dataclasses.replace(
+        tiny_prep.cfg,
+        render=dataclasses.replace(
+            tiny_prep.cfg.render, faithful=False, traversal="packed", ray_tile=64
+        ),
+    )
+    prep = prepare(cfg, scene=tiny_prep.scene)
+    target = render(prep)
+    from ray_tracer_tpu.opt.fit import merge_scene, split_scene
+
+    p = split_scene(prep.scene)
+    prep = prep._replace(scene=merge_scene(p._replace(kd=p.kd * 1.6), prep.scene))
+    _, losses = fit(prep, target, steps=6, lr=5e-2, trainable=("kd",), log_every=0)
+    assert losses[-1] < losses[0]
+
+
+def test_npz_checkpoint_template_without_opt_state(tiny_prep, tmp_path, monkeypatch):
+    """npz fallback: restoring params-only from a checkpoint saved WITH
+    opt_state must return the params, not optimizer moments (regression
+    for the leaf-ordering bug), and the reverse raises clearly."""
+    import builtins
+    import sys
+
+    real_import = builtins.__import__
+
+    def no_orbax(name, *a, **k):
+        if name.startswith("orbax"):
+            raise ImportError("forced npz fallback")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_orbax)
+    sys.modules.pop("orbax.checkpoint", None)
+
+    params = split_scene(tiny_prep.scene)
+    step, init = make_train_step(tiny_prep.grid.meta, tiny_prep.cfg)
+    opt_state = init(params)
+    d = str(tmp_path / "npzck")
+    save_checkpoint(d, params, opt_state, step_num=1)
+    import json, os
+    with open(os.path.join(d, "step_1", "meta.json")) as fh:
+        assert json.load(fh)["backend"] == "npz"
+
+    # params-only template: must get params back, not Adam moments
+    p2, o2 = restore_checkpoint(d, {"params": params, "opt_state": None}, step_num=1)
+    np.testing.assert_array_equal(np.asarray(p2.kd), np.asarray(params.kd))
+    assert o2 is None
+
+    # checkpoint saved WITHOUT opt_state + template requesting it: clear error
+    d2 = str(tmp_path / "npzck2")
+    save_checkpoint(d2, params, step_num=1)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="without opt_state"):
+        restore_checkpoint(d2, {"params": params, "opt_state": opt_state}, step_num=1)
