@@ -89,9 +89,12 @@ def cmd_render(args) -> None:
         profile_ctx.__exit__(None, None, None)
         print(f"profiler trace written to {args.profile}", file=sys.stderr)
     write_ppm(args.out, np.asarray(img))
-    rays = cfg.camera.width * cfg.camera.height * 2
-    print(f"wrote {args.out} ({cfg.camera.width}x{cfg.camera.height}) "
-          f"in {dt:.2f}s = {rays / dt / 1e6:.2f} Mrays/s (incl compile)",
+    spp2 = cfg.render.spp * cfg.render.spp
+    rays = cfg.camera.width * cfg.camera.height * spp2 * 2  # primary+shadow
+    print(f"wrote {args.out} ({cfg.camera.width}x{cfg.camera.height}"
+          f"{f', spp={cfg.render.spp}' if spp2 > 1 else ''}) "
+          f"in {dt:.2f}s = {rays / dt / 1e6:.2f} Mrays/s "
+          f"(primary+shadow, excl. reflection bounces, incl compile)",
           file=sys.stderr)
 
 

@@ -74,12 +74,22 @@ def _default_max_steps(meta: PackedGridMeta) -> int:
 
 
 def _slab_entry(grid, o, d, mint, maxt):
-    """Grid AABB entry t and entered flag (per-lane o/d)."""
+    """Grid AABB entry t and entered flag (per-lane o/d).
+
+    IEEE-robust on boundary planes: an origin EXACTLY on a slab plane
+    with a direction parallel to that axis yields 0 * inf = NaN in the
+    naive formulation (and such rays are real — shadow rays rearm from
+    floor-plane hits that sit on the grid's lower bound).  NaN on an
+    axis means the ray runs inside that slab forever: its contribution
+    to the interval is (-inf, +inf), restored with nan_to_num.
+    """
     invd = 1.0 / d
     t_near = (grid.lower - o) * invd
     t_far = (grid.upper - o) * invd
-    t0 = jnp.maximum(jnp.max(jnp.minimum(t_near, t_far), axis=-1), mint)
-    t1 = jnp.minimum(jnp.min(jnp.maximum(t_near, t_far), axis=-1), maxt)
+    lo = jnp.nan_to_num(jnp.minimum(t_near, t_far), nan=-jnp.inf)
+    hi = jnp.nan_to_num(jnp.maximum(t_near, t_far), nan=jnp.inf)
+    t0 = jnp.maximum(jnp.max(lo, axis=-1), mint)
+    t1 = jnp.minimum(jnp.min(hi, axis=-1), maxt)
     return t0, (t0 <= t1) & jnp.isfinite(t0)
 
 
@@ -118,7 +128,11 @@ def _march_step(s, *, o, d, invd, gate, maxt, grid, meta):
     rad = jnp.where(occupied, 1, jnp.maximum(dist, 1))[:, None]
     blo = grid.lower + (cell - (rad - 1)).astype(jnp.float32) * grid.width
     bhi = grid.lower + (cell + rad).astype(jnp.float32) * grid.width
-    tf = jnp.maximum((blo - o) * invd, (bhi - o) * invd)
+    # nan_to_num: a boundary-plane origin with a parallel direction gives
+    # 0 * inf = NaN; the ray never exits the box along that axis (+inf)
+    tf = jnp.nan_to_num(
+        jnp.maximum((blo - o) * invd, (bhi - o) * invd), nan=jnp.inf
+    )
     t_exit = jnp.maximum(jnp.min(tf, axis=-1), probe)  # monotone progress
 
     start_test = fetch & inside & occupied
@@ -333,9 +347,13 @@ def traverse_packed_fused_shadow(
 
     def body(s):
         pre_alive = s["alive"]
+        # shadow rays trace unbounded (reference semantics: no light-
+        # distance clipping); the primary's maxt is a DIFFERENT ray's
+        # parameterization and must not leak into the rearmed ray
+        maxt_lane = jnp.where(s["phase"], jnp.float32(_INF), maxt0)
         s = _march_step(
             s, o=s["o"], d=s["d"], invd=1.0 / s["d"], gate=s["gate"],
-            maxt=maxt0, grid=grid, meta=meta,
+            maxt=maxt_lane, grid=grid, meta=meta,
         )
         walked_out = pre_alive & ~s["alive"]  # probed outside the grid
         phase = s["phase"]
@@ -348,11 +366,8 @@ def traverse_packed_fused_shadow(
             (s["alive"] & ~testing & (t_cur > limit)) | walked_out
         )
         retire_shadow = phase & (
-            (s["alive"] & (
-                jnp.isfinite(best_t)  # occlusion: first accepted hit
-                | (~testing & (t_cur > maxt0))
-            ))
-            | walked_out
+            (s["alive"] & jnp.isfinite(best_t))  # occlusion: first hit
+            | walked_out  # unbounded shadow rays retire by leaving the grid
         )
 
         # lanes whose primary just finished REARM as their shadow ray
@@ -365,7 +380,8 @@ def traverse_packed_fused_shadow(
         new_o = jnp.where(hit0[:, None], poi, s["o"])
         new_d = jnp.where(hit0[:, None], sdir, s["d"])
         smint = jnp.full_like(best_t, jnp.float32(shadow_mint))
-        st_ent, s_entered = _slab_entry(grid, new_o, new_d, smint, maxt0)
+        sinf = jnp.full_like(best_t, jnp.float32(_INF))
+        st_ent, s_entered = _slab_entry(grid, new_o, new_d, smint, sinf)
 
         s = dict(
             s,

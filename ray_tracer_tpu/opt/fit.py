@@ -225,16 +225,20 @@ def fit(
         meta, cfg, optimizer=optimizer, lr=lr, mesh=mesh, trainable=trainable
     )
     opt_state = init(params)
+    start_step = 0
     if resume and checkpoint_dir:
         from ray_tracer_tpu.opt.checkpoint import latest_step
 
-        if latest_step(checkpoint_dir) is not None:
+        last = latest_step(checkpoint_dir)
+        if last is not None:
             params, restored_opt = restore_checkpoint(
                 checkpoint_dir, {"params": params, "opt_state": opt_state}
             )
             if restored_opt is not None:
                 opt_state = restored_opt
-            log.info("resumed from step %s", latest_step(checkpoint_dir))
+            start_step = last  # continue numbering: a later resume must
+            # find THIS run's newest checkpoint, not the restored one
+            log.info("resumed from step %s", last)
     losses = []
     for i in range(steps):
         params, opt_state, loss = step(params, opt_state, scene, grid, target)
@@ -266,5 +270,7 @@ def fit(
                     trainable=trainable,
                 )
         if checkpoint_dir and (i + 1) % checkpoint_every == 0:
-            save_checkpoint(checkpoint_dir, params, opt_state, step_num=i + 1)
+            save_checkpoint(
+                checkpoint_dir, params, opt_state, step_num=start_step + i + 1
+            )
     return params, losses

@@ -49,8 +49,7 @@ from ray_tracer_tpu.render.renderer import (
 )
 
 
-def _pad_to(n: int, m: int) -> int:
-    return ((n + m - 1) // m) * m
+from ray_tracer_tpu.render.renderer import _pad_to  # shared rounding helper
 
 
 def stride_permutation(n: int, shards: int) -> np.ndarray:

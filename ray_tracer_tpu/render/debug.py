@@ -36,16 +36,21 @@ def trace_pixel(prep, x: int, y: int) -> Dict[str, Any]:
     box = AABB(garr.lower, garr.upper)
     slab_hit, t0, t1 = slab_intersect(box, ray)
 
+    serial = rcfg.shading == "serial"
+    # mirror renderer.render_rays's primary gate exactly
+    primary_gate = (
+        None if (serial and rcfg.faithful) else (0.0 if serial else rcfg.shadow_eps)
+    )
     if packed:
         res = traverse_packed(
             ray, prep.packed.arrays, prep.packed.meta,
-            t_gate=0.0 if rcfg.shading == "serial" else rcfg.shadow_eps,
+            t_gate=0.0 if primary_gate is None else primary_gate,
         )
     else:
         v0, v1, v2 = prep.scene.triangle_soa()
         res = traverse_grid(
             ray, prep.grid.arrays, prep.grid.meta, v0, v1, v2,
-            t_gate=None if rcfg.faithful and rcfg.shading == "serial" else 0.0,
+            t_gate=primary_gate,
             early_exit=not rcfg.faithful,
             det_dtype=rcfg.det_dtype,
         )
@@ -72,7 +77,6 @@ def trace_pixel(prep, x: int, y: int) -> Dict[str, Any]:
     tv = verts[faces[tri]]
     poi = np.asarray(ray.orig)[0] + np.asarray(ray.dirn)[0] * out["t"]
     light = np.asarray(prep.scene.light_pos)
-    serial = rcfg.shading == "serial"
     if serial:
         normal = np.cross(tv[0] - tv[1], tv[2] - tv[0])
         sdir = -(light - poi)

@@ -353,14 +353,19 @@ def entry_sort_keys(rays: RayBatch, lower, upper, inv_width, n_voxels) -> jnp.nd
     spatially coherent rays share a tile.  A lock-step SIMD wave pays for
     its slowest lane; sorting concentrates the work so empty-sky tiles
     retire after one while_loop evaluation — the TPU counterpart of the
-    reference's ray-gen frustum cull (Parallel/raytracer.cu:154-173)."""
+    reference's ray-gen frustum cull (Parallel/raytracer.cu:154-173).
+
+    Uses the traversal's own _slab_entry so the sort key cannot disagree
+    with the march's entered test (incl. its boundary-plane NaN fix)."""
+    from types import SimpleNamespace
+
+    from ray_tracer_tpu.ops.traverse_packed import _slab_entry
+
     nvox = jnp.asarray(n_voxels, jnp.int32)
-    invd = 1.0 / rays.dirn
-    t_near = (lower - rays.orig) * invd
-    t_far = (upper - rays.orig) * invd
-    t0 = jnp.maximum(jnp.max(jnp.minimum(t_near, t_far), axis=-1), rays.mint)
-    t1 = jnp.minimum(jnp.min(jnp.maximum(t_near, t_far), axis=-1), rays.maxt)
-    entered = (t0 <= t1) & jnp.isfinite(t0)
+    t0, entered = _slab_entry(
+        SimpleNamespace(lower=lower, upper=upper),
+        rays.orig, rays.dirn, rays.mint, rays.maxt,
+    )
     p = rays.orig + rays.dirn * t0[:, None]
     cell = jnp.clip(
         jnp.floor((p - lower) * inv_width).astype(jnp.int32), 0, nvox - 1

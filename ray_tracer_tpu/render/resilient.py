@@ -47,7 +47,9 @@ def render_banded(
     bands = max(1, min(bands, h))
     edges = np.linspace(0, h, bands + 1, dtype=int)
 
-    rays = camera_rays(cfg.camera, spp=rcfg.spp)
+    import jax.numpy as jnp
+
+    rays = camera_rays(cfg.camera, dtype=jnp.dtype(rcfg.dtype), spp=rcfg.spp)
     if rcfg.traversal == "packed":
         garr, meta = prep.packed.arrays, prep.packed.meta
     else:

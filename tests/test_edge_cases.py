@@ -95,3 +95,34 @@ def test_tiny_images():
     )
     img = np.asarray(render(prepare(cfg, scene=prep.scene)))
     assert img.shape == (1, 1, 3)
+
+
+def test_boundary_plane_parallel_ray_no_nan():
+    """A ray whose origin lies EXACTLY on a grid boundary plane with a
+    direction parallel to that axis (0 * inf = NaN in a naive slab test)
+    must still march and hit (regression: such rays are real — shadow
+    rays rearm from floor hits sitting on the grid's lower bound)."""
+    import jax.numpy as jnp
+
+    prep = _one_tri_scene([[-1, 0, -1], [1, 0, -1], [0, 0, 1]], traversal="packed")
+    lower = np.asarray(prep.packed.arrays.lower)
+    # origin exactly on the lower-y plane (the triangle's plane), moving in +x
+    o = np.array([[-2.0, float(lower[1]), -0.5]], np.float32)
+    d = np.array([[1.0, 0.0, 0.0]], np.float32)
+    res = traverse_packed(
+        RayBatch.make(jnp.asarray(o), jnp.asarray(d)),
+        prep.packed.arrays, prep.packed.meta, t_gate=0.0,
+    )
+    t = float(np.asarray(res.t)[0])
+    assert np.isfinite(np.asarray(res.steps)).all()
+    assert not np.isnan(t)
+    # in-plane ray: strict barycentric test rejects (det == 0), but the
+    # march itself must complete without NaN poisoning
+    # also: same origin, direction INTO the scene must hit
+    d2 = np.array([[0.3, 0.0, 0.7]], np.float32)
+    d2 /= np.linalg.norm(d2)
+    res2 = traverse_packed(
+        RayBatch.make(jnp.asarray(o), jnp.asarray(d2)),
+        prep.packed.arrays, prep.packed.meta, t_gate=0.0,
+    )
+    assert np.isfinite(float(np.asarray(res2.t)[0])) or not bool(np.asarray(res2.hit)[0])
