@@ -30,9 +30,25 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def oracle_mrays(size: int) -> float:
-    """Build + run the C++ oracle, return its Mrays/s (primary+shadow)."""
+def oracle_mrays(size: int, scene: str = "spot") -> float:
+    """Build + run the C++ oracle, return its Mrays/s (counted as
+    2*W*H rays/frame, matching the oracle's own reporting)."""
     oracle = os.path.join(REPO, "native", "build", "oracle")
+    a = lambda n: os.path.join(REPO, "assets", n)  # noqa: E731
+    if scene == "parallel":
+        scene_args = [
+            "--variant", "parallel", "--camera", "18,18,19", "--fov", "60",
+            "--light", "2,5,0",
+            "--mesh", a("plane.obj") + ":0,0.4,0:3:0",
+            "--mesh", a("blub_triangulated.obj") + ":-2,0,0:5:1",
+            "--mesh", a("spot_triangulated.obj") + ":0,0,0:5:1",
+            "--mesh", a("blub_triangulated.obj") + ":2,0,0:5:3",
+        ]
+    else:
+        scene_args = [
+            "--mesh", a("spot_triangulated.obj"),
+            "--mesh", a("blub_triangulated.obj") + ":1.5,0,0",
+        ]
     try:
         if not os.path.exists(oracle):
             subprocess.run(["make", "-C", os.path.join(REPO, "native"), "-j4"],
@@ -41,9 +57,7 @@ def oracle_mrays(size: int) -> float:
             [
                 oracle, "--width", str(size), "--height", str(size),
                 "--out", "/tmp/bench_oracle.ppm", "--repeat", "3",
-                "--mesh", os.path.join(REPO, "assets", "spot_triangulated.obj"),
-                "--mesh", os.path.join(REPO, "assets", "blub_triangulated.obj") + ":1.5,0,0",
-            ],
+            ] + scene_args,
             check=True, capture_output=True, timeout=1200, text=True,
         )
         rec = json.loads(out.stdout.strip().splitlines()[-1])
@@ -95,9 +109,11 @@ def main() -> None:
     ap.add_argument("--size", type=int, default=1024)
     ap.add_argument("--oracle-size", type=int, default=512)
     ap.add_argument("--repeat", type=int, default=2)
-    ap.add_argument("--scene", default="spot", choices=["spot", "nefertiti"],
+    ap.add_argument("--scene", default="spot",
+                    choices=["spot", "nefertiti", "parallel"],
                     help="spot = BASELINE config 3 (primary metric); "
-                         "nefertiti = config 4 (260k-tri stand-in)")
+                         "nefertiti = config 4 (260k-tri stand-in); "
+                         "parallel = CUDA-variant reflective scene")
     ap.add_argument("--grad", action="store_true",
                     help="benchmark one fwd+bwd train step instead of forward")
     args = ap.parse_args()
@@ -117,6 +133,10 @@ def main() -> None:
         from ray_tracer_tpu.models.scenes import nefertiti_scene
 
         scene, cfg = nefertiti_scene(size, size)
+    elif args.scene == "parallel":
+        from ray_tracer_tpu.models.scenes import parallel_scene_config
+
+        cfg = parallel_scene_config(size, size)
     else:
         cfg = serial_scene_config(size, size)
     cfg = dataclasses.replace(
@@ -168,7 +188,7 @@ def main() -> None:
 
     rays = size * size * 2  # primary + shadow (BASELINE.md primary metric)
     mrays = rays / sec / 1e6
-    base = oracle_mrays(args.oracle_size)
+    base = oracle_mrays(args.oracle_size, args.scene)
     vs = mrays / base if base > 0 else 0.0
     print(json.dumps({
         "metric": f"mrays_per_s_{args.scene}_primary_shadow",
