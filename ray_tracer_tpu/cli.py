@@ -151,6 +151,20 @@ def cmd_debug(args) -> None:
     print(json.dumps(trace_pixel(prep, args.x, args.y), indent=2))
 
 
+def cmd_aov(args) -> None:
+    import numpy as np
+
+    from ray_tracer_tpu.render.aov import render_aovs
+    from ray_tracer_tpu.render.renderer import prepare
+
+    cfg, scene = _build_cfg(args)
+    prep = prepare(cfg, scene=scene)
+    aovs = {k: np.asarray(v) for k, v in render_aovs(prep).items()}
+    np.savez(args.out, **aovs)
+    print(f"wrote {args.out}: " + ", ".join(
+        f"{k}{list(v.shape)}" for k, v in aovs.items()), file=sys.stderr)
+
+
 def cmd_info(_args) -> None:
     import jax
 
@@ -222,6 +236,15 @@ def main(argv=None) -> None:
     dbg.add_argument("--y", type=int, required=True)
     dbg.add_argument("--fast", action="store_true")
     dbg.set_defaults(fn=cmd_debug)
+
+    av = sub.add_parser("aov", help="export geometry buffers (depth/normal/ids)")
+    av.add_argument("--scene", default="serial", choices=scene_choices)
+    av.add_argument("--config")
+    av.add_argument("--width", type=int, default=256)
+    av.add_argument("--height", type=int, default=0)
+    av.add_argument("--out", default="aovs.npz")
+    av.add_argument("--fast", action="store_true")
+    av.set_defaults(fn=cmd_aov)
 
     i = sub.add_parser("info", help="device / build info")
     i.set_defaults(fn=cmd_info)

@@ -83,3 +83,12 @@ def test_supersampling_spp2(tmp_path):
     assert (ia != ib).any()  # edges differ
     # interiors agree: most pixels within 1 count
     assert (np.abs(ia - ib).max(axis=-1) <= 1).mean() > 0.7
+
+
+def test_aov_command(tmp_path):
+    out = str(tmp_path / "aovs.npz")
+    cli.main(["aov", "--scene", "gradcheck", "--width", "16", "--out", out,
+              "--fast"])
+    data = np.load(out)
+    assert data["depth"].shape == (16, 16)
+    assert data["normal"].shape == (16, 16, 3)
