@@ -48,7 +48,11 @@ def _register_host_geometry(device_verts, verts_np, faces_np) -> None:
     try:
         weakref.finalize(device_verts, _HOST_GEOMETRY.pop, key, None)
     except TypeError:
-        pass  # not weak-referenceable: entry lives for the process
+        # Not weak-referenceable: a permanent id()-keyed entry could be
+        # silently served for a DIFFERENT later array that recycles the
+        # same id().  Don't cache at all — host_geometry falls back to a
+        # device pull for such arrays.
+        _HOST_GEOMETRY.pop(key, None)
 
 
 def host_geometry(scene: "Scene"):

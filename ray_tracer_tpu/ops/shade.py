@@ -41,12 +41,15 @@ def _apply_shadow(color: jnp.ndarray, shadow, scale: float) -> jnp.ndarray:
 
 
 def _pow_safe(base: jnp.ndarray, exponent: jnp.ndarray) -> jnp.ndarray:
-    """pow with differentiable-safe base 0: forward equals jnp.power for
-    base >= 0 (0^a = 0 for a > 0), but the a-gradient base^a * log(base)
-    is computed on a guarded base so base == 0 yields 0, not 0 * -inf."""
+    """pow with differentiable-safe base 0: forward equals C pow() for
+    base >= 0 (0^a = 0 for a > 0, 0^0 = 1 — matching the reference's
+    pow() for a spec_alpha=0 constant-specular material), but the
+    a-gradient base^a * log(base) is computed on a guarded base so
+    base == 0 yields 0, not 0 * -inf."""
     pos = base > 0
     safe = jnp.where(pos, base, 1.0)
-    return jnp.where(pos, jnp.power(safe, exponent), 0.0)
+    zero_pow = jnp.where(exponent == 0, 1.0, 0.0)
+    return jnp.where(pos, jnp.power(safe, exponent), zero_pow)
 
 
 class HitGeometry(NamedTuple):

@@ -82,9 +82,15 @@ def _render_flat(params: SceneParams, scene: Scene, grid: GridArrays,
 
 def image_loss(params: SceneParams, scene: Scene, grid: GridArrays,
                meta: GridMeta, cfg: SceneConfig, target: jnp.ndarray) -> jnp.ndarray:
-    """Mean squared pixel error in linear color, normalized by 255."""
-    rays = camera_rays(cfg.camera, dtype=jnp.dtype(cfg.render.dtype))
+    """Mean squared pixel error in linear color, normalized by 255.
+
+    Honors cfg.render.spp so the model matches an spp-averaged target
+    (e.g. cmd_fit's self-demo target = render(prep))."""
+    spp = cfg.render.spp
+    rays = camera_rays(cfg.camera, dtype=jnp.dtype(cfg.render.dtype), spp=spp)
     colors = _render_flat(params, scene, grid, meta, cfg, rays)
+    if spp > 1:
+        colors = colors.reshape(spp * spp, -1, 3).mean(axis=0)
     tgt = target.reshape(-1, 3).astype(colors.dtype)
     return jnp.mean(((colors - tgt) / 255.0) ** 2)
 
@@ -97,9 +103,17 @@ def _train_step_fn(meta: GridMeta, cfg: SceneConfig, optimizer_name: str,
     n_shards = mesh.shape[axis] if mesh is not None else 1
     r = cfg.camera.height * cfg.camera.width
     padded = ((r + n_shards - 1) // n_shards) * n_shards
+    spp = cfg.render.spp
+    if mesh is not None and spp > 1:
+        # subsample-major ray layout splits a pixel's spp^2 samples
+        # across shards; cross-shard averaging isn't wired up
+        raise ValueError("sharded fit does not support cfg.render.spp > 1")
 
     def local_loss(params, scene, grid, rays, target_flat):
         colors = _render_flat(params, scene, grid, meta, cfg, rays)
+        if spp > 1:
+            # average the spp^2 subsamples per pixel, matching render()
+            colors = colors.reshape(spp * spp, -1, 3).mean(axis=0)
         # padding rays render as background on BOTH sides => zero residual
         d = (colors - target_flat.astype(colors.dtype)) / 255.0
         return jnp.sum(d * d)
@@ -124,8 +138,9 @@ def _train_step_fn(meta: GridMeta, cfg: SceneConfig, optimizer_name: str,
     @jax.jit
     def step(params: SceneParams, opt_state, scene: Scene, grid: GridArrays,
              target: jnp.ndarray):
-        rays = camera_rays(cfg.camera, dtype=jnp.dtype(cfg.render.dtype))
-        rays = pad_rays(rays, padded)
+        rays = camera_rays(cfg.camera, dtype=jnp.dtype(cfg.render.dtype), spp=spp)
+        if spp == 1:
+            rays = pad_rays(rays, padded)
         tgt = target.reshape(-1, 3)
         if padded != r:
             # padding rays render as the BACKGROUND color; pad the target
@@ -231,8 +246,12 @@ def fit(
 
         last = latest_step(checkpoint_dir)
         if last is not None:
+            # step_num=last pins the restore to the same checkpoint the
+            # step numbering resumes from — a directory holding both a
+            # 'latest' tag and step_N saves must not mix the two.
             params, restored_opt = restore_checkpoint(
-                checkpoint_dir, {"params": params, "opt_state": opt_state}
+                checkpoint_dir, {"params": params, "opt_state": opt_state},
+                step_num=last,
             )
             if restored_opt is not None:
                 opt_state = restored_opt

@@ -58,13 +58,22 @@ def collect_render_metrics(prep) -> Dict[str, float]:
 
     prim = trace(rays, 0.0 if rcfg.shading == "serial" else rcfg.shadow_eps, False)
 
-    # shadow rays from primary hit points
-    poi = rays.at(prim.t)
+    # Shadow rays from primary hit points.  Miss lanes are sanitized at
+    # the INPUT (t = 0, not +inf) so their direction math stays finite —
+    # inf origins would make sdir NaN and the slab test would march dead
+    # lanes to max_steps, inflating the step statistics.  Their origin
+    # is then set to +inf so the traversal retires them on entry, same
+    # as render_rays does.
+    serial = rcfg.shading == "serial"
+    poi = rays.at(jnp.where(prim.hit, prim.t, 0.0))
     light = prep.scene.light_pos
     to_light = light - poi
-    sdir = -vm.normalize(to_light) if rcfg.shading == "serial" else vm.normalize(to_light)
+    sdir = -vm.normalize(to_light) if serial else vm.normalize(to_light)
     sorig = jnp.where(prim.hit[:, None], poi, jnp.inf)
-    srays = RayBatch.make(sorig, sdir, mint=rcfg.shadow_eps)
+    # mint mirrors the renderer: eps for the serial shading mode, the
+    # CUDA variant's eps + 0.02 otherwise (Parallel/raytracer.cu:492-506)
+    smint = rcfg.shadow_eps if serial else rcfg.shadow_eps + 0.02
+    srays = RayBatch.make(sorig, sdir, mint=smint)
     shad = trace(srays, rcfg.shadow_eps, True)
 
     # single device pull
