@@ -85,17 +85,27 @@ def test_float32_dets_close_to_oracle(oracle_image):
     assert frac_diff < 0.02, f"{frac_diff:.3%} pixels differ by >2 counts"
 
 
-def test_parallel_scene_bit_identical(oracle_bin, tmp_path):
+@pytest.mark.parametrize("size,max_shadow_flips", [(SIZE, 0), (64, 1)])
+def test_parallel_scene_bit_identical(oracle_bin, tmp_path, size, max_shadow_flips):
     """The CUDA-variant scene (Parallel/raytracer.cu:769-786): material
     table, shadow toward the light halving color, 3-bounce mirror
-    reflection — bit-identical vs the oracle's --variant parallel."""
+    reflection — bit-identical vs the oracle's --variant parallel.
+
+    64x64 is the CUDA reference's own native resolution
+    (Parallel/raytracer.cu:16).  At that size ONE pixel's shadow ray sits
+    exactly on a blocker boundary: XLA's and g++'s differently-contracted
+    f32 hit-point arithmetic (FMA fusion) land on opposite sides, so the
+    0.5x shadow factor flips (raytracer.cu:506).  The tolerance admits
+    only that exact failure shape — a pixel where one image is precisely
+    the 0.5x-shadowed version of the other — and at most
+    `max_shadow_flips` of them; any other difference still fails."""
     from ray_tracer_tpu.models.scenes import parallel_scene_config
 
     out = str(tmp_path / "par.ppm")
     subprocess.run(
         [
             oracle_bin, "--variant", "parallel",
-            "--width", str(SIZE), "--height", str(SIZE), "--out", out,
+            "--width", str(size), "--height", str(size), "--out", out,
             "--camera", "18,18,19", "--fov", "60", "--light", "2,5,0",
             "--mesh", asset("plane.obj") + ":0,0.4,0:3:0",
             "--mesh", asset("blub_triangulated.obj") + ":-2,0,0:5:1",
@@ -104,7 +114,7 @@ def test_parallel_scene_bit_identical(oracle_bin, tmp_path):
         ],
         check=True, capture_output=True, timeout=300,
     )
-    cfg = parallel_scene_config(SIZE, SIZE)
+    cfg = parallel_scene_config(size, size)
     cfg = dataclasses.replace(
         cfg, render=dataclasses.replace(cfg.render, det_dtype="float64", ray_tile=1024)
     )
@@ -113,7 +123,21 @@ def test_parallel_scene_bit_identical(oracle_bin, tmp_path):
     write_ppm(ours, img)
     got = read_ppm(ours)
     want = read_ppm(out)
-    assert (got == want).all(), f"{(got != want).sum()} byte mismatches"
+    same = (got == want).all(axis=-1)
+    if max_shadow_flips == 0:
+        assert same.all(), f"{(got != want).sum()} byte mismatches"
+        return
+    g, w = got.astype(int), want.astype(int)
+    # a pure shadow flip: one side is exactly the 0.5x of the other
+    # (u8 truncation makes the halved channel floor(x/2) or the doubled
+    # one 2x/2x+1)
+    flip = ((np.abs(g - 2 * w).max(axis=-1) <= 1)
+            | (np.abs(w - 2 * g).max(axis=-1) <= 1))
+    bad = ~(same | flip)
+    assert not bad.any(), f"{bad.sum()} non-shadow-flip pixel mismatches"
+    assert (~same).sum() <= max_shadow_flips, (
+        f"{(~same).sum()} shadow-flip pixels (allowed {max_shadow_flips})"
+    )
 
 
 def test_gradient_of_render_is_finite(tiny_prep):
