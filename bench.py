@@ -107,7 +107,9 @@ def _bench_grad(prep, args, size: int) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=1024)
-    ap.add_argument("--oracle-size", type=int, default=512)
+    ap.add_argument("--oracle-size", type=int, default=None,
+                    help="oracle baseline resolution (default: same as "
+                         "--size, so vs_baseline is same-scene-same-size)")
     ap.add_argument("--repeat", type=int, default=2)
     ap.add_argument("--scene", default="spot",
                     choices=["spot", "nefertiti", "parallel"],
@@ -188,7 +190,7 @@ def main() -> None:
 
     rays = size * size * 2  # primary + shadow (BASELINE.md primary metric)
     mrays = rays / sec / 1e6
-    base = oracle_mrays(args.oracle_size, args.scene)
+    base = oracle_mrays(args.oracle_size or args.size, args.scene)
     vs = mrays / base if base > 0 else 0.0
     print(json.dumps({
         "metric": f"mrays_per_s_{args.scene}_primary_shadow",

@@ -126,6 +126,44 @@ class RenderConfig:
     det_dtype: str = "float32"  # "float64" on CPU matches oracle bitwise
     grid: GridConfig = field(default_factory=GridConfig)
 
+    # ---- derived hit/shadow policy: the ONE source of truth ------------
+    # Consumed by render/renderer.py, render/debug.py, render/metrics.py
+    # and the fused march's parameters; deriving these in more than one
+    # place twice produced parity bugs (renderer vs trace_pixel gates).
+
+    @property
+    def serial_shading(self) -> bool:
+        return self.shading == "serial"
+
+    def primary_gate(self):
+        """Hit-update gate for primary rays: None = accept ANY t (the
+        faithful serial reference counts behind-origin hits,
+        Serial/geometry.h:164-171); the CUDA variant gates t > eps
+        always (Parallel/geometry.cuh:155-161); the fast serial path
+        gates t > 0 (no scene content behind the camera)."""
+        if self.serial_shading and self.faithful:
+            return None
+        return 0.0 if self.serial_shading else self.shadow_eps
+
+    def shadow_mint(self) -> float:
+        """Shadow-ray mint: the serial reference re-enters the grid with
+        mint = eps (Serial/geometry.h:2); the CUDA variant offsets by an
+        extra 0.02 (Parallel/raytracer.cu:502)."""
+        return self.shadow_eps if self.serial_shading else self.shadow_eps + 0.02
+
+    def shadow_dir_away_from_light(self) -> bool:
+        """The serial reference points the shadow ray AWAY from the
+        light (raytracer.cpp:106 — a quirk reproduced for
+        bit-faithfulness); the CUDA variant points toward it."""
+        return self.serial_shading
+
+    def accepted_hit(self, res):
+        """The per-ray 'counts as a hit' field of a trace result: the
+        faithful serial path counts any barycentric pass along the
+        walked voxels (any_pass, Serial/geometry.h:162-174); every
+        other mode uses the gated nearest hit."""
+        return res.any_pass if (self.serial_shading and self.faithful) else res.hit
+
 
 @dataclass(frozen=True)
 class SceneConfig:

@@ -36,11 +36,11 @@ def trace_pixel(prep, x: int, y: int) -> Dict[str, Any]:
     box = AABB(garr.lower, garr.upper)
     slab_hit, t0, t1 = slab_intersect(box, ray)
 
-    serial = rcfg.shading == "serial"
-    # mirror renderer.render_rays's primary gate exactly
-    primary_gate = (
-        None if (serial and rcfg.faithful) else (0.0 if serial else rcfg.shadow_eps)
-    )
+    serial = rcfg.serial_shading
+    # gates/mints come from the SAME RenderConfig policy methods the
+    # renderer consumes — they cannot diverge (the class of bug fixed in
+    # commits 6ec7515 and efb71f5)
+    primary_gate = rcfg.primary_gate()
     if packed:
         res = traverse_packed(
             ray, prep.packed.arrays, prep.packed.meta,
@@ -79,14 +79,11 @@ def trace_pixel(prep, x: int, y: int) -> Dict[str, Any]:
     light = np.asarray(prep.scene.light_pos)
     if serial:
         normal = np.cross(tv[0] - tv[1], tv[2] - tv[0])
-        sdir = -(light - poi)
     else:
         normal = np.cross(tv[2] - tv[1], tv[0] - tv[1])
-        sdir = light - poi
+    sdir = -(light - poi) if rcfg.shadow_dir_away_from_light() else (light - poi)
     sdir = sdir / np.linalg.norm(sdir)
-    # shadow ray mint matches the renderer: serial uses eps, the CUDA
-    # variant eps + 0.02 (Parallel/raytracer.cu:492-506)
-    smint = rcfg.shadow_eps if serial else rcfg.shadow_eps + 0.02
+    smint = rcfg.shadow_mint()
     srays = RayBatch.make(jnp.asarray(poi[None]), jnp.asarray(sdir[None]),
                           mint=smint)
     if packed:
@@ -101,9 +98,7 @@ def trace_pixel(prep, x: int, y: int) -> Dict[str, Any]:
             srays, prep.grid.arrays, prep.grid.meta, v0, v1, v2,
             t_gate=rcfg.shadow_eps, det_dtype=rcfg.det_dtype,
         )
-        in_shadow = bool(np.asarray(
-            sres.any_pass if (serial and rcfg.faithful) else sres.hit
-        )[0])
+        in_shadow = bool(np.asarray(rcfg.accepted_hit(sres))[0])
 
     mat_idx = int(np.asarray(prep.scene.face_material)[tri])
     out.update({

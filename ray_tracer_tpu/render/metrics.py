@@ -56,7 +56,8 @@ def collect_render_metrics(prep) -> Dict[str, float]:
                 det_dtype=rcfg.det_dtype,
             )
 
-    prim = trace(rays, 0.0 if rcfg.shading == "serial" else rcfg.shadow_eps, False)
+    pg = rcfg.primary_gate()
+    prim = trace(rays, 0.0 if pg is None else pg, False)
 
     # Shadow rays from primary hit points.  Miss lanes are sanitized at
     # the INPUT (t = 0, not +inf) so their direction math stays finite —
@@ -64,16 +65,13 @@ def collect_render_metrics(prep) -> Dict[str, float]:
     # lanes to max_steps, inflating the step statistics.  Their origin
     # is then set to +inf so the traversal retires them on entry, same
     # as render_rays does.
-    serial = rcfg.shading == "serial"
     poi = rays.at(jnp.where(prim.hit, prim.t, 0.0))
     light = prep.scene.light_pos
     to_light = light - poi
-    sdir = -vm.normalize(to_light) if serial else vm.normalize(to_light)
+    nsd = vm.normalize(to_light)
+    sdir = -nsd if rcfg.shadow_dir_away_from_light() else nsd
     sorig = jnp.where(prim.hit[:, None], poi, jnp.inf)
-    # mint mirrors the renderer: eps for the serial shading mode, the
-    # CUDA variant's eps + 0.02 otherwise (Parallel/raytracer.cu:492-506)
-    smint = rcfg.shadow_eps if serial else rcfg.shadow_eps + 0.02
-    srays = RayBatch.make(sorig, sdir, mint=smint)
+    srays = RayBatch.make(sorig, sdir, mint=rcfg.shadow_mint())
     shad = trace(srays, rcfg.shadow_eps, True)
 
     # single device pull

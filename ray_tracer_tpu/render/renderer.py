@@ -106,16 +106,16 @@ def render_rays(
     and t / normals / shading are recomputed from the gathered vertices
     so gradients flow through the arithmetic, not the search.
     """
-    serial = rcfg.shading == "serial"
+    serial = rcfg.serial_shading
     faithful = rcfg.faithful
     eps = rcfg.shadow_eps
     v0, v1, v2 = scene.triangle_soa()
     background = jnp.asarray(rcfg.background, v0.dtype)
 
-    # Hit-update gate: serial-faithful primaries accept ANY t
-    # (Serial/geometry.h:164-171); the CUDA variant gates t > eps always;
-    # the fast serial path gates t > 0 (no scene content behind the camera).
-    primary_gate = None if (serial and faithful) else (0.0 if serial else eps)
+    # Hit/shadow policy comes from ONE place (RenderConfig.primary_gate
+    # and friends) so this renderer, render/debug.trace_pixel, and
+    # render/metrics can never disagree on gates or mints again.
+    primary_gate = rcfg.primary_gate()
     early = not faithful
 
     if rcfg.traversal == "packed":
@@ -188,8 +188,8 @@ def render_rays(
                 jax.lax.stop_gradient(scene.light_pos),
                 primary_gate=0.0 if primary_gate is None else primary_gate,
                 shadow_gate=eps,
-                shadow_mint=eps if serial else eps + 0.02,
-                serial_quirk=serial,
+                shadow_mint=rcfg.shadow_mint(),
+                serial_quirk=rcfg.shadow_dir_away_from_light(),
             )
             res = PackedTraceResult(
                 any_pass=fres.hit, hit=fres.hit, t=fres.t,
@@ -197,7 +197,7 @@ def render_rays(
             )
         else:
             res = trav(jax.lax.stop_gradient(cur), t_gate=primary_gate)
-        hit = res.any_pass if (serial and faithful) else res.hit
+        hit = rcfg.accepted_hit(res)
         tri = jnp.maximum(res.tri_id, 0)
 
         tv0, tv1, tv2 = v0[tri], v1[tri], v2[tri]
@@ -232,13 +232,11 @@ def render_rays(
             poi=jnp.where(hit[:, None], geom.poi, jnp.zeros_like(geom.poi))
         )
 
-        # Shadow ray.  The serial reference points it AWAY from the light
-        # (raytracer.cpp:106 — a quirk reproduced for bit-faithfulness);
-        # the CUDA variant points toward the light with mint = eps + 0.02
-        # (raytracer.cu:492-506).
+        # Shadow ray (direction quirk + mint from the shared policy).
         to_light = scene.light_pos - geom.poi
-        sdir = -vm.normalize(to_light) if serial else vm.normalize(to_light)
-        smint = eps if serial else eps + 0.02
+        nsd = vm.normalize(to_light)
+        sdir = -nsd if rcfg.shadow_dir_away_from_light() else nsd
+        smint = rcfg.shadow_mint()
         sorig = jnp.where(hit[:, None], geom.poi, inf3)
         srays = RayBatch.make(jax.lax.stop_gradient(sorig), jax.lax.stop_gradient(sdir), mint=smint)
         if fres is not None:
@@ -247,7 +245,7 @@ def render_rays(
             shadow_hit_rec = fres.in_shadow
         else:
             sres = trav(srays, t_gate=eps, stop_on_first_hit=early)
-            in_shadow = (sres.any_pass if (serial and faithful) else sres.hit) & hit
+            in_shadow = rcfg.accepted_hit(sres) & hit
             shadow_tri = sres.tri_id
             shadow_hit_rec = sres.hit
 
