@@ -118,6 +118,12 @@ def main() -> None:
                          "parallel = CUDA-variant reflective scene")
     ap.add_argument("--grad", action="store_true",
                     help="benchmark one fwd+bwd train step instead of forward")
+    ap.add_argument("--scheduler", default="tiled",
+                    choices=["tiled", "persistent"])
+    ap.add_argument("--wave", type=int, default=65536,
+                    help="persistent-scheduler lane count")
+    ap.add_argument("--fused", default="auto", choices=["auto", "on", "off"],
+                    help="fuse the shadow pass into the primary march")
     args = ap.parse_args()
 
     import dataclasses
@@ -150,7 +156,11 @@ def main() -> None:
             # +20%) but loses on dense full-frame ones (nefertiti: -19%,
             # every lane runs both phases so only the heavier body
             # remains) — pick per scene.
-            fused_shadow=(args.scene == "spot"),
+            fused_shadow=(
+                (args.scene == "spot") if args.fused == "auto"
+                else args.fused == "on"
+            ),
+            scheduler=args.scheduler, wave=args.wave,
             # TPU-tuned: coarse grid (vs the reference's 3.0 heuristic),
             # 56-triangle/512-lane block rows, fused primary+shadow
             # march -> 9.7 Mrays/s on v5e (7.0 at the first-cut

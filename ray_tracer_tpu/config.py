@@ -105,10 +105,25 @@ class RenderConfig:
     traversal: str = "csr"
     packed_block_tris: int = 14  # triangles per packed block row (14/28/56)
     packed_unroll: int = 1  # march steps per while_loop iteration
+    # Scheduler for the packed path.  "tiled": entry-sorted fixed tiles
+    # via lax.map (one while_loop per tile).  "persistent": ONE
+    # while_loop with a `wave`-lane persistent wavefront — retiring
+    # lanes scatter their result and pop the next ray (ops/persistent.py,
+    # the TPU translation of the CUDA persistent-thread work queue,
+    # Parallel/raytracer.cu:177-233).
+    scheduler: str = "tiled"
+    wave: int = 65536  # persistent-scheduler lane count
     # Soft-edge visibility scale (0 = reference-exact hard shadows).
     # > 0: shadow attenuation becomes sigmoid(blocker barycentric margin
     # / scale) — differentiable across silhouettes (SURVEY hard part #2).
     soft_visibility: float = 0.0
+    # Primary-silhouette softening scale (0 = reference-exact hard
+    # edges).  > 0: each hit's color blends toward the background by
+    # tanh(hit barycentric margin / scale) — 0 exactly AT the edge, so
+    # coverage is CONTINUOUS across a silhouette and a vertex dragging
+    # an object edge over a pixel has a finite-difference-checkable
+    # gradient (one-sided: only covered pixels contribute).
+    soft_primary: float = 0.0
     # Anti-aliasing: spp x spp regular subpixel samples averaged per
     # pixel (1 = reference-exact pixel centers).  No reference
     # counterpart; production feature.

@@ -1,0 +1,282 @@
+"""Persistent wave march: ONE while_loop for the whole ray batch.
+
+The tiled scheduler (render/renderer.py + lax.map) pays two measured
+costs (docs/PERFORMANCE.md): ~16 us of fixed setup per while_loop
+instance (4,096 instances/frame at 1024^2 = ~65 ms) and tile-tail
+divergence (a 512-lane lock-step tile retires at its slowest lane).
+This module is the TPU translation of the CUDA reference's persistent
+threads (Parallel/raytracer.cu:177-233: an infinite per-thread loop
+popping rays from a global atomic work queue): a fixed WAVE of W lanes
+marches in lock-step inside a single `lax.while_loop`, and the atomic
+queue becomes a cumsum prefix —
+
+  * every lane serves one ray through the shared `_march_step` DDA core
+    (ops/traverse_packed.py);
+  * when a lane's primary march retires it can REARM in place as its
+    own shadow ray (the fused wavefront trick), and when the ray is
+    fully done the lane SCATTERS its result row at the ray's index and
+    POPS the next ray: new_id = next + cumsum(idle) - 1 — the
+    deterministic, race-free equivalent of atomicInc on a work queue
+    (raytracer.cu:49);
+  * rays that miss the grid AABB entirely are rejected at refill time
+    and never occupy a lane: the output buffers are miss-initialized,
+    so an empty-sky ray costs one refill slot instead of a tile's worth
+    of lock-step waiting.
+
+No entry sort, no unsort permutation, no per-tile loop setup: occupancy
+stays near 100% because a retiring lane is refilled on the SAME
+iteration.  Forward-only (a stop-gradient island, like every traversal
+here); the renderer recomputes differentiable quantities from the
+returned hit topology.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ray_tracer_tpu.accel.packed import PackedGridArrays, PackedGridMeta
+from ray_tracer_tpu.core.rays import RayBatch
+from ray_tracer_tpu.ops.traverse_packed import (
+    FusedTraceResult,
+    _default_max_steps,
+    _march_step,
+    _slab_entry,
+)
+
+_INF = float("inf")
+
+
+def _pack_rays(rays: RayBatch) -> jnp.ndarray:
+    """(R+1, 8) f32 rows [o xyz, d xyz, mint, maxt]; row R is the
+    never-entering pad popped by lanes with no work left."""
+    r = rays.count
+    rows = jnp.concatenate(
+        [
+            rays.orig.astype(jnp.float32),
+            rays.dirn.astype(jnp.float32),
+            rays.mint.astype(jnp.float32)[:, None],
+            rays.maxt.astype(jnp.float32)[:, None],
+        ],
+        axis=1,
+    )
+    pad = jnp.asarray([[0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 0.0, -1.0]], jnp.float32)
+    return jnp.concatenate([rows, pad])
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "meta", "wave", "t_gate", "fuse_shadow", "shadow_gate", "shadow_mint",
+        "serial_quirk", "stop_on_first_hit", "max_iters",
+    ),
+)
+def persistent_trace(
+    rays: RayBatch,
+    grid: PackedGridArrays,
+    meta: PackedGridMeta,
+    light_pos: Optional[jnp.ndarray] = None,
+    *,
+    wave: int = 65536,
+    t_gate: float = 0.0,
+    fuse_shadow: bool = False,
+    shadow_gate: float = 1e-4,
+    shadow_mint: float = 1e-4,
+    serial_quirk: bool = False,
+    stop_on_first_hit: bool = False,
+    max_iters: Optional[int] = None,
+) -> FusedTraceResult:
+    """March every ray of `rays` through the packed grid with a W-lane
+    persistent wave; optionally fuse each ray's shadow query.
+
+    Returns (R,)-aligned FusedTraceResult.  With fuse_shadow=False the
+    shadow fields are all-clear and `light_pos` is unused.  `steps`
+    reports per-ray march iterations (primary + shadow).
+    """
+    r = rays.count
+    w = min(wave, r)
+    bt = meta.block_tris
+    inf = jnp.float32(_INF)
+    per_ray = _default_max_steps(meta) * (2 if fuse_shadow else 1)
+    if max_iters is None:
+        # total lane-work / wave width, plus one straggler's full walk
+        max_iters = -(-r * per_ray // w) + per_ray + 8
+    packed = _pack_rays(rays)
+    light = (jnp.zeros((3,), jnp.float32) if light_pos is None
+             else light_pos.astype(jnp.float32))
+
+    zf = jnp.zeros((w,), jnp.float32)
+    zi = jnp.zeros((w,), jnp.int32)
+    zb = jnp.zeros((w,), bool)
+
+    state = dict(
+        # lane ray state
+        o=jnp.zeros((w, 3), jnp.float32),
+        d=jnp.ones((w, 3), jnp.float32),
+        maxt=zf,
+        gate=zf,
+        ray_id=jnp.full((w,), r, jnp.int32),  # r = the pad row (no ray)
+        phase=zb,  # False = primary, True = shadow
+        # march state (see traverse_packed._march_step)
+        alive=zb, testing=zb,
+        t_cur=zf, t_exit_cell=zf,
+        first_blk=zi, n_blk=zi, cursor=zi,
+        best_t=zf + inf, best_blk=zi, best_slot=zi,
+        # the fused rearm parks the primary record here
+        p_best_t=zf + inf, p_best_blk=zi, p_best_slot=zi,
+        lane_steps=zi,
+        # global queue cursor + output buffers (miss-initialized)
+        next=jnp.asarray(0, jnp.int32),
+        out_t=jnp.full((r + 1,), inf, jnp.float32),
+        out_ids=jnp.tile(
+            jnp.asarray([[-1, 0, -1, 0]], jnp.int32), (r + 1, 1)
+        ),  # [tri, in_shadow, shadow_tri, steps]
+        i=jnp.asarray(0, jnp.int32),
+    )
+
+    def refill(s):
+        """Idle lanes pop the next unserved rays (deterministic cumsum
+        'atomicInc'); lanes left without work stay idle on the pad row."""
+        idle = ~s["alive"]
+        order = jnp.cumsum(idle.astype(jnp.int32))
+        new_id = jnp.where(idle, s["next"] + order - 1, s["ray_id"])
+        got = idle & (new_id < r)
+        rid = jnp.where(got, new_id, jnp.where(idle, r, s["ray_id"]))
+        row = packed[jnp.clip(rid, 0, r)]
+        o = jnp.where(got[:, None], row[:, 0:3], s["o"])
+        d = jnp.where(got[:, None], row[:, 3:6], s["d"])
+        mint, maxt_new = row[:, 6], row[:, 7]
+        t0, entered = _slab_entry(grid, o, d, mint, maxt_new)
+        live = got & entered
+        return dict(
+            s,
+            o=o, d=d,
+            maxt=jnp.where(got, maxt_new, s["maxt"]),
+            gate=jnp.where(got, jnp.float32(t_gate), s["gate"]),
+            ray_id=rid,
+            phase=jnp.where(got, False, s["phase"]),
+            alive=jnp.where(idle, live, s["alive"]),
+            testing=jnp.where(got, False, s["testing"]),
+            t_cur=jnp.where(got, t0, s["t_cur"]),
+            cursor=jnp.where(got, 0, s["cursor"]),
+            best_t=jnp.where(got, inf, s["best_t"]),
+            best_blk=jnp.where(got, 0, s["best_blk"]),
+            best_slot=jnp.where(got, 0, s["best_slot"]),
+            p_best_t=jnp.where(got, inf, s["p_best_t"]),
+            lane_steps=jnp.where(got, 0, s["lane_steps"]),
+            next=jnp.minimum(s["next"] + order[-1], jnp.asarray(r, jnp.int32)),
+        )
+
+    state = refill(state)
+
+    def cond(s):
+        return (s["i"] < max_iters) & (jnp.any(s["alive"]) | (s["next"] < r))
+
+    def body(s):
+        pre_alive = s["alive"]
+        maxt_lane = jnp.where(s["phase"], inf, s["maxt"])
+        s = _march_step(
+            s, o=s["o"], d=s["d"], invd=1.0 / s["d"], gate=s["gate"],
+            maxt=maxt_lane, grid=grid, meta=meta,
+        )
+        walked_out = pre_alive & ~s["alive"]
+        phase, best_t, testing, t_cur = (
+            s["phase"], s["best_t"], s["testing"], s["t_cur"],
+        )
+        lane_steps = s["lane_steps"] + pre_alive.astype(jnp.int32)
+
+        hit_now = jnp.isfinite(best_t)
+        limit = jnp.minimum(maxt_lane, best_t)
+        early = s["alive"] & hit_now if stop_on_first_hit else zb
+        retire_primary = ~phase & (
+            (s["alive"] & ~testing & (t_cur > limit)) | walked_out | early
+        )
+        retire_shadow = phase & ((s["alive"] & hit_now) | walked_out)
+
+        hit0 = retire_primary & hit_now
+        if fuse_shadow:
+            # primary done with a hit -> rearm in place as the shadow ray
+            poi = s["o"] + s["d"] * best_t[:, None]
+            to_light = light - poi
+            norm = jnp.sqrt(jnp.sum(to_light * to_light, axis=-1, keepdims=True))
+            sdir = to_light / jnp.where(norm > 0, norm, 1.0)
+            if serial_quirk:  # Serial/raytracer.cpp:106 — away from light
+                sdir = -sdir
+            new_o = jnp.where(hit0[:, None], poi, s["o"])
+            new_d = jnp.where(hit0[:, None], sdir, s["d"])
+            smint = jnp.full_like(best_t, jnp.float32(shadow_mint))
+            st0, s_entered = _slab_entry(
+                grid, new_o, new_d, smint, jnp.full_like(best_t, inf)
+            )
+            done = (
+                (retire_primary & ~hit_now)  # primary miss
+                | (hit0 & ~s_entered)  # shadow ray misses the grid: lit
+                | retire_shadow
+            )
+            final_t = jnp.where(phase, s["p_best_t"], best_t)
+            final_blk = jnp.where(phase, s["p_best_blk"], s["best_blk"])
+            final_slot = jnp.where(phase, s["p_best_slot"], s["best_slot"])
+            in_shadow = phase & hit_now & retire_shadow
+            sh_blk, sh_slot = s["best_blk"], s["best_slot"]
+            s = dict(
+                s,
+                o=new_o, d=new_d,
+                phase=phase | hit0,
+                gate=jnp.where(hit0, jnp.float32(shadow_gate), s["gate"]),
+                p_best_t=jnp.where(hit0, best_t, s["p_best_t"]),
+                p_best_blk=jnp.where(hit0, s["best_blk"], s["p_best_blk"]),
+                p_best_slot=jnp.where(hit0, s["best_slot"], s["p_best_slot"]),
+                best_t=jnp.where(hit0, inf, best_t),
+                t_cur=jnp.where(hit0, st0, t_cur),
+                testing=testing & ~hit0,
+                cursor=jnp.where(hit0, 0, s["cursor"]),
+                alive=((s["alive"] | hit0) & ~done),
+            )
+        else:
+            done = retire_primary
+            final_t, final_blk, final_slot = best_t, s["best_blk"], s["best_slot"]
+            in_shadow = zb
+            sh_blk, sh_slot = zi, zi
+            s = dict(s, alive=s["alive"] & ~done)
+
+        # ---- scatter finished rays (misses record t=inf + steps; rays
+        # skipped at refill keep their miss-initialized rows) -----------
+        emit = done & jnp.isfinite(final_t)
+        idx = jnp.where(done, s["ray_id"], r)
+        tri = grid.slot_tri[jnp.clip(final_blk * bt + final_slot, 0,
+                                     grid.slot_tri.shape[0] - 1)]
+        stri = grid.slot_tri[jnp.clip(sh_blk * bt + sh_slot, 0,
+                                      grid.slot_tri.shape[0] - 1)]
+        vals = jnp.stack(
+            [
+                jnp.where(emit, tri, -1),
+                in_shadow.astype(jnp.int32),
+                jnp.where(in_shadow, stri, -1),
+                lane_steps,
+            ],
+            axis=1,
+        )
+        s = dict(
+            s,
+            lane_steps=lane_steps,
+            out_t=s["out_t"].at[idx].set(jnp.where(emit, final_t, inf)),
+            out_ids=s["out_ids"].at[idx].set(vals),
+        )
+        s = refill(s)
+        return dict(s, i=s["i"] + 1)
+
+    out = jax.lax.while_loop(cond, body, state)
+    out_t = out["out_t"][:r]
+    ids = out["out_ids"][:r]
+    hit = jnp.isfinite(out_t)
+    return FusedTraceResult(
+        hit=hit,
+        t=out_t,
+        tri_id=jnp.where(hit, ids[:, 0], -1),
+        in_shadow=(ids[:, 1] > 0) & hit,
+        shadow_tri_id=jnp.where(ids[:, 1] > 0, ids[:, 2], -1),
+        steps=ids[:, 3],
+    )

@@ -120,14 +120,28 @@ def render_rays(
 
     if rcfg.traversal == "packed":
         assert not faithful, "packed traversal has production semantics only"
+        if rcfg.scheduler == "persistent":
+            from ray_tracer_tpu.ops.persistent import persistent_trace
 
-        def trav(rb, t_gate, stop_on_first_hit=False):
-            return traverse_packed(
-                rb, grid, meta,
-                t_gate=0.0 if t_gate is None else t_gate,
-                stop_on_first_hit=stop_on_first_hit,
-                unroll=rcfg.packed_unroll,
-            )
+            def trav(rb, t_gate, stop_on_first_hit=False):
+                res = persistent_trace(
+                    rb, grid, meta, wave=rcfg.wave,
+                    t_gate=0.0 if t_gate is None else t_gate,
+                    stop_on_first_hit=stop_on_first_hit,
+                )
+                return PackedTraceResult(
+                    any_pass=res.hit, hit=res.hit, t=res.t,
+                    tri_id=res.tri_id, steps=res.steps,
+                )
+        else:
+
+            def trav(rb, t_gate, stop_on_first_hit=False):
+                return traverse_packed(
+                    rb, grid, meta,
+                    t_gate=0.0 if t_gate is None else t_gate,
+                    stop_on_first_hit=stop_on_first_hit,
+                    unroll=rcfg.packed_unroll,
+                )
     elif rcfg.traversal == "brute_pallas":
         # VPU-peak Pallas all-pairs sweep (ops/pallas_intersect.py):
         # triangles resident in VMEM, online nearest-hit reduction.
@@ -182,15 +196,30 @@ def render_rays(
         if fused and depth == 0:
             # one march for primary + shadow: lanes rearm as their own
             # shadow ray the moment the primary retires (wavefront
-            # pipelining; ops/traverse_packed.traverse_packed_fused_shadow)
-            fres = traverse_packed_fused_shadow(
-                jax.lax.stop_gradient(cur), grid, meta,
-                jax.lax.stop_gradient(scene.light_pos),
-                primary_gate=0.0 if primary_gate is None else primary_gate,
+            # pipelining; ops/traverse_packed.traverse_packed_fused_shadow
+            # or its persistent-wave counterpart)
+            fkw = dict(
                 shadow_gate=eps,
                 shadow_mint=rcfg.shadow_mint(),
                 serial_quirk=rcfg.shadow_dir_away_from_light(),
             )
+            if rcfg.scheduler == "persistent":
+                from ray_tracer_tpu.ops.persistent import persistent_trace
+
+                fres = persistent_trace(
+                    jax.lax.stop_gradient(cur), grid, meta,
+                    jax.lax.stop_gradient(scene.light_pos),
+                    wave=rcfg.wave, fuse_shadow=True,
+                    t_gate=0.0 if primary_gate is None else primary_gate,
+                    **fkw,
+                )
+            else:
+                fres = traverse_packed_fused_shadow(
+                    jax.lax.stop_gradient(cur), grid, meta,
+                    jax.lax.stop_gradient(scene.light_pos),
+                    primary_gate=0.0 if primary_gate is None else primary_gate,
+                    **fkw,
+                )
             res = PackedTraceResult(
                 any_pass=fres.hit, hit=fres.hit, t=fres.t,
                 tri_id=fres.tri_id, steps=fres.steps,
@@ -277,6 +306,25 @@ def render_rays(
             color = shade_parallel(
                 geom, mat, scene.light_pos, in_shadow, rcfg.shadow_scale
             )
+
+        if rcfg.soft_primary > 0.0:
+            # Primary-silhouette softening (SURVEY §7.9): recompute the
+            # hit's barycentric margin from the DIFFERENTIABLE vertices
+            # and fade the surface color into the background with
+            # tanh(margin/s).  tanh (not sigmoid) so the blend is 0
+            # exactly at the silhouette: a pixel crossing from hit to
+            # miss changes continuously, which is what makes vertex
+            # gradients across silhouettes finite-difference-correct.
+            hbeta, hgamma = cramer_bg_safe(
+                orig_safe, cur.dirn, tv0, tv1, tv2, res.hit,
+                det_dtype=jnp.dtype(rcfg.det_dtype),
+            )
+            hmargin = jnp.maximum(
+                jnp.minimum(jnp.minimum(hbeta, hgamma), 1.0 - hbeta - hgamma),
+                0.0,
+            ).astype(color.dtype)
+            fh = jnp.tanh(hmargin / rcfg.soft_primary)[:, None]
+            color = fh * color + (1.0 - fh) * background
 
         reflecting = hit & mat.reflective & (depth < rcfg.max_bounces)
         # Reflective surfaces blend their local color with the bounced
@@ -395,7 +443,11 @@ def _render_image(scene: Scene, grid, meta, cfg: SceneConfig):
     rcfg = cfg.render
     rays = camera_rays(cfg.camera, dtype=jnp.dtype(rcfg.dtype), spp=rcfg.spp)
     if rcfg.traversal == "packed":
-        colors = render_rays_tiled_sorted(rays, scene, grid, meta, rcfg)
+        if rcfg.scheduler == "persistent":
+            # no sort, no tiles: the persistent wave IS the scheduler
+            colors = render_rays(rays, scene, grid, meta, rcfg)
+        else:
+            colors = render_rays_tiled_sorted(rays, scene, grid, meta, rcfg)
     else:
         colors = render_rays_tiled(rays, scene, grid, meta, rcfg)
     if rcfg.spp > 1:

@@ -107,3 +107,77 @@ def test_vertex_gradient_single_triangle():
     params = split_scene(prep.scene)
     _fd_check(f, params, "verts", (2, 1), eps=1e-3, rtol=2e-2)
     _fd_check(f, params, "verts", (0, 0), eps=1e-3, rtol=2e-2)
+
+
+def test_silhouette_vertex_gradient_fd():
+    """SURVEY §7.9 / VERDICT r1 #4: a vertex translation that drags an
+    object's SILHOUETTE across pixels must have autodiff == FD.  With
+    hard visibility this gradient is zero-measure (coverage flips are
+    step functions); soft_primary > 0 fades each hit toward the
+    background by tanh(margin/s), which is 0 exactly at the edge, so
+    pixels crossing the silhouette change continuously and the FD
+    secant matches the analytic gradient."""
+    import dataclasses
+
+    from ray_tracer_tpu.config import (
+        CameraConfig, LightConfig, MaterialConfig, RenderConfig, SceneConfig,
+    )
+    from ray_tracer_tpu.io.obj import MeshArrays
+    from ray_tracer_tpu.models.scenes import scene_from_meshes
+    from ray_tracer_tpu.render.renderer import prepare
+
+    tri = MeshArrays(
+        verts=np.array([[-1.2, -1.0, 0.0], [1.2, -1.0, 0.0], [0.0, 1.2, 0.0]],
+                       np.float32),
+        faces=np.array([[0, 1, 2]], np.int32),
+        uvs=np.zeros((1, 2), np.float32),
+        uv_faces=np.zeros((1, 3), np.int32),
+    )
+    mat = MaterialConfig(base_color=(220.0, 160.0, 40.0), kd=2.0, ks=1.0,
+                         spec_alpha=4.0, ka=0.3)
+    light = LightConfig(position=(0.0, 0.0, 6.0), intensity=1.0)
+    scene = scene_from_meshes([(tri, 0)], [mat], light)
+    cfg = SceneConfig(
+        materials=(mat,),
+        camera=CameraConfig(position=(0.0, 0.0, 4.0), target=(0, 0, 0),
+                            up=(0, 1, 0), fov_degrees=45.0, width=16, height=16),
+        light=light,
+        render=RenderConfig(
+            shading="parallel", faithful=False, max_bounces=0,
+            shadow_eps=1e-3, shadow_scale=0.5, ray_tile=256,
+            soft_primary=0.08,
+        ),
+    )
+    prep = prepare(cfg, scene=scene)
+    target = jnp.zeros((16, 16, 3), jnp.float32)
+
+    def f(params):
+        return image_loss(
+            params, prep.scene, prep.grid.arrays, prep.grid.meta, prep.cfg, target
+        )
+
+    params = split_scene(prep.scene)
+    # bottom-left vertex, x-translation: sweeps the left edge across
+    # pixel centers — pure silhouette motion (the triangle plane, normal
+    # and t are unchanged, so the gradient is dominated by the soft
+    # coverage term).  (The apex's x-motion is NOT a valid check: the
+    # scene is x-symmetric, so its true gradient is zero.)
+    _fd_check(f, params, "verts", (0, 0), eps=2e-3, rtol=5e-2)
+    # apex y-translation: grows/shrinks coverage
+    _fd_check(f, params, "verts", (2, 1), eps=2e-3, rtol=5e-2)
+
+
+def test_soft_primary_off_is_bit_exact():
+    """soft_primary=0 must not perturb the forward image."""
+    import dataclasses
+
+    from ray_tracer_tpu.models.scenes import serial_scene_config
+    from ray_tracer_tpu.render.renderer import prepare, render
+
+    cfg = serial_scene_config(24, 24)
+    a = np.asarray(render(prepare(cfg)))
+    cfg2 = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, soft_primary=0.0)
+    )
+    b = np.asarray(render(prepare(cfg2)))
+    np.testing.assert_array_equal(a, b)

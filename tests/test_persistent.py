@@ -1,0 +1,167 @@
+"""The persistent wave march must agree exactly with the tiled packed
+traversal: both drive the SAME `_march_step` core per ray, and a lane's
+march is independent of its neighbors, so every per-ray result
+(hit/t/tri/shadow) is bitwise reproducible across schedulers and wave
+widths."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ray_tracer_tpu.ops.camera import camera_rays
+from ray_tracer_tpu.ops.persistent import persistent_trace
+from ray_tracer_tpu.ops.traverse_packed import (
+    traverse_packed,
+    traverse_packed_fused_shadow,
+)
+from ray_tracer_tpu.render.renderer import prepare
+
+
+@pytest.fixture(scope="module")
+def packed_prep():
+    from ray_tracer_tpu.config import GridConfig
+    from ray_tracer_tpu.models.scenes import serial_scene_config
+
+    cfg = serial_scene_config(48, 48)
+    cfg = dataclasses.replace(
+        cfg,
+        render=dataclasses.replace(
+            cfg.render, faithful=False, det_dtype="float32",
+            traversal="packed", packed_block_tris=14,
+            grid=GridConfig(resolution_multiplier=0.75),
+        ),
+    )
+    return prepare(cfg)
+
+
+@pytest.mark.parametrize("wave", [256, 1024, 48 * 48 + 100])
+def test_persistent_matches_tiled_primary(packed_prep, wave):
+    prep = packed_prep
+    rays = camera_rays(prep.cfg.camera, dtype=jnp.float32)
+    want = traverse_packed(rays, prep.packed.arrays, prep.packed.meta, t_gate=0.0)
+    got = persistent_trace(
+        rays, prep.packed.arrays, prep.packed.meta, wave=wave, t_gate=0.0
+    )
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(want.hit))
+    np.testing.assert_array_equal(np.asarray(got.tri_id), np.asarray(want.tri_id))
+    h = np.asarray(want.hit)
+    np.testing.assert_array_equal(
+        np.asarray(got.t)[h], np.asarray(want.t)[h]
+    )
+
+
+def test_persistent_fused_matches_fused(packed_prep):
+    prep = packed_prep
+    rcfg = prep.cfg.render
+    rays = camera_rays(prep.cfg.camera, dtype=jnp.float32)
+    light = prep.scene.light_pos
+    kw = dict(
+        shadow_gate=rcfg.shadow_eps,
+        shadow_mint=rcfg.shadow_mint(),
+        serial_quirk=rcfg.shadow_dir_away_from_light(),
+    )
+    want = traverse_packed_fused_shadow(
+        rays, prep.packed.arrays, prep.packed.meta, light,
+        primary_gate=0.0, **kw,
+    )
+    got = persistent_trace(
+        rays, prep.packed.arrays, prep.packed.meta, light,
+        wave=512, t_gate=0.0, fuse_shadow=True, **kw,
+    )
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(want.hit))
+    np.testing.assert_array_equal(np.asarray(got.tri_id), np.asarray(want.tri_id))
+    np.testing.assert_array_equal(
+        np.asarray(got.in_shadow), np.asarray(want.in_shadow)
+    )
+    h = np.asarray(want.hit)
+    np.testing.assert_array_equal(np.asarray(got.t)[h], np.asarray(want.t)[h])
+    # WHICH blocker an occlusion query retires on is ulp-sensitive: the
+    # rearm's poi = o + d*t contracts differently (FMA) at different
+    # batch widths, and a marginal shadow ray can legitimately find
+    # either of two blockers first.  Presence must agree (asserted via
+    # in_shadow above); identity must agree with the in_shadow flag.
+    np.testing.assert_array_equal(
+        np.asarray(got.shadow_tri_id) >= 0, np.asarray(got.in_shadow)
+    )
+
+
+def test_persistent_stop_on_first_hit_occlusion(packed_prep):
+    """Occlusion queries: any-hit flag must match the tiled nearest-hit
+    traversal's hit flag (stop-on-first changes WHICH hit, not whether)."""
+    prep = packed_prep
+    rays = camera_rays(prep.cfg.camera, dtype=jnp.float32)
+    want = traverse_packed(rays, prep.packed.arrays, prep.packed.meta, t_gate=0.0)
+    got = persistent_trace(
+        rays, prep.packed.arrays, prep.packed.meta,
+        wave=512, t_gate=0.0, stop_on_first_hit=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(want.hit))
+
+
+def test_persistent_renderer_matches_tiled_spot(packed_prep):
+    """Full spot render: persistent scheduler == tiled scheduler."""
+    from ray_tracer_tpu.render.renderer import render
+
+    prep = packed_prep
+    tiled = np.asarray(render(prep))
+    pcfg = dataclasses.replace(
+        prep.cfg,
+        render=dataclasses.replace(
+            prep.cfg.render, scheduler="persistent", wave=700
+        ),
+    )
+    pers = np.asarray(render(prep._replace(cfg=pcfg)))
+    np.testing.assert_array_equal(pers, tiled)
+
+
+def test_persistent_renderer_matches_tiled_reflective():
+    """The CUDA-variant scene (3 mirror bounces): the bounce segments go
+    through the persistent single-purpose march with refill compaction;
+    image must equal the tiled render exactly."""
+    from ray_tracer_tpu.config import GridConfig
+    from ray_tracer_tpu.models.scenes import parallel_scene_config
+    from ray_tracer_tpu.render.renderer import render
+
+    cfg = parallel_scene_config(24, 24)
+    cfg = dataclasses.replace(
+        cfg,
+        render=dataclasses.replace(
+            cfg.render, faithful=False, det_dtype="float32",
+            traversal="packed", packed_block_tris=14,
+            grid=GridConfig(resolution_multiplier=0.75),
+        ),
+    )
+    prep = prepare(cfg)
+    tiled = np.asarray(render(prep))
+    pcfg = dataclasses.replace(
+        cfg,
+        render=dataclasses.replace(
+            cfg.render, faithful=False, det_dtype="float32",
+            traversal="packed", packed_block_tris=14,
+            grid=GridConfig(resolution_multiplier=0.75),
+            scheduler="persistent", wave=256, fused_shadow=True,
+        ),
+    )
+    pers = np.asarray(render(prep._replace(cfg=pcfg)))
+    np.testing.assert_allclose(pers, tiled, atol=1e-4, rtol=1e-5)
+
+
+def test_persistent_dead_and_padding_lanes(packed_prep):
+    """Inf-origin rays (retired bounce lanes / padding) are refill-
+    rejected and report miss."""
+    prep = packed_prep
+    rays = camera_rays(prep.cfg.camera, dtype=jnp.float32)
+    import jax
+
+    orig = np.array(rays.orig)
+    orig[::3] = np.inf
+    dead = rays._replace(orig=jnp.asarray(orig))
+    got = persistent_trace(
+        dead, prep.packed.arrays, prep.packed.meta, wave=333, t_gate=0.0
+    )
+    assert not np.asarray(got.hit)[::3].any()
+    want = traverse_packed(dead, prep.packed.arrays, prep.packed.meta, t_gate=0.0)
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(want.hit))
+    np.testing.assert_array_equal(np.asarray(got.tri_id), np.asarray(want.tri_id))
