@@ -71,7 +71,7 @@ def _pack_rays(rays: RayBatch) -> jnp.ndarray:
     jax.jit,
     static_argnames=(
         "meta", "wave", "t_gate", "fuse_shadow", "shadow_gate", "shadow_mint",
-        "serial_quirk", "stop_on_first_hit", "max_iters",
+        "serial_quirk", "stop_on_first_hit", "max_iters", "return_iters",
     ),
 )
 def persistent_trace(
@@ -88,6 +88,7 @@ def persistent_trace(
     serial_quirk: bool = False,
     stop_on_first_hit: bool = False,
     max_iters: Optional[int] = None,
+    return_iters: bool = False,
 ) -> FusedTraceResult:
     """March every ray of `rays` through the packed grid with a W-lane
     persistent wave; optionally fuse each ray's shadow query.
@@ -128,11 +129,15 @@ def persistent_trace(
         # the fused rearm parks the primary record here
         p_best_t=zf + inf, p_best_blk=zi, p_best_slot=zi,
         lane_steps=zi,
-        # global queue cursor + output buffers (miss-initialized)
+        # Global queue cursor + output buffers (miss-initialized).  The
+        # buffers carry W dump rows at the tail — one PER LANE — so every
+        # scatter in the body has provably unique indices (done lanes
+        # write their distinct ray_id, idle lanes their own dump row),
+        # which keeps XLA on the fast scatter lowering.
         next=jnp.asarray(0, jnp.int32),
-        out_t=jnp.full((r + 1,), inf, jnp.float32),
+        out_t=jnp.full((r + w,), inf, jnp.float32),
         out_ids=jnp.tile(
-            jnp.asarray([[-1, 0, -1, 0]], jnp.int32), (r + 1, 1)
+            jnp.asarray([[-1, 0, -1, 0]], jnp.int32), (r + w, 1)
         ),  # [tri, in_shadow, shadow_tri, steps]
         i=jnp.asarray(0, jnp.int32),
     )
@@ -245,7 +250,7 @@ def persistent_trace(
         # ---- scatter finished rays (misses record t=inf + steps; rays
         # skipped at refill keep their miss-initialized rows) -----------
         emit = done & jnp.isfinite(final_t)
-        idx = jnp.where(done, s["ray_id"], r)
+        idx = jnp.where(done, s["ray_id"], r + jnp.arange(w, dtype=jnp.int32))
         tri = grid.slot_tri[jnp.clip(final_blk * bt + final_slot, 0,
                                      grid.slot_tri.shape[0] - 1)]
         stri = grid.slot_tri[jnp.clip(sh_blk * bt + sh_slot, 0,
@@ -262,8 +267,10 @@ def persistent_trace(
         s = dict(
             s,
             lane_steps=lane_steps,
-            out_t=s["out_t"].at[idx].set(jnp.where(emit, final_t, inf)),
-            out_ids=s["out_ids"].at[idx].set(vals),
+            out_t=s["out_t"].at[idx].set(
+                jnp.where(emit, final_t, inf), unique_indices=True
+            ),
+            out_ids=s["out_ids"].at[idx].set(vals, unique_indices=True),
         )
         s = refill(s)
         return dict(s, i=s["i"] + 1)
@@ -272,7 +279,7 @@ def persistent_trace(
     out_t = out["out_t"][:r]
     ids = out["out_ids"][:r]
     hit = jnp.isfinite(out_t)
-    return FusedTraceResult(
+    res = FusedTraceResult(
         hit=hit,
         t=out_t,
         tri_id=jnp.where(hit, ids[:, 0], -1),
@@ -280,3 +287,6 @@ def persistent_trace(
         shadow_tri_id=jnp.where(ids[:, 1] > 0, ids[:, 2], -1),
         steps=ids[:, 3],
     )
+    if return_iters:
+        return res, out["i"]
+    return res

@@ -111,3 +111,70 @@ def test_allreduce_gradients(eight_device_mesh):
         body, mesh=mesh, in_specs=P("rays"), out_specs=P(), check_vma=False
     ))(x)
     assert float(out) == 16.0
+
+
+def test_ring_sharded_intersect_equals_brute(tiny_prep, eight_device_mesh):
+    """The ring-pass (ppermute) sharded-geometry intersect must agree
+    with the all-gather sharded intersect AND the single-device brute
+    integrator: same nearest hit, same lowest-id tie-break, regardless
+    of which shard a ray starts on."""
+    from ray_tracer_tpu.ops.intersect import intersect_brute
+    from ray_tracer_tpu.parallel.shard import intersect_ring_sharded
+
+    prep = tiny_prep
+    rays = camera_rays(prep.cfg.camera)
+    v0, v1, v2 = prep.scene.triangle_soa()
+    got = intersect_ring_sharded(
+        rays, v0, v1, v2, eight_device_mesh, rays_axis="rays",
+        tris_axis="tris", t_lower=0.0,
+    )
+    want = intersect_brute(rays, v0, v1, v2, t_lower=0.0)
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(want.hit))
+    h = np.asarray(want.hit)
+    np.testing.assert_array_equal(
+        np.asarray(got.tri_id)[h], np.asarray(want.tri_id)[h]
+    )
+    # t agrees to the last ulp only: cramer over an F/8 slice vectorizes
+    # (FMA-contracts) differently than over the full soup
+    np.testing.assert_allclose(
+        np.asarray(got.t)[h], np.asarray(want.t)[h], rtol=1e-6
+    )
+
+
+def test_ring_sharded_intersect_tris_only_axis(tiny_prep):
+    """Ring over a pure 8-way 'tris' mesh (no ray axis)."""
+    from ray_tracer_tpu.ops.intersect import intersect_brute
+    from ray_tracer_tpu.parallel.mesh import make_mesh
+    from ray_tracer_tpu.parallel.shard import intersect_ring_sharded
+
+    mesh = make_mesh(8, ("tris",), shape=(8,))
+    prep = tiny_prep
+    rays = camera_rays(prep.cfg.camera)
+    v0, v1, v2 = prep.scene.triangle_soa()
+    got = intersect_ring_sharded(
+        rays, v0, v1, v2, mesh, rays_axis=None, tris_axis="tris", t_lower=0.0
+    )
+    want = intersect_brute(rays, v0, v1, v2, t_lower=0.0)
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(want.hit))
+    h = np.asarray(want.hit)  # miss-lane id conventions differ (-1 vs argmin)
+    np.testing.assert_array_equal(
+        np.asarray(got.tri_id)[h], np.asarray(want.tri_id)[h]
+    )
+
+
+def test_ring_sharded_render_equals_replicated(tiny_prep, eight_device_mesh):
+    """Full ring-pass render (geometry sharded, shading from ring-carried
+    vertices, shadow pass orbits too) == the replicated brute render."""
+    import dataclasses
+
+    from ray_tracer_tpu.parallel.shard import render_sharded_geometry
+    from ray_tracer_tpu.render.renderer import prepare
+
+    cfg = dataclasses.replace(
+        tiny_prep.cfg,
+        render=dataclasses.replace(tiny_prep.cfg.render, traversal="brute"),
+    )
+    prep = prepare(cfg, scene=tiny_prep.scene)
+    want = np.asarray(render(prep))
+    got = np.asarray(render_sharded_geometry(prep, mesh=eight_device_mesh))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-5)
