@@ -91,3 +91,28 @@ def broadcast_scene_host0(scene):
     from jax.experimental import multihost_utils
 
     return multihost_utils.broadcast_one_to_all(scene)
+
+
+def gather_image_host0(img) -> Optional[np.ndarray]:
+    """Assemble the FULL image on host 0 from a (possibly multi-host)
+    sharded render result -> host numpy (H, W, 3), or None on other
+    hosts.  Single-process: a plain device pull."""
+    if jax.process_count() == 1:
+        return np.asarray(img) if is_host0() else None
+    from jax.experimental import multihost_utils
+
+    full = multihost_utils.process_allgather(img, tiled=True)
+    return np.asarray(full) if is_host0() else None
+
+
+def write_ppm_host0(path: str, img) -> bool:
+    """Gather the sharded image and write the PPM artifact on host 0
+    (the multi-host version of the reference's framebuffer write,
+    Serial/raytracer.cpp:178-185).  Returns True on the writing host."""
+    from ray_tracer_tpu.io.ppm import write_ppm
+
+    full = gather_image_host0(img)
+    if full is None:
+        return False
+    write_ppm(path, full)
+    return True

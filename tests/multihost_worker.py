@@ -50,6 +50,20 @@ def main() -> None:
     assert not multihost.is_host0() or pid == 0
     lo, hi = multihost.host_tile_bounds(256)
     assert 0 <= lo <= hi <= 256
+
+    # host-0 framebuffer assembly + PPM artifact (the runnable multi-
+    # host demo: every host contributes shards, host 0 writes the file)
+    out_dir = sys.argv[4] if len(sys.argv) > 4 else None
+    if out_dir:
+        from ray_tracer_tpu.io.ppm import read_ppm, tonemap_u8
+
+        path = os.path.join(out_dir, "multihost.ppm")
+        wrote = multihost.write_ppm_host0(path, img)
+        assert wrote == (pid == 0)
+        if wrote:
+            assert np.array_equal(read_ppm(path), tonemap_u8(single)), (
+                "host-0 assembled PPM differs from the replicated render"
+            )
     print(f"proc {pid} OK", flush=True)
 
 
