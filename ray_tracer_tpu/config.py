@@ -128,6 +128,13 @@ class RenderConfig:
     # pixel (1 = reference-exact pixel centers).  No reference
     # counterpart; production feature.
     spp: int = 1
+    # Texture sampling on the OBJ's vt data.  The reference parses and
+    # carries uvs per triangle but never samples them in shading
+    # (Serial/raytracer.cpp:252-283); "checker" completes that plumbing
+    # with a procedural checkerboard modulating base_color (x1 / x0.5
+    # cells, texture_scale cells per uv unit).  "none" = reference-exact.
+    texture: str = "none"
+    texture_scale: float = 8.0
     # Packed path: fuse the shadow pass into the primary march (lanes
     # rearm as their own shadow ray on primary retirement) — fewer
     # while-loop instances, shadow work overlaps the primary tail.
