@@ -156,10 +156,7 @@ def main() -> None:
             # +20%) but loses on dense full-frame ones (nefertiti: -19%,
             # every lane runs both phases so only the heavier body
             # remains) — pick per scene.
-            fused_shadow=(
-                (args.scene == "spot") if args.fused == "auto"
-                else args.fused == "on"
-            ),
+            fused_shadow=False,  # decided below (measured, or forced by --fused)
             scheduler=args.scheduler, wave=args.wave,
             # TPU-tuned: coarse grid (vs the reference's 3.0 heuristic),
             # 56-triangle/512-lane block rows, fused primary+shadow
@@ -175,6 +172,20 @@ def main() -> None:
     prep = prepare(cfg, scene=scene)
     log(f"prepare: {time.perf_counter() - t0:.1f}s; "
         f"scene: {args.scene} {prep.scene.num_faces} tris @ {size}x{size}")
+
+    # fused-vs-two-pass shadow schedule: measured coverage probe, not a
+    # scene-name switch (sparse scenes fuse, dense full-frame don't)
+    if args.fused == "auto":
+        from ray_tracer_tpu.render.metrics import choose_fused_shadow
+
+        fused = choose_fused_shadow(prep)
+        log(f"auto fused_shadow: {fused}")
+    else:
+        fused = args.fused == "on"
+    cfg = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, fused_shadow=fused)
+    )
+    prep = prep._replace(cfg=cfg)
 
     if args.grad:
         _bench_grad(prep, args, size)

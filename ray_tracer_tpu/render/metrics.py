@@ -95,3 +95,41 @@ def collect_render_metrics(prep) -> Dict[str, float]:
     if prep.packed is not None:
         out["packed_blocks"] = int(prep.packed.meta.n_blocks)
     return out
+
+
+def estimate_coverage(prep, stride: int = 8) -> float:
+    """Cheap scene-coverage probe: trace every `stride`-th pixel's
+    primary ray (packed path) and return the hit rate.  One traversal
+    over ~R/stride^2 rays — used to auto-pick the fused-vs-two-pass
+    shadow schedule instead of a per-scene flag."""
+    import dataclasses
+
+    cfg = prep.cfg
+    cam = dataclasses.replace(
+        cfg.camera,
+        width=max(cfg.camera.width // stride, 8),
+        height=max(cfg.camera.height // stride, 8),
+    )
+    rays = camera_rays(cam)
+    if prep.packed is not None:
+        res = traverse_packed(rays, prep.packed.arrays, prep.packed.meta,
+                              t_gate=0.0)
+    else:
+        v0, v1, v2 = prep.scene.triangle_soa()
+        res = traverse_grid(
+            rays=rays, grid=prep.grid.arrays, meta=prep.grid.meta,
+            v0=v0, v1=v1, v2=v2, t_gate=0.0, early_exit=True,
+            det_dtype=prep.cfg.render.det_dtype,
+        )
+    return float(np.asarray(res.hit).mean())
+
+
+def choose_fused_shadow(prep, threshold: float = 0.75, stride: int = 8) -> bool:
+    """Measured policy for RenderConfig.fused_shadow: fusing the shadow
+    march into the primary wave wins on SPARSE scenes (the shadow work
+    hides in the primary tail: +20% on spot at ~55% coverage) and loses
+    on dense full-frame ones (-19% on the 261k-tri stand-in at ~100%
+    coverage, where every lane runs both phases and only the heavier
+    body remains; docs/PERFORMANCE.md).  The crossover sits well above
+    spot and below full coverage — threshold 0.75 by measurement."""
+    return estimate_coverage(prep, stride=stride) < threshold

@@ -60,3 +60,53 @@ def test_collect_render_metrics_packed(tiny_prep):
     m = collect_render_metrics(prep)
     assert m["packed_blocks"] > 0
     assert 0 < m["primary_hit_rate"] <= 1
+
+
+def test_choose_fused_shadow_policy():
+    """Sparse scene -> fuse; dense full-frame scene -> two-pass."""
+    import dataclasses
+
+    import numpy as np
+
+    from ray_tracer_tpu.config import (
+        CameraConfig, GridConfig, LightConfig, MaterialConfig, RenderConfig,
+        SceneConfig,
+    )
+    from ray_tracer_tpu.io.obj import MeshArrays
+    from ray_tracer_tpu.models.scenes import scene_from_meshes, serial_scene_config
+    from ray_tracer_tpu.render.metrics import choose_fused_shadow, estimate_coverage
+    from ray_tracer_tpu.render.renderer import prepare
+
+    cfg = serial_scene_config(128, 128)
+    cfg = dataclasses.replace(
+        cfg,
+        render=dataclasses.replace(
+            cfg.render, faithful=False, det_dtype="float32",
+            traversal="packed", packed_block_tris=14,
+            grid=GridConfig(resolution_multiplier=0.75),
+        ),
+    )
+    sparse = prepare(cfg)
+    assert choose_fused_shadow(sparse) is True
+
+    # a wall quad filling the whole view = 100% coverage
+    quad = MeshArrays(
+        verts=np.array([[-9, -9, 0], [9, -9, 0], [9, 9, 0], [-9, 9, 0]],
+                       np.float32),
+        faces=np.array([[0, 1, 2], [0, 2, 3]], np.int32),
+        uvs=np.zeros((1, 2), np.float32),
+        uv_faces=np.zeros((2, 3), np.int32),
+    )
+    mat = MaterialConfig()
+    light = LightConfig(position=(0.0, 0.0, 5.0), intensity=1.0)
+    wall = scene_from_meshes([(quad, 0)], [mat], light)
+    wcfg = SceneConfig(
+        materials=(mat,),
+        camera=CameraConfig(position=(0, 0, 3), target=(0, 0, 0), up=(0, 1, 0),
+                            fov_degrees=60.0, width=64, height=64),
+        light=light,
+        render=dataclasses.replace(cfg.render),
+    )
+    dense = prepare(wcfg, scene=wall)
+    assert estimate_coverage(dense) > 0.9
+    assert choose_fused_shadow(dense) is False
