@@ -72,6 +72,7 @@ def _pack_rays(rays: RayBatch) -> jnp.ndarray:
     static_argnames=(
         "meta", "wave", "t_gate", "fuse_shadow", "shadow_gate", "shadow_mint",
         "serial_quirk", "stop_on_first_hit", "max_iters", "return_iters",
+        "need_shadow_tri", "need_steps",
     ),
 )
 def persistent_trace(
@@ -89,17 +90,24 @@ def persistent_trace(
     stop_on_first_hit: bool = False,
     max_iters: Optional[int] = None,
     return_iters: bool = False,
+    need_shadow_tri: bool = False,
+    need_steps: bool = False,
 ) -> FusedTraceResult:
     """March every ray of `rays` through the packed grid with a W-lane
     persistent wave; optionally fuse each ray's shadow query.
 
     Returns (R,)-aligned FusedTraceResult.  With fuse_shadow=False the
-    shadow fields are all-clear and `light_pos` is unused.  `steps`
-    reports per-ray march iterations (primary + shadow).
+    shadow fields are all-clear and `light_pos` is unused.  The blocker
+    identity (shadow_tri_id) and per-ray step counts cost one extra 1-D
+    scatter per iteration each, so they are opt-in: shadow_tri_id is -1
+    everywhere unless need_shadow_tri (the renderer enables it only for
+    soft-visibility), and steps is 0 unless need_steps.
     """
     r = rays.count
     w = min(wave, r)
     bt = meta.block_tris
+    n_slots = grid.slot_tri.shape[0]
+    assert n_slots < (1 << 30), "slot index must fit in 30 bits"
     inf = jnp.float32(_INF)
     per_ray = _default_max_steps(meta) * (2 if fuse_shadow else 1)
     if max_iters is None:
@@ -133,13 +141,23 @@ def persistent_trace(
         # buffers carry W dump rows at the tail — one PER LANE — so every
         # scatter in the body has provably unique indices (done lanes
         # write their distinct ray_id, idle lanes their own dump row),
-        # which keeps XLA on the fast scatter lowering.
+        # which keeps XLA on the fast scatter lowering.  All buffers are
+        # 1-D: a measured (N,4) row scatter costs 8x a 1-D scatter on
+        # TPU (663 us vs 79 us for 16k updates into 1M rows), so the hit
+        # record is packed into one int32 code = slot_index | shadow<<30
+        # and the triangle id is resolved AFTER the loop with one gather.
         next=jnp.asarray(0, jnp.int32),
         out_t=jnp.full((r + w,), inf, jnp.float32),
-        out_ids=jnp.tile(
-            jnp.asarray([[-1, 0, -1, 0]], jnp.int32), (r + w, 1)
-        ),  # [tri, in_shadow, shadow_tri, steps]
+        out_code=jnp.full((r + w,), -1, jnp.int32),
         i=jnp.asarray(0, jnp.int32),
+        **(
+            {"out_stri": jnp.full((r + w,), -1, jnp.int32)}
+            if need_shadow_tri else {}
+        ),
+        **(
+            {"out_steps": jnp.zeros((r + w,), jnp.int32)}
+            if need_steps else {}
+        ),
     )
 
     def refill(s):
@@ -247,45 +265,55 @@ def persistent_trace(
             sh_blk, sh_slot = zi, zi
             s = dict(s, alive=s["alive"] & ~done)
 
-        # ---- scatter finished rays (misses record t=inf + steps; rays
-        # skipped at refill keep their miss-initialized rows) -----------
+        # ---- scatter finished rays (misses record t=inf; rays skipped
+        # at refill keep their miss-initialized rows) --------------------
         emit = done & jnp.isfinite(final_t)
         idx = jnp.where(done, s["ray_id"], r + jnp.arange(w, dtype=jnp.int32))
-        tri = grid.slot_tri[jnp.clip(final_blk * bt + final_slot, 0,
-                                     grid.slot_tri.shape[0] - 1)]
-        stri = grid.slot_tri[jnp.clip(sh_blk * bt + sh_slot, 0,
-                                      grid.slot_tri.shape[0] - 1)]
-        vals = jnp.stack(
-            [
-                jnp.where(emit, tri, -1),
-                in_shadow.astype(jnp.int32),
-                jnp.where(in_shadow, stri, -1),
-                lane_steps,
-            ],
-            axis=1,
+        slotidx = jnp.clip(final_blk * bt + final_slot, 0, n_slots - 1)
+        code = jnp.where(
+            emit, slotidx | (in_shadow.astype(jnp.int32) << 30), -1
         )
-        s = dict(
-            s,
+        upd = dict(
             lane_steps=lane_steps,
             out_t=s["out_t"].at[idx].set(
                 jnp.where(emit, final_t, inf), unique_indices=True
             ),
-            out_ids=s["out_ids"].at[idx].set(vals, unique_indices=True),
+            out_code=s["out_code"].at[idx].set(code, unique_indices=True),
         )
+        if need_shadow_tri:
+            sidx = jnp.clip(sh_blk * bt + sh_slot, 0, n_slots - 1)
+            upd["out_stri"] = s["out_stri"].at[idx].set(
+                jnp.where(in_shadow, sidx, -1), unique_indices=True
+            )
+        if need_steps:
+            upd["out_steps"] = s["out_steps"].at[idx].set(
+                jnp.where(done, lane_steps, 0), unique_indices=True
+            )
+        s = dict(s, **upd)
         s = refill(s)
         return dict(s, i=s["i"] + 1)
 
     out = jax.lax.while_loop(cond, body, state)
     out_t = out["out_t"][:r]
-    ids = out["out_ids"][:r]
-    hit = jnp.isfinite(out_t)
+    code = out["out_code"][:r]
+    hit = jnp.isfinite(out_t) & (code >= 0)
+    # resolve the winning slot -> triangle id with ONE post-loop gather
+    tri = grid.slot_tri[jnp.clip(code & ((1 << 30) - 1), 0, n_slots - 1)]
+    in_shadow = hit & (((code >> 30) & 1) > 0)
+    if need_shadow_tri:
+        sidx = out["out_stri"][:r]
+        shadow_tri = jnp.where(
+            sidx >= 0, grid.slot_tri[jnp.clip(sidx, 0, n_slots - 1)], -1
+        )
+    else:
+        shadow_tri = jnp.full((r,), -1, jnp.int32)  # not recorded
     res = FusedTraceResult(
         hit=hit,
         t=out_t,
-        tri_id=jnp.where(hit, ids[:, 0], -1),
-        in_shadow=(ids[:, 1] > 0) & hit,
-        shadow_tri_id=jnp.where(ids[:, 1] > 0, ids[:, 2], -1),
-        steps=ids[:, 3],
+        tri_id=jnp.where(hit, tri, -1),
+        in_shadow=in_shadow,
+        shadow_tri_id=shadow_tri,
+        steps=out["out_steps"][:r] if need_steps else jnp.zeros((r,), jnp.int32),
     )
     if return_iters:
         return res, out["i"]

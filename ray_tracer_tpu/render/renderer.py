@@ -211,6 +211,9 @@ def render_rays(
                     jax.lax.stop_gradient(scene.light_pos),
                     wave=rcfg.wave, fuse_shadow=True,
                     t_gate=0.0 if primary_gate is None else primary_gate,
+                    # blocker identity costs an extra scatter/iteration;
+                    # only soft visibility consumes it
+                    need_shadow_tri=rcfg.soft_visibility > 0.0,
                     **fkw,
                 )
             else:

@@ -68,7 +68,7 @@ def test_persistent_fused_matches_fused(packed_prep):
     )
     got = persistent_trace(
         rays, prep.packed.arrays, prep.packed.meta, light,
-        wave=512, t_gate=0.0, fuse_shadow=True, **kw,
+        wave=512, t_gate=0.0, fuse_shadow=True, need_shadow_tri=True, **kw,
     )
     np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(want.hit))
     np.testing.assert_array_equal(np.asarray(got.tri_id), np.asarray(want.tri_id))
