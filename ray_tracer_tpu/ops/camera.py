@@ -73,3 +73,33 @@ def camera_rays(cfg: CameraConfig, dtype=jnp.float32, spp: int = 1) -> RayBatch:
     dirs = all_dirs[0] if len(all_dirs) == 1 else jnp.concatenate(all_dirs, axis=0)
     orig = jnp.broadcast_to(pos, dirs.shape)
     return RayBatch.make(orig, dirs, mint=0.0, maxt=jnp.inf)
+
+
+def camera_ray_at(cfg: CameraConfig, idx: jnp.ndarray, dtype=jnp.float32,
+                  spp: int = 1) -> RayBatch:
+    """Rays for ARBITRARY flat indices (same arithmetic as camera_rays,
+    bitwise): idx = s*H*W + y*W + x with subsample s < spp*spp.
+
+    This is the zero-gather ray source for the persistent wave's refill
+    — regenerating a popped camera ray from its index is pure VPU math,
+    cheaper than fetching it from an (R, 8) HBM table."""
+    pos, u, v, w, fd = camera_basis(cfg, dtype=dtype)
+    width, height = cfg.width, cfg.height
+    aspect = float(width) / float(height)
+    hw = width * height
+    idx = idx.astype(jnp.int32)
+    p = idx % hw
+    yi = (p // width).astype(dtype)
+    xi = (p % width).astype(dtype)
+    if spp == 1:
+        ox = oy = jnp.asarray(0.5, dtype)
+    else:
+        s = idx // hw
+        ox = ((s % spp).astype(dtype) + 0.5) / spp
+        oy = ((s // spp).astype(dtype) + 0.5) / spp
+    xw = aspect * (xi - width / 2.0 + ox) / width
+    yw = (yi - height / 2.0 + oy) / height
+    dirs = -w * fd + u * xw[:, None] + v * yw[:, None]
+    dirs = vm.normalize(dirs)
+    orig = jnp.broadcast_to(pos, dirs.shape)
+    return RayBatch.make(orig, dirs, mint=0.0, maxt=jnp.inf)

@@ -72,7 +72,7 @@ def _pack_rays(rays: RayBatch) -> jnp.ndarray:
     static_argnames=(
         "meta", "wave", "t_gate", "fuse_shadow", "shadow_gate", "shadow_mint",
         "serial_quirk", "stop_on_first_hit", "max_iters", "return_iters",
-        "need_shadow_tri", "need_steps",
+        "need_shadow_tri", "need_steps", "camera", "spp",
     ),
 )
 def persistent_trace(
@@ -92,6 +92,8 @@ def persistent_trace(
     return_iters: bool = False,
     need_shadow_tri: bool = False,
     need_steps: bool = False,
+    camera=None,
+    spp: int = 1,
 ) -> FusedTraceResult:
     """March every ray of `rays` through the packed grid with a W-lane
     persistent wave; optionally fuse each ray's shadow query.
@@ -113,7 +115,14 @@ def persistent_trace(
     if max_iters is None:
         # total lane-work / wave width, plus one straggler's full walk
         max_iters = -(-r * per_ray // w) + per_ray + 8
-    packed = _pack_rays(rays)
+    # With a static `camera`, popped rays are REGENERATED from their
+    # index (camera_ray_at — pure VPU math, bitwise == camera_rays)
+    # instead of gathered from an (R, 8) HBM table; `rays` then only
+    # supplies the count.  The gather refill path serves shadow/bounce
+    # batches whose rays exist only as data.
+    packed = None if camera is not None else _pack_rays(rays)
+    if camera is not None:
+        assert r == camera.width * camera.height * spp * spp
     light = (jnp.zeros((3,), jnp.float32) if light_pos is None
              else light_pos.astype(jnp.float32))
 
@@ -168,10 +177,18 @@ def persistent_trace(
         new_id = jnp.where(idle, s["next"] + order - 1, s["ray_id"])
         got = idle & (new_id < r)
         rid = jnp.where(got, new_id, jnp.where(idle, r, s["ray_id"]))
-        row = packed[jnp.clip(rid, 0, r)]
-        o = jnp.where(got[:, None], row[:, 0:3], s["o"])
-        d = jnp.where(got[:, None], row[:, 3:6], s["d"])
-        mint, maxt_new = row[:, 6], row[:, 7]
+        if camera is not None:
+            from ray_tracer_tpu.ops.camera import camera_ray_at
+
+            gen = camera_ray_at(camera, jnp.clip(rid, 0, r - 1), spp=spp)
+            new_o, new_d = gen.orig, gen.dirn
+            mint, maxt_new = gen.mint, gen.maxt
+        else:
+            row = packed[jnp.clip(rid, 0, r)]
+            new_o, new_d = row[:, 0:3], row[:, 3:6]
+            mint, maxt_new = row[:, 6], row[:, 7]
+        o = jnp.where(got[:, None], new_o, s["o"])
+        d = jnp.where(got[:, None], new_d, s["d"])
         t0, entered = _slab_entry(grid, o, d, mint, maxt_new)
         live = got & entered
         return dict(

@@ -98,6 +98,7 @@ def render_rays(
     grid: GridArrays,
     meta: GridMeta,
     rcfg: RenderConfig,
+    camera_cfg=None,
 ) -> jnp.ndarray:
     """Trace + shade one ray batch -> (R,3) linear color.
 
@@ -123,11 +124,12 @@ def render_rays(
         if rcfg.scheduler == "persistent":
             from ray_tracer_tpu.ops.persistent import persistent_trace
 
-            def trav(rb, t_gate, stop_on_first_hit=False):
+            def trav(rb, t_gate, stop_on_first_hit=False, camera=None):
                 res = persistent_trace(
                     rb, grid, meta, wave=rcfg.wave,
                     t_gate=0.0 if t_gate is None else t_gate,
                     stop_on_first_hit=stop_on_first_hit,
+                    camera=camera, spp=rcfg.spp if camera is not None else 1,
                 )
                 return PackedTraceResult(
                     any_pass=res.hit, hit=res.hit, t=res.t,
@@ -214,6 +216,9 @@ def render_rays(
                     # blocker identity costs an extra scatter/iteration;
                     # only soft visibility consumes it
                     need_shadow_tri=rcfg.soft_visibility > 0.0,
+                    # depth-0 rays regenerate from the camera at refill
+                    camera=camera_cfg,
+                    spp=rcfg.spp if camera_cfg is not None else 1,
                     **fkw,
                 )
             else:
@@ -228,7 +233,14 @@ def render_rays(
                 tri_id=fres.tri_id, steps=fres.steps,
             )
         else:
-            res = trav(jax.lax.stop_gradient(cur), t_gate=primary_gate)
+            tkw = (
+                {"camera": camera_cfg}
+                if (depth == 0 and camera_cfg is not None
+                    and rcfg.scheduler == "persistent"
+                    and rcfg.traversal == "packed")
+                else {}
+            )
+            res = trav(jax.lax.stop_gradient(cur), t_gate=primary_gate, **tkw)
         hit = rcfg.accepted_hit(res)
         tri = jnp.maximum(res.tri_id, 0)
 
@@ -466,7 +478,8 @@ def _render_image(scene: Scene, grid, meta, cfg: SceneConfig):
     if rcfg.traversal == "packed":
         if rcfg.scheduler == "persistent":
             # no sort, no tiles: the persistent wave IS the scheduler
-            colors = render_rays(rays, scene, grid, meta, rcfg)
+            colors = render_rays(rays, scene, grid, meta, rcfg,
+                                 camera_cfg=cfg.camera)
         else:
             colors = render_rays_tiled_sorted(rays, scene, grid, meta, rcfg)
     else:

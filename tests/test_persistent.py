@@ -165,3 +165,28 @@ def test_persistent_dead_and_padding_lanes(packed_prep):
     want = traverse_packed(dead, prep.packed.arrays, prep.packed.meta, t_gate=0.0)
     np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(want.hit))
     np.testing.assert_array_equal(np.asarray(got.tri_id), np.asarray(want.tri_id))
+
+
+def test_persistent_camera_refill_matches(packed_prep):
+    """Camera-generated refill (zero-gather ray source) is bitwise the
+    same march as the packed-table refill."""
+    prep = packed_prep
+    rays = camera_rays(prep.cfg.camera, dtype=jnp.float32)
+    a = persistent_trace(
+        rays, prep.packed.arrays, prep.packed.meta, wave=400, t_gate=0.0
+    )
+    b = persistent_trace(
+        rays, prep.packed.arrays, prep.packed.meta, wave=400, t_gate=0.0,
+        camera=prep.cfg.camera,
+    )
+    for f in ("hit", "tri_id"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, f)), np.asarray(getattr(b, f))
+        )
+    # in-loop regenerated directions FMA-contract differently than the
+    # batch expression: t drifts in the last ulp.  The renderer consumes
+    # only hit/tri (it recomputes t differentiably), so ulp-t is fine.
+    h = np.asarray(a.hit)
+    np.testing.assert_allclose(
+        np.asarray(b.t)[h], np.asarray(a.t)[h], rtol=1e-5
+    )
