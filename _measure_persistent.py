@@ -27,5 +27,5 @@ def run(wave):
     _ = int(jax.device_get(iters))
     sec=(time.perf_counter()-t0)/n
     print(f"wave={wave} {sec*1e3:.1f} ms/frame, {it} iters -> {sec/it*1e6:.1f} us/iter, {size*size*2/sec/1e6:.2f} Mrays/s", flush=True)
-for w in (65536, 16384):
+for w in (16384, 32768):
     run(w)

@@ -75,6 +75,30 @@ def camera_rays(cfg: CameraConfig, dtype=jnp.float32, spp: int = 1) -> RayBatch:
     return RayBatch.make(orig, dirs, mint=0.0, maxt=jnp.inf)
 
 
+def camera_rays_subsample(cfg: CameraConfig, s: int, spp: int,
+                          dtype=jnp.float32) -> RayBatch:
+    """The (H*W,) ray batch of ONE spp-subsample s (0 <= s < spp*spp),
+    bitwise equal to rays [s*H*W:(s+1)*H*W] of camera_rays(cfg, spp=spp).
+    Lets the renderer accumulate subsamples with O(H*W) memory instead
+    of materializing all spp^2 batches at once."""
+    pos, u, v, w, fd = camera_basis(cfg, dtype=dtype)
+    width, height = cfg.width, cfg.height
+    aspect = float(width) / float(height)
+    x = jnp.arange(width, dtype=dtype)
+    y = jnp.arange(height, dtype=dtype)
+    if spp == 1:
+        ox, oy = 0.5, 0.5
+    else:
+        sx, sy = s % spp, s // spp
+        ox, oy = (sx + 0.5) / spp, (sy + 0.5) / spp
+    xw = aspect * (x - width / 2.0 + ox) / width
+    yw = (y - height / 2.0 + oy) / height
+    dirs = -w * fd + u * xw[None, :, None] + v * yw[:, None, None]
+    dirs = vm.normalize(dirs).reshape(-1, 3)
+    orig = jnp.broadcast_to(pos, dirs.shape)
+    return RayBatch.make(orig, dirs, mint=0.0, maxt=jnp.inf)
+
+
 def camera_ray_at(cfg: CameraConfig, idx: jnp.ndarray, dtype=jnp.float32,
                   spp: int = 1) -> RayBatch:
     """Rays for ARBITRARY flat indices (same arithmetic as camera_rays,

@@ -474,18 +474,33 @@ def render_rays_tiled_sorted(
 @partial(jax.jit, static_argnames=("meta", "cfg"))
 def _render_image(scene: Scene, grid, meta, cfg: SceneConfig):
     rcfg = cfg.render
-    rays = camera_rays(cfg.camera, dtype=jnp.dtype(rcfg.dtype), spp=rcfg.spp)
-    if rcfg.traversal == "packed":
-        if rcfg.scheduler == "persistent":
-            # no sort, no tiles: the persistent wave IS the scheduler
-            colors = render_rays(rays, scene, grid, meta, rcfg,
-                                 camera_cfg=cfg.camera)
-        else:
-            colors = render_rays_tiled_sorted(rays, scene, grid, meta, rcfg)
+    from ray_tracer_tpu.ops.camera import camera_rays_subsample
+
+    def one(rays, camera_ok):
+        if rcfg.traversal == "packed":
+            if rcfg.scheduler == "persistent":
+                # no sort, no tiles: the persistent wave IS the scheduler
+                return render_rays(
+                    rays, scene, grid, meta, rcfg,
+                    camera_cfg=cfg.camera if camera_ok else None,
+                )
+            return render_rays_tiled_sorted(rays, scene, grid, meta, rcfg)
+        return render_rays_tiled(rays, scene, grid, meta, rcfg)
+
+    if rcfg.spp == 1:
+        colors = one(camera_rays(cfg.camera, dtype=jnp.dtype(rcfg.dtype)), True)
     else:
-        colors = render_rays_tiled(rays, scene, grid, meta, rcfg)
-    if rcfg.spp > 1:
-        colors = colors.reshape(rcfg.spp * rcfg.spp, -1, 3).mean(axis=0)
+        # accumulate one spp-subsample batch at a time: O(H*W) memory
+        # instead of materializing all spp^2 * H * W rays at once
+        total = rcfg.spp * rcfg.spp
+        acc = None
+        for s in range(total):
+            rays = camera_rays_subsample(
+                cfg.camera, s, rcfg.spp, dtype=jnp.dtype(rcfg.dtype)
+            )
+            c = one(rays, False)
+            acc = c if acc is None else acc + c
+        colors = acc / total
     return colors.reshape(cfg.camera.height, cfg.camera.width, 3)
 
 
