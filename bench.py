@@ -122,6 +122,10 @@ def main() -> None:
                     choices=["tiled", "persistent"])
     ap.add_argument("--wave", type=int, default=65536,
                     help="persistent-scheduler lane count")
+    ap.add_argument("--pump", type=int, default=1,
+                    help="persistent march steps per scatter+refill round")
+    ap.add_argument("--block-tris", type=int, default=56,
+                    help="triangles per packed block row")
     ap.add_argument("--fused", default="auto", choices=["auto", "on", "off"],
                     help="fuse the shadow pass into the primary march")
     args = ap.parse_args()
@@ -151,13 +155,14 @@ def main() -> None:
         cfg,
         render=dataclasses.replace(
             cfg.render, faithful=False, det_dtype="float32",
-            traversal="packed", ray_tile=768, packed_block_tris=56,
+            traversal="packed", ray_tile=768,
+            packed_block_tris=args.block_tris,
             # fused primary+shadow march wins on sparse scenes (spot:
             # +20%) but loses on dense full-frame ones (nefertiti: -19%,
             # every lane runs both phases so only the heavier body
             # remains) — pick per scene.
             fused_shadow=False,  # decided below (measured, or forced by --fused)
-            scheduler=args.scheduler, wave=args.wave,
+            scheduler=args.scheduler, wave=args.wave, pump=args.pump,
             # TPU-tuned: coarse grid (vs the reference's 3.0 heuristic),
             # 56-triangle/512-lane block rows, fused primary+shadow
             # march -> 9.7 Mrays/s on v5e (7.0 at the first-cut

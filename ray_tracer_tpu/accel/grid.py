@@ -191,6 +191,36 @@ def build_grid(
     return UniformGrid(arrays=arrays, meta=meta, host=host)
 
 
+def pad_grid_like(grid: "UniformGrid", like: GridMeta) -> "UniformGrid | None":
+    """Pad a freshly built grid to `like`'s static sizes so a jitted
+    consumer keyed on GridMeta keeps its compiled step across vertex-
+    optimization rebuilds (opt/fit.fit with rebuild_grid_every).
+
+    Returns None when incompatible — resolution changed or the build
+    outgrew the padding — and the caller re-jits on the new meta.
+    Padding tri_ids entries are unreachable: cell_start never points
+    past the real nnz, so any fill value is inert."""
+    m = grid.meta
+    if m == like:
+        return grid
+    if (
+        m.n_voxels != like.n_voxels
+        or m.nnz > like.nnz
+        or m.max_per_voxel > like.max_per_voxel
+    ):
+        return None
+    host = grid.host
+    if host is None:
+        return None
+    tri_ids = np.concatenate(
+        [host.tri_ids, np.zeros(like.nnz - m.nnz, np.int32)]
+    )
+    arrays = grid.arrays._replace(tri_ids=jnp.asarray(tri_ids, dtype=jnp.int32))
+    return UniformGrid(
+        arrays=arrays, meta=like, host=host._replace(tri_ids=tri_ids)
+    )
+
+
 def _build_csr_numpy(tri_lo, tri_hi, lower, inv_width, n_voxels, nx, ny):
     """Vectorized insertion: expand each triangle into its overlapped voxel
     range, then stable-sort by cell.  Equivalent to the reference's triple

@@ -121,6 +121,7 @@ def pack_grid(
     verts: np.ndarray,
     faces: np.ndarray,
     block_tris: int = BLOCK_TRIS,
+    pad_meta: "PackedGridMeta | None" = None,
 ) -> PackedGrid:
     """Build the packed layout from the CSR grid (host-side numpy).
 
@@ -128,6 +129,14 @@ def pack_grid(
     rounded up to a multiple of 128 lanes (14 -> 128, 28 -> 256,
     56 -> 512).  Wider rows halve the iteration count for dense voxels
     at slightly higher per-gather cost — tune per scene density.
+
+    pad_meta: a previous build's meta to pad up to, so a jitted
+    consumer keyed on PackedGridMeta keeps its compiled step across
+    vertex-optimization rebuilds.  Applied when compatible (same
+    resolution/row shape, block count fits, probe nudge still sane);
+    otherwise the fresh meta is returned and the caller re-jits.
+    Padding block rows are unreachable — cell_info never points at
+    them.
     """
     row_lanes = -(-(block_tris * 9) // 128) * 128
     nx, ny, nz = grid.meta.n_voxels
@@ -196,6 +205,26 @@ def pack_grid(
         row_lanes=row_lanes,
         max_blocks=int(nblk.max(initial=1)),
     )
+    if (
+        pad_meta is not None
+        and pad_meta.n_voxels == meta.n_voxels
+        and pad_meta.block_tris == block_tris
+        and pad_meta.row_lanes == row_lanes
+        and pad_meta.n_blocks >= total_blocks
+        and pad_meta.max_blocks >= meta.max_blocks
+        # the old probe nudge must stay tiny vs the new cells (skip
+        # hazard) yet large enough to make progress (march slowdown)
+        and 0.2 * meta.probe_delta <= pad_meta.probe_delta <= 5.0 * meta.probe_delta
+    ):
+        extra = pad_meta.n_blocks - total_blocks
+        if extra:
+            blocks = np.concatenate(
+                [blocks, np.zeros((extra, row_lanes), np.float32)]
+            )
+            slot_tri = np.concatenate(
+                [slot_tri, np.full((extra * block_tris,), -1, np.int32)]
+            )
+        meta = pad_meta
     arrays = PackedGridArrays(
         lower=grid.arrays.lower,
         upper=grid.arrays.upper,

@@ -113,6 +113,7 @@ class RenderConfig:
     # Parallel/raytracer.cu:177-233).
     scheduler: str = "tiled"
     wave: int = 65536  # persistent-scheduler lane count
+    pump: int = 1  # persistent march steps per scatter+refill round
     # Soft-edge visibility scale (0 = reference-exact hard shadows).
     # > 0: shadow attenuation becomes sigmoid(blocker barycentric margin
     # / scale) — differentiable across silhouettes (SURVEY hard part #2).

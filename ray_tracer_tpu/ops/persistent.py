@@ -72,7 +72,7 @@ def _pack_rays(rays: RayBatch) -> jnp.ndarray:
     static_argnames=(
         "meta", "wave", "t_gate", "fuse_shadow", "shadow_gate", "shadow_mint",
         "serial_quirk", "stop_on_first_hit", "max_iters", "return_iters",
-        "need_shadow_tri", "need_steps", "camera", "spp",
+        "need_shadow_tri", "need_steps", "need_t", "camera", "spp", "pump",
     ),
 )
 def persistent_trace(
@@ -92,18 +92,32 @@ def persistent_trace(
     return_iters: bool = False,
     need_shadow_tri: bool = False,
     need_steps: bool = False,
+    need_t: bool = True,
     camera=None,
     spp: int = 1,
+    pump: int = 1,
 ) -> FusedTraceResult:
     """March every ray of `rays` through the packed grid with a W-lane
     persistent wave; optionally fuse each ray's shadow query.
 
     Returns (R,)-aligned FusedTraceResult.  With fuse_shadow=False the
-    shadow fields are all-clear and `light_pos` is unused.  The blocker
-    identity (shadow_tri_id) and per-ray step counts cost one extra 1-D
-    scatter per iteration each, so they are opt-in: shadow_tri_id is -1
-    everywhere unless need_shadow_tri (the renderer enables it only for
-    soft-visibility), and steps is 0 unless need_steps.
+    shadow fields are all-clear and `light_pos` is unused.
+
+    Every output beyond the hit code costs one extra 1-D scatter per
+    round, so they are opt-in: shadow_tri_id is -1 everywhere unless
+    need_shadow_tri (the renderer enables it only for soft-visibility),
+    steps is 0 unless need_steps, and t is a 0/inf hit placeholder
+    unless need_t — the renderer recomputes t differentiably from the
+    returned hit topology, so the production path never pays for it
+    (tests and AOV/debug consumers pass need_t=True).
+
+    `pump` runs that many march steps per scatter+refill round: the
+    scatter and refill costs amortize over `pump` steps, at the price
+    of retired lanes idling until the round ends (measured: rays
+    average only a handful of steps, so pump>2 loses more occupancy
+    than it saves).  Results are invariant to `pump` — a retiring
+    lane's record is latched per-lane the step it finishes and only
+    the scatter is deferred.
     """
     r = rays.count
     w = min(wave, r)
@@ -146,6 +160,13 @@ def persistent_trace(
         # the fused rearm parks the primary record here
         p_best_t=zf + inf, p_best_blk=zi, p_best_slot=zi,
         lane_steps=zi,
+        # per-lane emit latch: a lane that finishes mid-round parks its
+        # record here; the round's ONE scatter flushes all latches
+        done_acc=zb,
+        code_l=jnp.full((w,), -1, jnp.int32),
+        **({"t_l": zf + inf} if need_t else {}),
+        **({"stri_l": jnp.full((w,), -1, jnp.int32)} if need_shadow_tri else {}),
+        **({"steps_l": zi} if need_steps else {}),
         # Global queue cursor + output buffers (miss-initialized).  The
         # buffers carry W dump rows at the tail — one PER LANE — so every
         # scatter in the body has provably unique indices (done lanes
@@ -156,7 +177,7 @@ def persistent_trace(
         # record is packed into one int32 code = slot_index | shadow<<30
         # and the triangle id is resolved AFTER the loop with one gather.
         next=jnp.asarray(0, jnp.int32),
-        out_t=jnp.full((r + w,), inf, jnp.float32),
+        **({"out_t": jnp.full((r + w,), inf, jnp.float32)} if need_t else {}),
         out_code=jnp.full((r + w,), -1, jnp.int32),
         i=jnp.asarray(0, jnp.int32),
         **(
@@ -212,10 +233,14 @@ def persistent_trace(
 
     state = refill(state)
 
-    def cond(s):
-        return (s["i"] < max_iters) & (jnp.any(s["alive"]) | (s["next"] < r))
+    max_rounds = -(-max_iters // pump)
 
-    def body(s):
+    def cond(s):
+        return (s["i"] < max_rounds) & (jnp.any(s["alive"]) | (s["next"] < r))
+
+    def one_step(s):
+        """March + retire (+ fused rearm) for every lane, latching
+        finished-ray records per-lane; no scatter, no refill."""
         pre_alive = s["alive"]
         maxt_lane = jnp.where(s["phase"], inf, s["maxt"])
         s = _march_step(
@@ -282,38 +307,68 @@ def persistent_trace(
             sh_blk, sh_slot = zi, zi
             s = dict(s, alive=s["alive"] & ~done)
 
-        # ---- scatter finished rays (misses record t=inf; rays skipped
-        # at refill keep their miss-initialized rows) --------------------
+        # ---- latch finished rays (misses latch code -1, matching the
+        # miss-initialized output rows) ---------------------------------
         emit = done & jnp.isfinite(final_t)
-        idx = jnp.where(done, s["ray_id"], r + jnp.arange(w, dtype=jnp.int32))
         slotidx = jnp.clip(final_blk * bt + final_slot, 0, n_slots - 1)
         code = jnp.where(
             emit, slotidx | (in_shadow.astype(jnp.int32) << 30), -1
         )
         upd = dict(
             lane_steps=lane_steps,
-            out_t=s["out_t"].at[idx].set(
-                jnp.where(emit, final_t, inf), unique_indices=True
-            ),
-            out_code=s["out_code"].at[idx].set(code, unique_indices=True),
+            done_acc=s["done_acc"] | done,
+            code_l=jnp.where(done, code, s["code_l"]),
         )
+        if need_t:
+            upd["t_l"] = jnp.where(emit, final_t, s["t_l"])
         if need_shadow_tri:
             sidx = jnp.clip(sh_blk * bt + sh_slot, 0, n_slots - 1)
-            upd["out_stri"] = s["out_stri"].at[idx].set(
-                jnp.where(in_shadow, sidx, -1), unique_indices=True
+            upd["stri_l"] = jnp.where(
+                done, jnp.where(in_shadow, sidx, -1), s["stri_l"]
             )
         if need_steps:
-            upd["out_steps"] = s["out_steps"].at[idx].set(
-                jnp.where(done, lane_steps, 0), unique_indices=True
+            upd["steps_l"] = jnp.where(done, lane_steps, s["steps_l"])
+        return dict(s, **upd)
+
+    def body(s):
+        for _ in range(pump):
+            s = one_step(s)
+        # ---- ONE scatter per round flushes every latched record -------
+        flushed = s["done_acc"]
+        idx = jnp.where(flushed, s["ray_id"], r + jnp.arange(w, dtype=jnp.int32))
+        upd = dict(
+            done_acc=zb,
+            code_l=jnp.full((w,), -1, jnp.int32),
+            out_code=s["out_code"].at[idx].set(s["code_l"], unique_indices=True),
+        )
+        if need_t:
+            upd["out_t"] = s["out_t"].at[idx].set(s["t_l"], unique_indices=True)
+            upd["t_l"] = zf + inf
+        if need_shadow_tri:
+            upd["out_stri"] = s["out_stri"].at[idx].set(
+                s["stri_l"], unique_indices=True
             )
+            upd["stri_l"] = jnp.full((w,), -1, jnp.int32)
+        if need_steps:
+            upd["out_steps"] = s["out_steps"].at[idx].set(
+                jnp.where(flushed, s["steps_l"], 0), unique_indices=True
+            )
+            upd["steps_l"] = zi
         s = dict(s, **upd)
         s = refill(s)
         return dict(s, i=s["i"] + 1)
 
     out = jax.lax.while_loop(cond, body, state)
-    out_t = out["out_t"][:r]
     code = out["out_code"][:r]
-    hit = jnp.isfinite(out_t) & (code >= 0)
+    # code >= 0 iff the ray finished with an accepted hit (the emit
+    # gate); out_t is finite on exactly the same rays when recorded
+    hit = code >= 0
+    if need_t:
+        out_t = out["out_t"][:r]
+    else:
+        # placeholder preserving the isfinite(t) == hit invariant; the
+        # renderer recomputes true t from tri_id differentiably
+        out_t = jnp.where(hit, jnp.float32(0.0), inf)
     # resolve the winning slot -> triangle id with ONE post-loop gather
     tri = grid.slot_tri[jnp.clip(code & ((1 << 30) - 1), 0, n_slots - 1)]
     in_shadow = hit & (((code >> 30) & 1) > 0)
@@ -333,5 +388,6 @@ def persistent_trace(
         steps=out["out_steps"][:r] if need_steps else jnp.zeros((r,), jnp.int32),
     )
     if return_iters:
-        return res, out["i"]
+        # march steps executed (rounds * pump), comparable across pump
+        return res, out["i"] * pump
     return res

@@ -217,8 +217,11 @@ def fit(
 
     When optimizing `verts`, pass rebuild_grid_every=k (k>0) to re-run the
     host-side grid build every k steps so moved geometry stays indexed.
-    The rebuild changes GridMeta (shapes) and so re-jits the step when
-    cell occupancy shifts — amortized across the k steps.
+    Rebuilt grids are padded to the compiled step's static meta
+    (accel.packed.pack_grid pad_meta / accel.grid.pad_grid_like), so a
+    rebuild normally does NOT re-jit; only a build that outgrows the
+    padding recompiles, once, with ~30% headroom reserved for the rest
+    of the run.
 
     resume=True restores the newest checkpoint in checkpoint_dir (if any)
     before stepping — crash/preemption recovery for long fits.
@@ -235,6 +238,38 @@ def fit(
         grid, meta = prep.packed.arrays, prep.packed.meta
     else:
         grid, meta = prep.grid.arrays, prep.grid.meta
+    if rebuild_grid_every:
+        # Reserve rebuild headroom in the FIRST compile: pad the initial
+        # grid ~30% so rebuilt grids (whose entry counts jitter as
+        # vertices move) pad back to this meta instead of re-jitting.
+        if packed_mode:
+            head = meta._replace(
+                n_blocks=int(meta.n_blocks * 1.3) + 8,
+                max_blocks=meta.max_blocks + 2,
+            )
+            extra = head.n_blocks - meta.n_blocks
+            grid = grid._replace(
+                blocks=jnp.concatenate([
+                    grid.blocks,
+                    jnp.zeros((extra,) + grid.blocks.shape[1:], grid.blocks.dtype),
+                ]),
+                slot_tri=jnp.concatenate([
+                    grid.slot_tri,
+                    jnp.full((extra * meta.block_tris,), -1, jnp.int32),
+                ]),
+            )
+        else:
+            head = meta._replace(
+                nnz=int(meta.nnz * 1.3) + 8,
+                max_per_voxel=meta.max_per_voxel + 2,
+            )
+            grid = grid._replace(
+                tri_ids=jnp.concatenate([
+                    grid.tri_ids,
+                    jnp.zeros((head.nnz - meta.nnz,), jnp.int32),
+                ])
+            )
+        meta = head
     params = split_scene(scene)
     step, init = make_train_step(
         meta, cfg, optimizer=optimizer, lr=lr, mesh=mesh, trainable=trainable
@@ -275,13 +310,35 @@ def fit(
             if packed_mode:
                 from ray_tracer_tpu.accel.packed import pack_grid
 
+                # pad up to the compiled step's meta so the rebuild does
+                # NOT re-jit; when the moved geometry outgrows it, grow
+                # once with ~30% headroom so later rebuilds fit again
                 repacked = pack_grid(
                     built, verts_np, faces_np,
-                    block_tris=cfg.render.packed_block_tris,
+                    block_tris=cfg.render.packed_block_tris, pad_meta=meta,
                 )
+                if repacked.meta != meta:
+                    head = repacked.meta._replace(
+                        n_blocks=int(repacked.meta.n_blocks * 1.3) + 8,
+                        max_blocks=repacked.meta.max_blocks + 2,
+                    )
+                    repacked = pack_grid(
+                        built, verts_np, faces_np,
+                        block_tris=cfg.render.packed_block_tris,
+                        pad_meta=head,
+                    )
                 grid, new_meta = repacked.arrays, repacked.meta
             else:
-                grid, new_meta = built.arrays, built.meta
+                from ray_tracer_tpu.accel.grid import pad_grid_like
+
+                padded = pad_grid_like(built, meta)
+                if padded is None:
+                    head = built.meta._replace(
+                        nnz=int(built.meta.nnz * 1.3) + 8,
+                        max_per_voxel=built.meta.max_per_voxel + 2,
+                    )
+                    padded = pad_grid_like(built, head) or built
+                grid, new_meta = padded.arrays, padded.meta
             if new_meta != meta:
                 meta = new_meta
                 step, _ = make_train_step(

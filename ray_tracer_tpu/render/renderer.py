@@ -126,9 +126,10 @@ def render_rays(
 
             def trav(rb, t_gate, stop_on_first_hit=False, camera=None):
                 res = persistent_trace(
-                    rb, grid, meta, wave=rcfg.wave,
+                    rb, grid, meta, wave=rcfg.wave, pump=rcfg.pump,
                     t_gate=0.0 if t_gate is None else t_gate,
                     stop_on_first_hit=stop_on_first_hit,
+                    need_t=False,  # t is recomputed from tri_id below
                     camera=camera, spp=rcfg.spp if camera is not None else 1,
                 )
                 return PackedTraceResult(
@@ -211,7 +212,8 @@ def render_rays(
                 fres = persistent_trace(
                     jax.lax.stop_gradient(cur), grid, meta,
                     jax.lax.stop_gradient(scene.light_pos),
-                    wave=rcfg.wave, fuse_shadow=True,
+                    wave=rcfg.wave, pump=rcfg.pump, fuse_shadow=True,
+                    need_t=False,  # t is recomputed from tri_id below
                     t_gate=0.0 if primary_gate is None else primary_gate,
                     # blocker identity costs an extra scatter/iteration;
                     # only soft visibility consumes it

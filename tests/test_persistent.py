@@ -167,6 +167,52 @@ def test_persistent_dead_and_padding_lanes(packed_prep):
     np.testing.assert_array_equal(np.asarray(got.tri_id), np.asarray(want.tri_id))
 
 
+@pytest.mark.parametrize("pump", [2, 5])
+def test_persistent_pump_invariant(packed_prep, pump):
+    """Results are invariant to the scatter/refill cadence: pump=K only
+    defers the flush, the latched records are identical."""
+    prep = packed_prep
+    rcfg = prep.cfg.render
+    rays = camera_rays(prep.cfg.camera, dtype=jnp.float32)
+    light = prep.scene.light_pos
+    kw = dict(
+        shadow_gate=rcfg.shadow_eps,
+        shadow_mint=rcfg.shadow_mint(),
+        serial_quirk=rcfg.shadow_dir_away_from_light(),
+        wave=512, t_gate=0.0, fuse_shadow=True, need_shadow_tri=True,
+        need_steps=True,
+    )
+    a = persistent_trace(
+        rays, prep.packed.arrays, prep.packed.meta, light, pump=1, **kw
+    )
+    b = persistent_trace(
+        rays, prep.packed.arrays, prep.packed.meta, light, pump=pump, **kw
+    )
+    for f in ("hit", "t", "tri_id", "in_shadow", "shadow_tri_id", "steps"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, f)), np.asarray(getattr(b, f)), err_msg=f
+        )
+
+
+def test_persistent_need_t_false(packed_prep):
+    """need_t=False drops the t scatter; hit/tri agree exactly and t
+    keeps the isfinite(t) == hit invariant as a 0/inf placeholder."""
+    prep = packed_prep
+    rays = camera_rays(prep.cfg.camera, dtype=jnp.float32)
+    a = persistent_trace(
+        rays, prep.packed.arrays, prep.packed.meta, wave=512, t_gate=0.0
+    )
+    b = persistent_trace(
+        rays, prep.packed.arrays, prep.packed.meta, wave=512, t_gate=0.0,
+        need_t=False,
+    )
+    np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit))
+    np.testing.assert_array_equal(np.asarray(a.tri_id), np.asarray(b.tri_id))
+    np.testing.assert_array_equal(
+        np.isfinite(np.asarray(b.t)), np.asarray(b.hit)
+    )
+
+
 def test_persistent_camera_refill_matches(packed_prep):
     """Camera-generated refill (zero-gather ray source) is bitwise the
     same march as the packed-table refill."""
