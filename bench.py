@@ -128,6 +128,8 @@ def main() -> None:
                     help="triangles per packed block row")
     ap.add_argument("--fused", default="auto", choices=["auto", "on", "off"],
                     help="fuse the shadow pass into the primary march")
+    ap.add_argument("--rm", type=float, default=0.75,
+                    help="grid resolution multiplier (cells ~ rm * 3*cbrt(N))")
     args = ap.parse_args()
 
     import dataclasses
@@ -167,7 +169,7 @@ def main() -> None:
             # 56-triangle/512-lane block rows, fused primary+shadow
             # march -> 9.7 Mrays/s on v5e (7.0 at the first-cut
             # 14-tri/128-lane two-pass defaults).
-            grid=GridConfig(resolution_multiplier=0.75),
+            grid=GridConfig(resolution_multiplier=args.rm),
         ),
     )
     t0 = time.perf_counter()
