@@ -118,19 +118,39 @@ def main() -> None:
                          "parallel = CUDA-variant reflective scene")
     ap.add_argument("--grad", action="store_true",
                     help="benchmark one fwd+bwd train step instead of forward")
-    ap.add_argument("--scheduler", default="tiled",
+    ap.add_argument("--scheduler", default="persistent",
                     choices=["tiled", "persistent"])
-    ap.add_argument("--wave", type=int, default=65536,
+    ap.add_argument("--wave", type=int, default=None,
                     help="persistent-scheduler lane count")
-    ap.add_argument("--pump", type=int, default=1,
+    ap.add_argument("--pump", type=int, default=2,
                     help="persistent march steps per scatter+refill round")
-    ap.add_argument("--block-tris", type=int, default=56,
+    ap.add_argument("--block-tris", type=int, default=None,
                     help="triangles per packed block row")
     ap.add_argument("--fused", default="auto", choices=["auto", "on", "off"],
                     help="fuse the shadow pass into the primary march")
-    ap.add_argument("--rm", type=float, default=0.75,
+    ap.add_argument("--rm", type=float, default=None,
                     help="grid resolution multiplier (cells ~ rm * 3*cbrt(N))")
+    ap.add_argument("--max-res", type=int, default=None,
+                    help="per-axis grid resolution clamp (reference: 64)")
     args = ap.parse_args()
+
+    # Per-scene tuned defaults (sweep-measured on v5e; docs/PERFORMANCE.md):
+    # sparse spot wants narrow 14-tri rows and a fine unclamped grid;
+    # the dense 261k-tri stand-in wants 28-tri rows and the stock cap
+    # (finer grids overflow the packed-layout per-voxel bound).
+    _tuned = {
+        "spot": dict(block_tris=14, rm=2.0, max_res=128, wave=8192),
+        "nefertiti": dict(block_tris=28, rm=1.25, max_res=64, wave=8192),
+        "parallel": dict(block_tris=56, rm=0.75, max_res=64, wave=16384),
+    }[args.scene]
+    if args.block_tris is None:
+        args.block_tris = _tuned["block_tris"]
+    if args.rm is None:
+        args.rm = _tuned["rm"]
+    if args.max_res is None:
+        args.max_res = _tuned["max_res"]
+    if args.wave is None:
+        args.wave = _tuned["wave"]
 
     import dataclasses
 
@@ -159,17 +179,14 @@ def main() -> None:
             cfg.render, faithful=False, det_dtype="float32",
             traversal="packed", ray_tile=768,
             packed_block_tris=args.block_tris,
-            # fused primary+shadow march wins on sparse scenes (spot:
-            # +20%) but loses on dense full-frame ones (nefertiti: -19%,
-            # every lane runs both phases so only the heavier body
-            # remains) — pick per scene.
             fused_shadow=False,  # decided below (measured, or forced by --fused)
             scheduler=args.scheduler, wave=args.wave, pump=args.pump,
-            # TPU-tuned: coarse grid (vs the reference's 3.0 heuristic),
-            # 56-triangle/512-lane block rows, fused primary+shadow
-            # march -> 9.7 Mrays/s on v5e (7.0 at the first-cut
-            # 14-tri/128-lane two-pass defaults).
-            grid=GridConfig(resolution_multiplier=args.rm),
+            # TPU-tuned per scene (see _tuned above): the persistent
+            # wavefront + fused shadow + fine grid -> 20 Mrays/s on v5e
+            # spot (9.7 at the round-1 tiled schedule, 7.0 at the
+            # first-cut 14-tri/128-lane two-pass defaults).
+            grid=GridConfig(resolution_multiplier=args.rm,
+                            max_resolution=args.max_res),
         ),
     )
     t0 = time.perf_counter()

@@ -125,11 +125,19 @@ def estimate_coverage(prep, stride: int = 8) -> float:
 
 
 def choose_fused_shadow(prep, threshold: float = 0.75, stride: int = 8) -> bool:
-    """Measured policy for RenderConfig.fused_shadow: fusing the shadow
-    march into the primary wave wins on SPARSE scenes (the shadow work
-    hides in the primary tail: +20% on spot at ~55% coverage) and loses
-    on dense full-frame ones (-19% on the 261k-tri stand-in at ~100%
-    coverage, where every lane runs both phases and only the heavier
-    body remains; docs/PERFORMANCE.md).  The crossover sits well above
-    spot and below full coverage — threshold 0.75 by measurement."""
+    """Measured policy for RenderConfig.fused_shadow.
+
+    Persistent scheduler: always fuse.  A retiring lane rearms in place
+    and refills the same round, so there is no tile tail for the heavier
+    fused body to waste — measured wins at BOTH ends of the density
+    range (spot ~55% coverage and the 261k-tri stand-in at ~100%:
+    5.25 fused vs 4.88 two-pass Mrays/s, docs/PERFORMANCE.md).
+
+    Tiled scheduler: fusing wins on SPARSE scenes (the shadow work hides
+    in the primary tail: +20% on spot) and loses on dense full-frame
+    ones (-19% on the stand-in, where every lock-step tile runs both
+    phases and only the heavier body remains).  The crossover sits well
+    above spot and below full coverage — threshold 0.75 by measurement."""
+    if prep.cfg.render.scheduler == "persistent":
+        return True
     return estimate_coverage(prep, stride=stride) < threshold
