@@ -118,10 +118,17 @@ def build_grid(
     resolution_multiplier: float = 3.0,
     max_resolution: int = 64,
     use_native: bool = True,
+    force_resolution: "tuple[int, int, int] | None" = None,
 ) -> UniformGrid:
+    """force_resolution overrides the 3∛N heuristic with a fixed
+    (nx, ny, nz) — needed when several grids must share one static
+    meta (the ring-pass sharded-geometry build stacks per-shard grids
+    under a common jit)."""
     verts = np.asarray(verts, dtype=np.float32)
     faces = np.asarray(faces, dtype=np.int32)
     num_tris = faces.shape[0]
+    if force_resolution is not None:
+        use_native = False  # the native builder computes its own resolution
 
     if use_native and num_tris > 0:
         try:
@@ -159,10 +166,18 @@ def build_grid(
     lower = tri_lo.min(axis=0)
     upper = tri_hi.max(axis=0)
 
-    n_voxels = grid_resolution(lower, upper, num_tris, resolution_multiplier, max_resolution)
+    if force_resolution is not None:
+        n_voxels = np.asarray(force_resolution, np.int32)
+    else:
+        n_voxels = grid_resolution(
+            lower, upper, num_tris, resolution_multiplier, max_resolution
+        )
     delta = (upper - lower).astype(np.float32)
     width = delta / n_voxels.astype(np.float32)
-    inv_width = np.where(width == 0.0, np.float32(0.0), np.float32(1.0) / width)
+    with np.errstate(divide="ignore"):  # zero-extent axes (thin slices)
+        inv_width = np.where(
+            width == 0.0, np.float32(0.0), np.float32(1.0) / width
+        )
 
     nx, ny, nz = (int(x) for x in n_voxels)
 

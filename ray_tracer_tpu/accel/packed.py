@@ -122,6 +122,7 @@ def pack_grid(
     faces: np.ndarray,
     block_tris: int = BLOCK_TRIS,
     pad_meta: "PackedGridMeta | None" = None,
+    as_numpy: bool = False,
 ) -> PackedGrid:
     """Build the packed layout from the CSR grid (host-side numpy).
 
@@ -137,6 +138,11 @@ def pack_grid(
     otherwise the fresh meta is returned and the caller re-jits.
     Padding block rows are unreachable — cell_info never points at
     them.
+
+    as_numpy: keep every array leaf in host numpy (no device upload) —
+    for builders that post-process/stack several packs before one
+    upload (the ring-pass sharded-geometry build).  Requires a
+    host-built grid (grid.host present).
     """
     row_lanes = -(-(block_tris * 9) // 128) * 128
     nx, ny, nz = grid.meta.n_voxels
@@ -225,6 +231,18 @@ def pack_grid(
                 [slot_tri, np.full((extra * block_tris,), -1, np.int32)]
             )
         meta = pad_meta
+    if as_numpy:
+        assert host is not None, "as_numpy pack requires a host-built grid"
+        arrays = PackedGridArrays(
+            lower=np.asarray(host.lower, np.float32),
+            upper=np.asarray(host.upper, np.float32),
+            width=np.asarray(host.width, np.float32),
+            inv_width=np.asarray(host.inv_width, np.float32),
+            cell_info=info,
+            blocks=blocks,
+            slot_tri=slot_tri,
+        )
+        return PackedGrid(arrays=arrays, meta=meta)
     arrays = PackedGridArrays(
         lower=grid.arrays.lower,
         upper=grid.arrays.upper,

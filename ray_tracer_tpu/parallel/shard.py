@@ -426,15 +426,23 @@ def render_sharded_geometry(
     mesh: Optional[Mesh] = None,
     rays_axis: Optional[str] = "rays",
     tris_axis: str = "tris",
+    ring_grids=None,
 ) -> jnp.ndarray:
     """Full forward render with the GEOMETRY sharded over `tris_axis`
     and ray batches ring-passed between neighbors -> (H, W, 3).
 
     Completes the memory-bound-scene story: each device holds 1/D of the
     triangle soup (plus its own ray slice); primary and shadow passes
-    each orbit the ring once.  The image equals the replicated brute-
-    force render bit-for-bit (same arithmetic; order-independent merge).
-    Single-shadow-ray scenes only (max_bounces == 0)."""
+    each orbit the ring once.  When the prepared config uses the packed
+    traversal, each hop marches the shard's OWN uniform grid (one packed
+    grid per slice, `build_ring_grids`) — the accelerated path for
+    scenes too big to replicate; otherwise each hop is the all-pairs
+    sweep.  Either way the image equals the corresponding replicated
+    render bit-for-bit (same arithmetic; order-independent merge).
+    Single-shadow-ray scenes only (max_bounces == 0).
+
+    ring_grids: a (arrays, meta, fp) triple from build_ring_grids to
+    reuse across frames; built on the fly when omitted."""
     if mesh is None:
         mesh = make_mesh()
     cfg = prep.cfg
@@ -457,7 +465,235 @@ def render_sharded_geometry(
     r = rays.count
     rp = _pad_to(r, shards)
     rays_p = pad_rays(rays, rp)
-    fn = _ring_render_fn(cfg, mesh, rays_axis, tris_axis, fp)
-    colors = fn(rays_p, v0, v1, v2, fmat, scene.materials,
-                scene.light_pos, scene.light_intensity)[:r]
+    if cfg.render.traversal == "packed":
+        if ring_grids is None:
+            ring_grids = build_ring_grids(prep, n_tri_shards)
+        garr, gmeta, gfp = ring_grids
+        assert gfp == fp, "ring_grids built for a different shard count"
+        fn = _ring_render_grid_fn(cfg, mesh, rays_axis, tris_axis, gmeta, fp)
+        colors = fn(rays_p, garr, v0, v1, v2, fmat, scene.materials,
+                    scene.light_pos, scene.light_intensity)[:r]
+    else:
+        fn = _ring_render_fn(cfg, mesh, rays_axis, tris_axis, fp)
+        colors = fn(rays_p, v0, v1, v2, fmat, scene.materials,
+                    scene.light_pos, scene.light_intensity)[:r]
     return colors.reshape(cfg.camera.height, cfg.camera.width, 3)
+
+
+# ---------------------------------------------------------------------------
+# Grid-accelerated ring pass: each shard marches rays through a packed
+# uniform grid built over ITS triangle slice (vs the all-pairs hop above)
+# ---------------------------------------------------------------------------
+
+
+def build_ring_grids(prep: Prepared, n_shards: int):
+    """Host-side build of one packed grid PER triangle shard, stacked on
+    a leading shard axis for `shard_map` distribution.
+
+    Every shard's grid shares ONE static `PackedGridMeta` (forced common
+    resolution = the replicated build's; block counts padded to the max;
+    probe nudge = the min) so a single jitted march serves all shards —
+    the per-shard AABB/width live in the array leaves.  Returns
+    (stacked PackedGridArrays [leading dim n_shards], meta, fp) where fp
+    is the padded face count (slices are contiguous, fp/n_shards faces
+    each; padding faces are degenerate point-triangles at vertex 0 that
+    can never pass the strict barycentric test).
+
+    This is what lets a scene too big to REPLICATE still use the grid:
+    the reference's single-GPU deep copy (Parallel/raytracer.cu:583-615)
+    had no answer past one device's memory.
+    """
+    from ray_tracer_tpu.accel.grid import build_grid
+    from ray_tracer_tpu.accel.packed import PackedGridArrays as PGA
+    from ray_tracer_tpu.accel.packed import PackedGridMeta, pack_grid
+    from ray_tracer_tpu.models.scenes import host_geometry
+
+    verts_np, faces_np = host_geometry(prep.scene)
+    f = faces_np.shape[0]
+    fp = _pad_to(f, n_shards)
+    if fp != f:
+        pad = np.zeros((fp - f, 3), faces_np.dtype)
+        faces_np = np.concatenate([faces_np, pad])
+    st = fp // n_shards
+    rcfg = prep.cfg.render
+    bt = rcfg.packed_block_tris
+    common_res = prep.grid.meta.n_voxels  # the replicated build's resolution
+
+    packs = []
+    for d in range(n_shards):
+        sl = faces_np[d * st:(d + 1) * st]
+        g = build_grid(
+            verts_np, sl,
+            resolution_multiplier=rcfg.grid.resolution_multiplier,
+            max_resolution=rcfg.grid.max_resolution,
+            force_resolution=common_res,
+        )
+        packs.append(pack_grid(g, verts_np, sl, block_tris=bt, as_numpy=True))
+
+    nb = max(p.meta.n_blocks for p in packs)
+    meta = PackedGridMeta(
+        n_voxels=common_res,
+        n_blocks=nb,
+        probe_delta=min(p.meta.probe_delta for p in packs),
+        block_tris=bt,
+        row_lanes=packs[0].meta.row_lanes,
+        max_blocks=max(p.meta.max_blocks for p in packs),
+    )
+
+    def _pad_blocks(p):
+        extra = nb - p.meta.n_blocks
+        blocks, slot_tri = p.arrays.blocks, p.arrays.slot_tri
+        if extra:
+            blocks = np.concatenate(
+                [blocks, np.zeros((extra, meta.row_lanes), np.float32)]
+            )
+            slot_tri = np.concatenate(
+                [slot_tri, np.full((extra * bt,), -1, np.int32)]
+            )
+        return blocks, slot_tri
+
+    padded = [_pad_blocks(p) for p in packs]
+    arrays = PGA(
+        lower=jnp.asarray(np.stack([p.arrays.lower for p in packs])),
+        upper=jnp.asarray(np.stack([p.arrays.upper for p in packs])),
+        width=jnp.asarray(np.stack([p.arrays.width for p in packs])),
+        inv_width=jnp.asarray(np.stack([p.arrays.inv_width for p in packs])),
+        cell_info=jnp.asarray(np.stack([p.arrays.cell_info for p in packs])),
+        blocks=jnp.asarray(np.stack([b for b, _ in padded])),
+        slot_tri=jnp.asarray(np.stack([s for _, s in padded])),
+    )
+    return arrays, meta, fp
+
+
+def _ring_sweep_grid(rays, garr, meta, v0, v1, v2, fmat, shard_tris,
+                     tris_axis, t_gate, stop_first):
+    """_ring_sweep with the all-pairs local hop replaced by the packed
+    uniform-grid march (ops/traverse_packed) over the shard's own grid.
+    Same visit-order-independent strict-better merge, same payload."""
+    from ray_tracer_tpu.ops.traverse_packed import traverse_packed
+    from ray_tracer_tpu.parallel.collectives import ring_shift
+
+    nt = jax.lax.axis_size(tris_axis)
+    inf = jnp.float32(jnp.inf)
+    want = frozenset().union(
+        *(jax.typeof(x).vma for x in jax.tree.leaves(rays))
+    ) | {tris_axis}
+
+    def _vary(x):
+        missing = tuple(want - jax.typeof(x).vma)
+        return jax.lax.pcast(x, missing, to="varying") if missing else x
+
+    rays = jax.tree.map(_vary, rays)
+    zf = (rays.mint * 0.0).astype(jnp.float32)
+    zi = zf.astype(jnp.int32)
+    z3 = (rays.orig * 0.0).astype(jnp.float32)
+    best = dict(
+        t=zf + inf,
+        tid=zi + jnp.iinfo(jnp.int32).max,
+        mat=zi,
+        tv0=z3, tv1=z3, tv2=z3,
+    )
+    bundle = (rays, best)
+
+    def hop(_, bundle):
+        rays, best = bundle
+        my = jax.lax.axis_index(tris_axis)
+        res = traverse_packed(
+            rays, garr, meta,
+            t_gate=0.0 if t_gate is None else t_gate,
+            stop_on_first_hit=stop_first,
+        )
+        j = jnp.clip(res.tri_id, 0, shard_tris - 1)
+        loc_t = jnp.where(res.hit, res.t, inf)
+        loc = dict(
+            t=loc_t,
+            tid=jnp.where(res.hit, res.tri_id + my * shard_tris,
+                          jnp.iinfo(jnp.int32).max),
+            mat=fmat[j],
+            tv0=v0[j], tv1=v1[j], tv2=v2[j],
+        )
+        better = (loc["t"] < best["t"]) | (
+            (loc["t"] == best["t"]) & (loc["tid"] < best["tid"])
+        )
+        b3 = better[:, None]
+        best = dict(
+            t=jnp.where(better, loc["t"], best["t"]),
+            tid=jnp.where(better, loc["tid"], best["tid"]),
+            mat=jnp.where(better, loc["mat"], best["mat"]),
+            tv0=jnp.where(b3, loc["tv0"], best["tv0"]),
+            tv1=jnp.where(b3, loc["tv1"], best["tv1"]),
+            tv2=jnp.where(b3, loc["tv2"], best["tv2"]),
+        )
+        return jax.tree.map(lambda x: ring_shift(x, tris_axis), (rays, best))
+
+    rays, best = jax.lax.fori_loop(0, nt, hop, bundle)
+    return rays, best
+
+
+@lru_cache(maxsize=16)
+def _ring_render_grid_fn(cfg: SceneConfig, mesh: Mesh, rays_axis: Optional[str],
+                         tris_axis: str, meta, n_tris_padded: int):
+    from ray_tracer_tpu.core import vecmath as vm
+    from ray_tracer_tpu.ops.shade import (
+        hit_geometry_parallel, hit_geometry_serial, shade_parallel, shade_serial,
+    )
+
+    rcfg = cfg.render
+    assert not rcfg.faithful, "ring renderer has production semantics only"
+    assert rcfg.max_bounces == 0, "ring renderer: bounces not supported yet"
+    shard_tris = n_tris_padded // mesh.shape[tris_axis]
+    ray_axes = (rays_axis, tris_axis) if rays_axis else (tris_axis,)
+    serial = rcfg.serial_shading
+    pg = rcfg.primary_gate()
+    eps = rcfg.shadow_eps
+
+    def body(rays, garr, v0, v1, v2, fmat, materials, light_pos,
+             light_intensity):
+        garr = jax.tree.map(lambda x: x[0], garr)  # drop the shard dim
+        rays, best = _ring_sweep_grid(
+            rays, garr, meta, v0, v1, v2, fmat, shard_tris, tris_axis,
+            pg, False,
+        )
+        hit = jnp.isfinite(best["t"])
+        t = jnp.where(hit, best["t"], 0.0)
+        tv0, tv1, tv2 = best["tv0"], best["tv1"], best["tv2"]
+        if serial:
+            geom = hit_geometry_serial(rays.orig, rays.dirn, t, tv0, tv1, tv2)
+        else:
+            geom = hit_geometry_parallel(rays.orig, rays.dirn, t, tv0, tv1, tv2)
+        geom = geom._replace(
+            poi=jnp.where(hit[:, None], geom.poi, jnp.zeros_like(geom.poi))
+        )
+        mat = materials.gather(best["mat"])
+
+        to_light = light_pos - geom.poi
+        nsd = vm.normalize(to_light)
+        sdir = -nsd if rcfg.shadow_dir_away_from_light() else nsd
+        sorig = jnp.where(hit[:, None], geom.poi,
+                          jnp.full_like(geom.poi, jnp.inf))
+        srays = RayBatch.make(sorig, sdir, mint=rcfg.shadow_mint())
+        _, sbest = _ring_sweep_grid(
+            srays, garr, meta, v0, v1, v2, fmat, shard_tris, tris_axis,
+            eps, True,
+        )
+        in_shadow = jnp.isfinite(sbest["t"]) & hit
+
+        if serial:
+            color = shade_serial(geom, mat, light_pos, light_intensity,
+                                 in_shadow, rcfg.shadow_scale)
+        else:
+            color = shade_parallel(geom, mat, light_pos, in_shadow,
+                                   rcfg.shadow_scale)
+        bg = jnp.asarray(rcfg.background, color.dtype)
+        return jnp.where(hit[:, None], color, bg)
+
+    # P(tris_axis) is a pytree PREFIX for the PackedGridArrays input:
+    # every leaf is sharded on its leading (shard) dim
+    return jax.jit(jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(ray_axes), P(tris_axis),
+                  P(tris_axis), P(tris_axis), P(tris_axis), P(tris_axis),
+                  P(), P(), P()),
+        out_specs=P(ray_axes),
+    ))

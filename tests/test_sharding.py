@@ -178,3 +178,59 @@ def test_ring_sharded_render_equals_replicated(tiny_prep, eight_device_mesh):
     want = np.asarray(render(prep))
     got = np.asarray(render_sharded_geometry(prep, mesh=eight_device_mesh))
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-5)
+
+
+def test_ring_grid_render_equals_replicated_packed(tiny_prep, eight_device_mesh):
+    """Grid-accelerated ring pass: each shard marches rays through a
+    packed grid over ITS slice (build_ring_grids).  Must equal the
+    replicated packed render — the accelerated memory-scaling path."""
+    import dataclasses
+
+    from ray_tracer_tpu.parallel.shard import (
+        build_ring_grids,
+        render_sharded_geometry,
+    )
+    from ray_tracer_tpu.render.renderer import prepare
+
+    cfg = dataclasses.replace(
+        tiny_prep.cfg,
+        render=dataclasses.replace(
+            tiny_prep.cfg.render, faithful=False, det_dtype="float32",
+            traversal="packed", fused_shadow=False,
+        ),
+    )
+    prep = prepare(cfg, scene=tiny_prep.scene)
+    want = np.asarray(render(prep))
+    rg = build_ring_grids(prep, eight_device_mesh.shape["tris"])
+    got = np.asarray(
+        render_sharded_geometry(prep, mesh=eight_device_mesh, ring_grids=rg)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-5)
+    # and the on-the-fly build path (no precomputed grids)
+    got2 = np.asarray(render_sharded_geometry(prep, mesh=eight_device_mesh))
+    np.testing.assert_array_equal(got, got2)
+
+
+def test_ring_grid_tris_only_axis(tiny_prep):
+    """1-D 'tris' mesh: every device holds 1/8 of the triangles and ALL
+    rays orbit; grid hop path."""
+    import dataclasses
+
+    from ray_tracer_tpu.parallel.mesh import make_mesh
+    from ray_tracer_tpu.parallel.shard import render_sharded_geometry
+    from ray_tracer_tpu.render.renderer import prepare
+
+    mesh = make_mesh(8, ("tris",), shape=(8,))
+    cfg = dataclasses.replace(
+        tiny_prep.cfg,
+        render=dataclasses.replace(
+            tiny_prep.cfg.render, faithful=False, det_dtype="float32",
+            traversal="packed", fused_shadow=False,
+        ),
+    )
+    prep = prepare(cfg, scene=tiny_prep.scene)
+    want = np.asarray(render(prep))
+    got = np.asarray(
+        render_sharded_geometry(prep, mesh=mesh, rays_axis=None)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-5)
