@@ -53,6 +53,18 @@ def _build_cfg(args):
         cfg = dataclasses.replace(
             cfg, render=dataclasses.replace(cfg.render, faithful=False)
         )
+    if getattr(args, "turbo", False):
+        # the tuned production pipeline (what bench.py runs): packed
+        # block rows + the persistent wavefront + measured shadow-fusion
+        # policy.  ~2x the --fast CSR walk on v5e.
+        cfg = dataclasses.replace(
+            cfg,
+            render=dataclasses.replace(
+                cfg.render, faithful=False, det_dtype="float32",
+                traversal="packed", scheduler="persistent",
+                wave=8192, pump=2,
+            ),
+        )
     if getattr(args, "spp", 1) > 1:
         cfg = dataclasses.replace(
             cfg, render=dataclasses.replace(cfg.render, spp=args.spp)
@@ -191,6 +203,9 @@ def main(argv=None) -> None:
     r.add_argument("--out", default="out.ppm")
     r.add_argument("--fast", action="store_true",
                    help="production semantics (early-exit DDA, f32 dets)")
+    r.add_argument("--turbo", action="store_true",
+                   help="tuned production pipeline: packed grid + "
+                        "persistent wavefront (the bench.py path)")
     r.add_argument("--devices", type=int, default=0,
                    help="shard rays over this many devices")
     r.add_argument("--profile", default=None,

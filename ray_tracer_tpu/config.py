@@ -103,7 +103,11 @@ class RenderConfig:
     # with empty-space skipping and entry-sorted tiling — the fast path
     # (requires faithful=False).
     traversal: str = "csr"
-    packed_block_tris: int = 14  # triangles per packed block row (14/28/56)
+    # Triangles per packed block row (14/28/56); 0 = auto: prepare()
+    # rounds the measured mean triangles-per-occupied-voxel up to the
+    # next row size (sweep-measured winners: spot 8.5 -> 14,
+    # nefertiti 24.8 -> 28, parallel scene 56.9 -> 56).
+    packed_block_tris: int = 14
     packed_unroll: int = 1  # march steps per while_loop iteration
     # Scheduler for the packed path.  "tiled": entry-sorted fixed tiles
     # via lax.map (one while_loop per tile).  "persistent": ONE

@@ -73,6 +73,7 @@ def _pack_rays(rays: RayBatch) -> jnp.ndarray:
         "meta", "wave", "t_gate", "fuse_shadow", "shadow_gate", "shadow_mint",
         "serial_quirk", "stop_on_first_hit", "max_iters", "return_iters",
         "need_shadow_tri", "need_steps", "need_t", "camera", "spp", "pump",
+        "compact",
     ),
 )
 def persistent_trace(
@@ -96,6 +97,7 @@ def persistent_trace(
     camera=None,
     spp: int = 1,
     pump: int = 1,
+    compact: bool = False,
 ) -> FusedTraceResult:
     """March every ray of `rays` through the packed grid with a W-lane
     persistent wave; optionally fuse each ray's shadow query.
@@ -118,6 +120,19 @@ def persistent_trace(
     than it saves).  Results are invariant to `pump` — a retiring
     lane's record is latched per-lane the step it finishes and only
     the scatter is deferred.
+
+    `compact`: pre-filter the work queue with one vectorized slab test
+    over the whole batch — rays that can never enter the grid (sky
+    rays missing the scene AABB, dead bounce lanes with inf origins)
+    are dropped from the queue entirely instead of being popped-and-
+    rejected one wave at a time.  The queue then holds compacted ray
+    ids; the camera-regen refill regenerates ray work_ids[k], the
+    gather refill fetches its row.  A sparse or mostly-dead batch
+    (sky-heavy primaries; reflection segments past depth 1, where the
+    queue sweep of R ids at W pops/round dominates) finishes in
+    ~ceil(live/W) pop rounds instead of ceil(R/W).  Output is
+    bit-identical: each ray's march is lane-independent and results
+    scatter by ray id.
     """
     r = rays.count
     w = min(wave, r)
@@ -140,9 +155,42 @@ def persistent_trace(
     light = (jnp.zeros((3,), jnp.float32) if light_pos is None
              else light_pos.astype(jnp.float32))
 
-    zf = jnp.zeros((w,), jnp.float32)
-    zi = jnp.zeros((w,), jnp.int32)
-    zb = jnp.zeros((w,), bool)
+    if compact:
+        # live-first work queue: one slab test over the batch, then a
+        # cumsum scatter of the surviving ray ids to the queue front
+        _, live = _slab_entry(
+            grid,
+            rays.orig.astype(jnp.float32), rays.dirn.astype(jnp.float32),
+            rays.mint.astype(jnp.float32), rays.maxt.astype(jnp.float32),
+        )
+        pos = jnp.cumsum(live.astype(jnp.int32)) - 1
+        buf = jnp.full((r + 1,), r, jnp.int32)
+        # dead rays all land on dump row r (colliding writes are fine)
+        buf = buf.at[jnp.where(live, pos, r)].set(
+            jnp.arange(r, dtype=jnp.int32)
+        )
+        work_ids = buf[:r]
+        n_work = pos[-1] + 1
+    else:
+        work_ids = None
+        n_work = jnp.asarray(r, jnp.int32)
+
+    # Under shard_map every while_loop carry leaf must have one uniform
+    # varying-axes type; fresh constants (queue cursor, output buffers,
+    # per-round latch resets) enter unvarying while ray-derived leaves
+    # vary over the mesh axes.  _vary pcasts a leaf up to the union of
+    # the inputs' axes (identity outside shard_map, where vma is empty).
+    _want = frozenset().union(
+        *(jax.typeof(x).vma for x in jax.tree.leaves((rays, grid, light)))
+    )
+
+    def _vary(x):
+        missing = tuple(_want - jax.typeof(x).vma)
+        return jax.lax.pcast(x, missing, to="varying") if missing else x
+
+    zf = _vary(jnp.zeros((w,), jnp.float32))
+    zi = zf.astype(jnp.int32)
+    zb = zi != 0
 
     state = dict(
         # lane ray state
@@ -196,7 +244,9 @@ def persistent_trace(
         idle = ~s["alive"]
         order = jnp.cumsum(idle.astype(jnp.int32))
         new_id = jnp.where(idle, s["next"] + order - 1, s["ray_id"])
-        got = idle & (new_id < r)
+        got = idle & (new_id < n_work)
+        if work_ids is not None:  # queue holds compacted ray ids
+            new_id = work_ids[jnp.clip(new_id, 0, r - 1)]
         rid = jnp.where(got, new_id, jnp.where(idle, r, s["ray_id"]))
         if camera is not None:
             from ray_tracer_tpu.ops.camera import camera_ray_at
@@ -228,7 +278,7 @@ def persistent_trace(
             best_slot=jnp.where(got, 0, s["best_slot"]),
             p_best_t=jnp.where(got, inf, s["p_best_t"]),
             lane_steps=jnp.where(got, 0, s["lane_steps"]),
-            next=jnp.minimum(s["next"] + order[-1], jnp.asarray(r, jnp.int32)),
+            next=jnp.minimum(s["next"] + order[-1], n_work),
         )
 
     state = refill(state)
@@ -236,7 +286,9 @@ def persistent_trace(
     max_rounds = -(-max_iters // pump)
 
     def cond(s):
-        return (s["i"] < max_rounds) & (jnp.any(s["alive"]) | (s["next"] < r))
+        return (s["i"] < max_rounds) & (
+            jnp.any(s["alive"]) | (s["next"] < n_work)
+        )
 
     def one_step(s):
         """March + retire (+ fused rearm) for every lane, latching
@@ -338,7 +390,7 @@ def persistent_trace(
         idx = jnp.where(flushed, s["ray_id"], r + jnp.arange(w, dtype=jnp.int32))
         upd = dict(
             done_acc=zb,
-            code_l=jnp.full((w,), -1, jnp.int32),
+            code_l=zi - 1,
             out_code=s["out_code"].at[idx].set(s["code_l"], unique_indices=True),
         )
         if need_t:
@@ -348,7 +400,7 @@ def persistent_trace(
             upd["out_stri"] = s["out_stri"].at[idx].set(
                 s["stri_l"], unique_indices=True
             )
-            upd["stri_l"] = jnp.full((w,), -1, jnp.int32)
+            upd["stri_l"] = zi - 1
         if need_steps:
             upd["out_steps"] = s["out_steps"].at[idx].set(
                 jnp.where(flushed, s["steps_l"], 0), unique_indices=True
@@ -357,6 +409,21 @@ def persistent_trace(
         s = dict(s, **upd)
         s = refill(s)
         return dict(s, i=s["i"] + 1)
+
+    # Under shard_map the carry must have a uniform varying-axes type:
+    # constants (queue cursor, miss-initialized output buffers) enter
+    # unvarying while ray-derived leaves vary over the mesh axes the
+    # inputs do — pcast every leaf up to the union (no-op outside
+    # shard_map, where vma is empty).
+    want = frozenset().union(
+        *(jax.typeof(x).vma for x in jax.tree.leaves((rays, grid, light)))
+    )
+    if want:
+        def _vary(x):
+            missing = tuple(want - jax.typeof(x).vma)
+            return jax.lax.pcast(x, missing, to="varying") if missing else x
+
+        state = jax.tree.map(_vary, state)
 
     out = jax.lax.while_loop(cond, body, state)
     code = out["out_code"][:r]

@@ -73,6 +73,11 @@ def _sharded_image_fn(meta: GridMeta, cfg: SceneConfig, mesh: Mesh, axis: str, b
 
     def shard_body(scene: Scene, grid, rays: RayBatch) -> jnp.ndarray:
         if rcfg.traversal == "packed":
+            if rcfg.scheduler == "persistent":
+                # one persistent wave per shard — no sort, no tiles
+                from ray_tracer_tpu.render.renderer import render_rays
+
+                return render_rays(rays, scene, grid, meta, rcfg)
             return render_rays_tiled_sorted(rays, scene, grid, meta, rcfg)
         return render_rays_tiled(rays, scene, grid, meta, rcfg)
 

@@ -86,10 +86,30 @@ def prepare(cfg: SceneConfig, scene: Scene = None) -> Prepared:
     if cfg.render.traversal == "packed":
         if cfg.render.faithful:
             raise ValueError("traversal='packed' requires faithful=False")
-        packed = pack_grid(
-            grid, verts_np, faces_np, block_tris=cfg.render.packed_block_tris
-        )
+        bt = cfg.render.packed_block_tris
+        if bt == 0:  # auto: measured density rule (see RenderConfig)
+            bt = choose_block_tris(grid)
+        packed = pack_grid(grid, verts_np, faces_np, block_tris=bt)
     return Prepared(scene=scene, grid=grid, cfg=cfg, packed=packed)
+
+
+def choose_block_tris(grid: UniformGrid) -> int:
+    """Measured row-width policy: narrow 14-triangle/128-lane rows win
+    when voxels are sparse (no tile tail to amortize under the
+    persistent wave — spot at 8.5 tris/occupied voxel), wider rows when
+    a single voxel's list spans many rows (nefertiti 24.8 -> 28,
+    reflective scene 56.9 -> 56; docs/PERFORMANCE.md).  Rule: round the
+    mean triangles-per-occupied-voxel up to the next row capacity."""
+    host = grid.host
+    if host is None:
+        return 14
+    counts = np.diff(host.cell_start)
+    occ = int((counts > 0).sum())
+    avg = float(counts.sum()) / max(occ, 1)
+    for bt in (14, 28):
+        if avg <= bt:
+            return bt
+    return 56
 
 
 def render_rays(
@@ -124,13 +144,15 @@ def render_rays(
         if rcfg.scheduler == "persistent":
             from ray_tracer_tpu.ops.persistent import persistent_trace
 
-            def trav(rb, t_gate, stop_on_first_hit=False, camera=None):
+            def trav(rb, t_gate, stop_on_first_hit=False, camera=None,
+                     compact=False):
                 res = persistent_trace(
                     rb, grid, meta, wave=rcfg.wave, pump=rcfg.pump,
                     t_gate=0.0 if t_gate is None else t_gate,
                     stop_on_first_hit=stop_on_first_hit,
                     need_t=False,  # t is recomputed from tri_id below
                     camera=camera, spp=rcfg.spp if camera is not None else 1,
+                    compact=compact,
                 )
                 return PackedTraceResult(
                     any_pass=res.hit, hit=res.hit, t=res.t,
@@ -196,11 +218,14 @@ def render_rays(
         # topology below.  Matters from bounce 1 on, where `cur` derives
         # from differentiable hit points.
         fres = None
-        if fused and depth == 0:
+        if fused and (depth == 0 or rcfg.scheduler == "persistent"):
             # one march for primary + shadow: lanes rearm as their own
             # shadow ray the moment the primary retires (wavefront
             # pipelining; ops/traverse_packed.traverse_packed_fused_shadow
-            # or its persistent-wave counterpart)
+            # or its persistent-wave counterpart).  The persistent wave
+            # fuses at EVERY bounce depth — halves the per-depth trace
+            # count on reflective scenes; the tiled fused march serves
+            # depth 0 only (its entry sort keys on the primary ray).
             fkw = dict(
                 shadow_gate=eps,
                 shadow_mint=rcfg.shadow_mint(),
@@ -219,8 +244,14 @@ def render_rays(
                     # only soft visibility consumes it
                     need_shadow_tri=rcfg.soft_visibility > 0.0,
                     # depth-0 rays regenerate from the camera at refill
-                    camera=camera_cfg,
-                    spp=rcfg.spp if camera_cfg is not None else 1,
+                    camera=camera_cfg if depth == 0 else None,
+                    spp=rcfg.spp if (camera_cfg is not None and depth == 0)
+                    else 1,
+                    # queue compaction pays only on provably mostly-dead
+                    # batches (bounce segments); on full primaries the
+                    # O(R) prefilter costs more than the pop savings
+                    # (measured -4% on spot — docs/PERFORMANCE.md)
+                    compact=depth > 0,
                     **fkw,
                 )
             else:
@@ -235,13 +266,11 @@ def render_rays(
                 tri_id=fres.tri_id, steps=fres.steps,
             )
         else:
-            tkw = (
-                {"camera": camera_cfg}
-                if (depth == 0 and camera_cfg is not None
-                    and rcfg.scheduler == "persistent"
-                    and rcfg.traversal == "packed")
-                else {}
-            )
+            tkw = {}
+            if rcfg.scheduler == "persistent" and rcfg.traversal == "packed":
+                if depth == 0 and camera_cfg is not None:
+                    tkw["camera"] = camera_cfg
+                tkw["compact"] = depth > 0  # bounce batches are mostly dead
             res = trav(jax.lax.stop_gradient(cur), t_gate=primary_gate, **tkw)
         hit = rcfg.accepted_hit(res)
         tri = jnp.maximum(res.tri_id, 0)

@@ -260,3 +260,36 @@ def test_fused_shadow_serial_quirk_equals_two_pass():
     a = np.asarray(render(prepare(base)))
     b = np.asarray(render(prepare(off)))
     np.testing.assert_array_equal(a, b)
+
+
+def test_auto_block_tris_policy():
+    """packed_block_tris=0 lets prepare() pick the row width from the
+    measured density rule; reproduces the sweep-tuned winners."""
+    import dataclasses
+
+    from ray_tracer_tpu.config import GridConfig
+    from ray_tracer_tpu.models.scenes import serial_scene_config
+    from ray_tracer_tpu.render.renderer import prepare
+
+    cfg = serial_scene_config(16, 16)
+    cfg = dataclasses.replace(
+        cfg,
+        render=dataclasses.replace(
+            cfg.render, faithful=False, traversal="packed",
+            packed_block_tris=0,
+            grid=GridConfig(resolution_multiplier=2.0, max_resolution=128),
+        ),
+    )
+    prep = prepare(cfg)
+    assert prep.packed.meta.block_tris == 14  # spot: 8.5 tris/occ voxel
+    cfg2 = dataclasses.replace(
+        cfg,
+        render=dataclasses.replace(
+            cfg.render, faithful=False, traversal="packed",
+            packed_block_tris=0,
+            grid=GridConfig(resolution_multiplier=0.75, max_resolution=64),
+        ),
+    )
+    prep2 = prepare(cfg2)
+    # coarse grid -> 33 tris/occupied voxel -> wider rows
+    assert prep2.packed.meta.block_tris == 56

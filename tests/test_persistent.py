@@ -236,3 +236,33 @@ def test_persistent_camera_refill_matches(packed_prep):
     np.testing.assert_allclose(
         np.asarray(b.t)[h], np.asarray(a.t)[h], rtol=1e-5
     )
+
+
+def test_persistent_compact_bit_identical_and_fewer_rounds(packed_prep):
+    """Queue compaction drops never-entering rays up front; results are
+    bit-identical and a mostly-dead batch takes far fewer rounds."""
+    import jax.numpy as jnp
+
+    from ray_tracer_tpu.ops.camera import camera_rays
+    from ray_tracer_tpu.ops.persistent import persistent_trace
+
+    prep = packed_prep
+    rays = camera_rays(prep.cfg.camera)
+    # kill 7/8 of the batch the way retired bounce lanes die: inf origin
+    r = rays.count
+    dead = (jnp.arange(r) % 8) != 0
+    rays = rays._replace(
+        orig=jnp.where(dead[:, None], jnp.inf, rays.orig)
+    )
+    # small wave so the dead-ray pop sweep (ceil(R/W) rounds) dominates
+    # the non-compacted round count
+    kw = dict(wave=16, pump=1, need_t=True, return_iters=True)
+    res0, it0 = persistent_trace(
+        rays, prep.packed.arrays, prep.packed.meta, compact=False, **kw
+    )
+    res1, it1 = persistent_trace(
+        rays, prep.packed.arrays, prep.packed.meta, compact=True, **kw
+    )
+    for a, b in zip(res0, res1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(it1) < int(it0), (int(it0), int(it1))

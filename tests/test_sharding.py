@@ -234,3 +234,26 @@ def test_ring_grid_tris_only_axis(tiny_prep):
         render_sharded_geometry(prep, mesh=mesh, rays_axis=None)
     )
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-5)
+
+
+def test_sharded_persistent_render_equals_single(tiny_prep, eight_device_mesh):
+    """Ray sharding with the persistent wavefront: one wave per shard,
+    image == single-device persistent render."""
+    import dataclasses
+
+    from ray_tracer_tpu.render.renderer import prepare
+
+    cfg = dataclasses.replace(
+        tiny_prep.cfg,
+        render=dataclasses.replace(
+            tiny_prep.cfg.render, faithful=False, det_dtype="float32",
+            traversal="packed", scheduler="persistent", wave=64,
+            fused_shadow=True,
+        ),
+    )
+    prep = prepare(cfg, scene=tiny_prep.scene)
+    single = np.asarray(render(prep))
+    sharded = np.asarray(
+        render_sharded(prep, mesh=eight_device_mesh, axis="rays")
+    )
+    np.testing.assert_array_equal(single, sharded)
