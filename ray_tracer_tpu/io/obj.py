@@ -55,12 +55,16 @@ def _parse_obj_numpy(path: str) -> MeshArrays:
                     if len(comps) > 1 and comps[1]:
                         ti.append(int(comps[1]))
                 faces.append(vi)
-                if len(ti) == 3:
-                    uv_faces.append(ti)
+                # one row PER face so uv_faces stays index-aligned with
+                # faces (0 here -> -1 after the 1-based shift below ->
+                # "no uv", matching the native loader's -1-if-absent)
+                uv_faces.append(ti if len(ti) == 3 else [0, 0, 0])
     v = np.asarray(verts, dtype=np.float64).reshape(-1, 3)
     f = np.asarray(faces, dtype=np.int32).reshape(-1, 3) - 1
     vt = np.asarray(uvs, dtype=np.float32).reshape(-1, 2)
     fvt = np.asarray(uv_faces, dtype=np.int32).reshape(-1, 3) - 1
+    if fvt.size and (fvt < 0).all():  # untextured mesh: drop the table
+        fvt = np.zeros((0, 3), dtype=np.int32)  # (matches accel/native.py)
     return MeshArrays(v.astype(np.float64), f, vt, fvt)
 
 

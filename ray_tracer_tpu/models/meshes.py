@@ -170,6 +170,9 @@ def write_obj(path: str, mesh: MeshArrays) -> None:
             fh.write(f"vt {t[0]} {t[1]}\n")
         uvf = mesh.uv_faces if mesh.uv_faces.size else np.zeros_like(mesh.faces)
         for f, tf in zip(mesh.faces, uvf):
-            fh.write(
-                f"f {f[0]+1}/{tf[0]+1} {f[1]+1}/{tf[1]+1} {f[2]+1}/{tf[2]+1}\n"
-            )
+            if tf[0] < 0:  # face without vt (partially-textured mesh)
+                fh.write(f"f {f[0]+1} {f[1]+1} {f[2]+1}\n")
+            else:
+                fh.write(
+                    f"f {f[0]+1}/{tf[0]+1} {f[1]+1}/{tf[1]+1} {f[2]+1}/{tf[2]+1}\n"
+                )

@@ -134,7 +134,11 @@ def concat_mesh_arrays(
         all_fmat.append(np.full((nf,), midx, dtype=np.int32))
         if mesh.uvs.size and mesh.uv_faces.size:
             all_uvs.append(mesh.uvs)
-            all_uvf.append(mesh.uv_faces + uvoffset)
+            # -1 rows mark faces without vt (partially-textured mesh)
+            # and must not be shifted into valid range by the offset
+            all_uvf.append(
+                np.where(mesh.uv_faces >= 0, mesh.uv_faces + uvoffset, -1)
+            )
             uvoffset += mesh.uvs.shape[0]
         else:
             all_uvf.append(np.full((nf, 3), -1, dtype=np.int32))

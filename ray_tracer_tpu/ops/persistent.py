@@ -410,19 +410,10 @@ def persistent_trace(
         s = refill(s)
         return dict(s, i=s["i"] + 1)
 
-    # Under shard_map the carry must have a uniform varying-axes type:
-    # constants (queue cursor, miss-initialized output buffers) enter
-    # unvarying while ray-derived leaves vary over the mesh axes the
-    # inputs do — pcast every leaf up to the union (no-op outside
-    # shard_map, where vma is empty).
-    want = frozenset().union(
-        *(jax.typeof(x).vma for x in jax.tree.leaves((rays, grid, light)))
-    )
-    if want:
-        def _vary(x):
-            missing = tuple(want - jax.typeof(x).vma)
-            return jax.lax.pcast(x, missing, to="varying") if missing else x
-
+    # Remaining unvarying carry leaves (queue cursor, miss-initialized
+    # output buffers) are pcast up to the inputs' vma union — same
+    # _vary as the zf/zi/zb round constants above.
+    if _want:
         state = jax.tree.map(_vary, state)
 
     out = jax.lax.while_loop(cond, body, state)

@@ -147,10 +147,9 @@ def _march_step(s, *, o, d, invd, gate, maxt, grid, meta):
 
     # ---- one block row of meta.block_tris triangles ----------------------
     # A lane that just probed into an occupied cell tests that cell's
-    # FIRST row in the same iteration (start_test lanes run with
-    # cursor 0) — the probe step is never a test-free iteration, which
-    # cuts one iteration per occupied cell visited.
-    testing_now = testing | start_test
+    # FIRST row in the same iteration (`testing` already includes
+    # start_test lanes, which run with cursor 0) — the probe step is
+    # never a test-free iteration.
     blk = jnp.clip(first_blk + cursor, 0, n_blocks - 1)
     row = grid.blocks[blk]  # GATHER 2: (R, row_lanes) f32
     tri = row[:, : bt * 9].reshape(r, bt, 9)
@@ -161,7 +160,7 @@ def _march_step(s, *, o, d, invd, gate, maxt, grid, meta):
     )
     accept = (
         (beta > 0) & (gamma > 0) & (beta + gamma < 1)
-        & (t > gate[:, None]) & (t <= maxt[:, None]) & testing_now[:, None]
+        & (t > gate[:, None]) & (t <= maxt[:, None]) & testing[:, None]
     )
     tm = jnp.where(accept, t, inf)
     slot = jnp.argmin(tm, axis=-1).astype(jnp.int32)
@@ -170,12 +169,12 @@ def _march_step(s, *, o, d, invd, gate, maxt, grid, meta):
     m = jnp.min(tm, axis=-1)
     upd = m < s["best_t"]
 
-    cursor = jnp.where(testing_now, cursor + 1, cursor)
-    done = testing_now & (cursor >= n_blk)
+    cursor = jnp.where(testing, cursor + 1, cursor)
+    done = testing & (cursor >= n_blk)
     return dict(
         s,
         alive=alive,
-        testing=testing_now & ~done,
+        testing=testing & ~done,
         t_cur=jnp.where(done, t_exit_cell, t_cur),
         t_exit_cell=t_exit_cell,
         first_blk=first_blk,

@@ -313,9 +313,11 @@ def fit(
                 # pad up to the compiled step's meta so the rebuild does
                 # NOT re-jit; when the moved geometry outgrows it, grow
                 # once with ~30% headroom so later rebuilds fit again
+                # meta.block_tris is the RESOLVED row width (the config
+                # value may be 0 = auto, resolved once by prepare())
                 repacked = pack_grid(
                     built, verts_np, faces_np,
-                    block_tris=cfg.render.packed_block_tris, pad_meta=meta,
+                    block_tris=meta.block_tris, pad_meta=meta,
                 )
                 if repacked.meta != meta:
                     head = repacked.meta._replace(
@@ -324,7 +326,7 @@ def fit(
                     )
                     repacked = pack_grid(
                         built, verts_np, faces_np,
-                        block_tris=cfg.render.packed_block_tris,
+                        block_tris=meta.block_tris,
                         pad_meta=head,
                     )
                 grid, new_meta = repacked.arrays, repacked.meta

@@ -235,14 +235,20 @@ def _ring_local_best(rays, v0, v1, v2, fmat, tri_offset, t_lower, ddt):
     )
 
 
-def _ring_sweep(rays, v0, v1, v2, fmat, shard_tris, tris_axis, t_lower, ddt):
+def _ring_orbit(rays, local_best, tris_axis):
     """Rays orbit the triangle shards: D hops of (local intersect ->
     strict-better merge -> ppermute to the next shard).  After D shifts
     every ray is back on its home shard carrying the GLOBAL nearest hit.
     The merge rule (t <, or t == with lower global id) is visit-order
     independent, so the result matches a replicated argmin exactly —
     including the reference's lowest-triangle-id tie-break
-    (Serial/geometry.h:164-171 strict-< first-seen-wins)."""
+    (Serial/geometry.h:164-171 strict-< first-seen-wins).
+
+    local_best(rays, my_shard_index) supplies the per-hop intersect
+    (all-pairs Cramer or the shard's own packed-grid march) returning
+    the payload dict {t, tid, mat, tv0, tv1, tv2} — ONE merge + orbit
+    implementation serves every ring variant so the tie-break cannot
+    diverge between them."""
     from ray_tracer_tpu.parallel.collectives import ring_shift
 
     nt = jax.lax.axis_size(tris_axis)
@@ -274,27 +280,83 @@ def _ring_sweep(rays, v0, v1, v2, fmat, shard_tris, tris_axis, t_lower, ddt):
 
     def hop(_, bundle):
         rays, best = bundle
-        my = jax.lax.axis_index(tris_axis)
-        loc = _ring_local_best(
-            rays, v0, v1, v2, fmat, my * shard_tris, t_lower, ddt
-        )
+        loc = local_best(rays, jax.lax.axis_index(tris_axis))
         better = (loc["t"] < best["t"]) | (
             (loc["t"] == best["t"]) & (loc["tid"] < best["tid"])
         )
-        b3 = better[:, None]
-        best = dict(
-            t=jnp.where(better, loc["t"], best["t"]),
-            tid=jnp.where(better, loc["tid"], best["tid"]),
-            mat=jnp.where(better, loc["mat"], best["mat"]),
-            tv0=jnp.where(b3, loc["tv0"], best["tv0"]),
-            tv1=jnp.where(b3, loc["tv1"], best["tv1"]),
-            tv2=jnp.where(b3, loc["tv2"], best["tv2"]),
-        )
+        best = {
+            k: jnp.where(better[:, None] if best[k].ndim == 2 else better,
+                         loc[k], best[k])
+            for k in best
+        }
         # every hop shifts, so hop D lands the bundle back home
         return jax.tree.map(lambda x: ring_shift(x, tris_axis), (rays, best))
 
     rays, best = jax.lax.fori_loop(0, nt, hop, bundle)
     return rays, best
+
+
+def _grid_local_best(rays, my, garr, meta, v0, v1, v2, fmat, shard_tris,
+                     t_gate, stop_first):
+    """Per-hop local best via the shard's own packed-grid march
+    (ops/traverse_packed) — the accelerated ring hop."""
+    from ray_tracer_tpu.ops.traverse_packed import traverse_packed
+
+    res = traverse_packed(
+        rays, garr, meta,
+        t_gate=0.0 if t_gate is None else t_gate,
+        stop_on_first_hit=stop_first,
+    )
+    j = jnp.clip(res.tri_id, 0, shard_tris - 1)
+    return dict(
+        t=jnp.where(res.hit, res.t, jnp.float32(jnp.inf)),
+        tid=jnp.where(res.hit, res.tri_id + my * shard_tris,
+                      jnp.iinfo(jnp.int32).max),
+        mat=fmat[j],
+        tv0=v0[j], tv1=v1[j], tv2=v2[j],
+    )
+
+
+def _ring_shade(rays, orbit, rcfg, materials, light_pos, light_intensity):
+    """Primary orbit -> shade -> shadow orbit -> blend: the ONE forward
+    epilogue shared by both ring renderers (all-pairs and grid hops).
+    orbit(rays, t_gate, stop_first) -> (rays_home, best)."""
+    from ray_tracer_tpu.core import vecmath as vm
+    from ray_tracer_tpu.ops.shade import (
+        hit_geometry_parallel, hit_geometry_serial, shade_parallel, shade_serial,
+    )
+
+    serial = rcfg.serial_shading
+    rays, best = orbit(rays, rcfg.primary_gate(), False)
+    hit = jnp.isfinite(best["t"])
+    t = jnp.where(hit, best["t"], 0.0)
+    tv0, tv1, tv2 = best["tv0"], best["tv1"], best["tv2"]
+    if serial:
+        geom = hit_geometry_serial(rays.orig, rays.dirn, t, tv0, tv1, tv2)
+    else:
+        geom = hit_geometry_parallel(rays.orig, rays.dirn, t, tv0, tv1, tv2)
+    geom = geom._replace(
+        poi=jnp.where(hit[:, None], geom.poi, jnp.zeros_like(geom.poi))
+    )
+    mat = materials.gather(best["mat"])
+
+    to_light = light_pos - geom.poi
+    nsd = vm.normalize(to_light)
+    sdir = -nsd if rcfg.shadow_dir_away_from_light() else nsd
+    sorig = jnp.where(hit[:, None], geom.poi,
+                      jnp.full_like(geom.poi, jnp.inf))
+    srays = RayBatch.make(sorig, sdir, mint=rcfg.shadow_mint())
+    _, sbest = orbit(srays, rcfg.shadow_eps, True)
+    in_shadow = jnp.isfinite(sbest["t"]) & hit
+
+    if serial:
+        color = shade_serial(geom, mat, light_pos, light_intensity,
+                             in_shadow, rcfg.shadow_scale)
+    else:
+        color = shade_parallel(geom, mat, light_pos, in_shadow,
+                               rcfg.shadow_scale)
+    bg = jnp.asarray(rcfg.background, color.dtype)
+    return jnp.where(hit[:, None], color, bg)
 
 
 @lru_cache(maxsize=16)
@@ -305,8 +367,12 @@ def _ring_intersect_fn(mesh: Mesh, rays_axis: Optional[str], tris_axis: str,
     ray_axes = (rays_axis, tris_axis) if rays_axis else (tris_axis,)
 
     def body(rays: RayBatch, v0, v1, v2, fmat):
-        _, best = _ring_sweep(
-            rays, v0, v1, v2, fmat, shard_tris, tris_axis, t_lower, ddt
+        _, best = _ring_orbit(
+            rays,
+            lambda rb, my: _ring_local_best(
+                rb, v0, v1, v2, fmat, my * shard_tris, t_lower, ddt
+            ),
+            tris_axis,
         )
         hit = jnp.isfinite(best["t"])
         return BruteResult(
@@ -366,56 +432,25 @@ def intersect_ring_sharded(
 @lru_cache(maxsize=16)
 def _ring_render_fn(cfg: SceneConfig, mesh: Mesh, rays_axis: Optional[str],
                     tris_axis: str, n_tris_padded: int):
-    from ray_tracer_tpu.core import vecmath as vm
-    from ray_tracer_tpu.ops.shade import (
-        hit_geometry_parallel, hit_geometry_serial, shade_parallel, shade_serial,
-    )
-
     rcfg = cfg.render
     assert not rcfg.faithful, "ring renderer has production semantics only"
     assert rcfg.max_bounces == 0, "ring renderer: bounces not supported yet"
     ddt = jnp.dtype(rcfg.det_dtype)
     shard_tris = n_tris_padded // mesh.shape[tris_axis]
     ray_axes = (rays_axis, tris_axis) if rays_axis else (tris_axis,)
-    serial = rcfg.serial_shading
-    pg = rcfg.primary_gate()
-    eps = rcfg.shadow_eps
 
     def body(rays, v0, v1, v2, fmat, materials, light_pos, light_intensity):
-        rays, best = _ring_sweep(
-            rays, v0, v1, v2, fmat, shard_tris, tris_axis, pg, ddt
-        )
-        hit = jnp.isfinite(best["t"])
-        t = jnp.where(hit, best["t"], 0.0)
-        tv0, tv1, tv2 = best["tv0"], best["tv1"], best["tv2"]
-        if serial:
-            geom = hit_geometry_serial(rays.orig, rays.dirn, t, tv0, tv1, tv2)
-        else:
-            geom = hit_geometry_parallel(rays.orig, rays.dirn, t, tv0, tv1, tv2)
-        geom = geom._replace(
-            poi=jnp.where(hit[:, None], geom.poi, jnp.zeros_like(geom.poi))
-        )
-        mat = materials.gather(best["mat"])
+        def orbit(rb, t_gate, stop_first):  # all-pairs hop: no early exit
+            return _ring_orbit(
+                rb,
+                lambda r_, my: _ring_local_best(
+                    r_, v0, v1, v2, fmat, my * shard_tris, t_gate, ddt
+                ),
+                tris_axis,
+            )
 
-        to_light = light_pos - geom.poi
-        nsd = vm.normalize(to_light)
-        sdir = -nsd if rcfg.shadow_dir_away_from_light() else nsd
-        sorig = jnp.where(hit[:, None], geom.poi,
-                          jnp.full_like(geom.poi, jnp.inf))
-        srays = RayBatch.make(sorig, sdir, mint=rcfg.shadow_mint())
-        _, sbest = _ring_sweep(
-            srays, v0, v1, v2, fmat, shard_tris, tris_axis, eps, ddt
-        )
-        in_shadow = jnp.isfinite(sbest["t"]) & hit
-
-        if serial:
-            color = shade_serial(geom, mat, light_pos, light_intensity,
-                                 in_shadow, rcfg.shadow_scale)
-        else:
-            color = shade_parallel(geom, mat, light_pos, in_shadow,
-                                   rcfg.shadow_scale)
-        bg = jnp.asarray(rcfg.background, color.dtype)
-        return jnp.where(hit[:, None], color, bg)
+        return _ring_shade(rays, orbit, rcfg, materials, light_pos,
+                           light_intensity)
 
     return jax.jit(jax.shard_map(
         body,
@@ -521,7 +556,11 @@ def build_ring_grids(prep: Prepared, n_shards: int):
         faces_np = np.concatenate([faces_np, pad])
     st = fp // n_shards
     rcfg = prep.cfg.render
-    bt = rcfg.packed_block_tris
+    # the RESOLVED row width — the config value may be 0 = auto, which
+    # prepare() resolves into prep.packed.meta
+    bt = (prep.packed.meta.block_tris if prep.packed is not None
+          else rcfg.packed_block_tris)
+    assert bt > 0, "packed_block_tris unresolved (prepare with traversal='packed')"
     common_res = prep.grid.meta.n_voxels  # the replicated build's resolution
 
     packs = []
@@ -570,127 +609,31 @@ def build_ring_grids(prep: Prepared, n_shards: int):
     return arrays, meta, fp
 
 
-def _ring_sweep_grid(rays, garr, meta, v0, v1, v2, fmat, shard_tris,
-                     tris_axis, t_gate, stop_first):
-    """_ring_sweep with the all-pairs local hop replaced by the packed
-    uniform-grid march (ops/traverse_packed) over the shard's own grid.
-    Same visit-order-independent strict-better merge, same payload."""
-    from ray_tracer_tpu.ops.traverse_packed import traverse_packed
-    from ray_tracer_tpu.parallel.collectives import ring_shift
-
-    nt = jax.lax.axis_size(tris_axis)
-    inf = jnp.float32(jnp.inf)
-    want = frozenset().union(
-        *(jax.typeof(x).vma for x in jax.tree.leaves(rays))
-    ) | {tris_axis}
-
-    def _vary(x):
-        missing = tuple(want - jax.typeof(x).vma)
-        return jax.lax.pcast(x, missing, to="varying") if missing else x
-
-    rays = jax.tree.map(_vary, rays)
-    zf = (rays.mint * 0.0).astype(jnp.float32)
-    zi = zf.astype(jnp.int32)
-    z3 = (rays.orig * 0.0).astype(jnp.float32)
-    best = dict(
-        t=zf + inf,
-        tid=zi + jnp.iinfo(jnp.int32).max,
-        mat=zi,
-        tv0=z3, tv1=z3, tv2=z3,
-    )
-    bundle = (rays, best)
-
-    def hop(_, bundle):
-        rays, best = bundle
-        my = jax.lax.axis_index(tris_axis)
-        res = traverse_packed(
-            rays, garr, meta,
-            t_gate=0.0 if t_gate is None else t_gate,
-            stop_on_first_hit=stop_first,
-        )
-        j = jnp.clip(res.tri_id, 0, shard_tris - 1)
-        loc_t = jnp.where(res.hit, res.t, inf)
-        loc = dict(
-            t=loc_t,
-            tid=jnp.where(res.hit, res.tri_id + my * shard_tris,
-                          jnp.iinfo(jnp.int32).max),
-            mat=fmat[j],
-            tv0=v0[j], tv1=v1[j], tv2=v2[j],
-        )
-        better = (loc["t"] < best["t"]) | (
-            (loc["t"] == best["t"]) & (loc["tid"] < best["tid"])
-        )
-        b3 = better[:, None]
-        best = dict(
-            t=jnp.where(better, loc["t"], best["t"]),
-            tid=jnp.where(better, loc["tid"], best["tid"]),
-            mat=jnp.where(better, loc["mat"], best["mat"]),
-            tv0=jnp.where(b3, loc["tv0"], best["tv0"]),
-            tv1=jnp.where(b3, loc["tv1"], best["tv1"]),
-            tv2=jnp.where(b3, loc["tv2"], best["tv2"]),
-        )
-        return jax.tree.map(lambda x: ring_shift(x, tris_axis), (rays, best))
-
-    rays, best = jax.lax.fori_loop(0, nt, hop, bundle)
-    return rays, best
-
-
 @lru_cache(maxsize=16)
 def _ring_render_grid_fn(cfg: SceneConfig, mesh: Mesh, rays_axis: Optional[str],
                          tris_axis: str, meta, n_tris_padded: int):
-    from ray_tracer_tpu.core import vecmath as vm
-    from ray_tracer_tpu.ops.shade import (
-        hit_geometry_parallel, hit_geometry_serial, shade_parallel, shade_serial,
-    )
-
     rcfg = cfg.render
     assert not rcfg.faithful, "ring renderer has production semantics only"
     assert rcfg.max_bounces == 0, "ring renderer: bounces not supported yet"
     shard_tris = n_tris_padded // mesh.shape[tris_axis]
     ray_axes = (rays_axis, tris_axis) if rays_axis else (tris_axis,)
-    serial = rcfg.serial_shading
-    pg = rcfg.primary_gate()
-    eps = rcfg.shadow_eps
 
     def body(rays, garr, v0, v1, v2, fmat, materials, light_pos,
              light_intensity):
         garr = jax.tree.map(lambda x: x[0], garr)  # drop the shard dim
-        rays, best = _ring_sweep_grid(
-            rays, garr, meta, v0, v1, v2, fmat, shard_tris, tris_axis,
-            pg, False,
-        )
-        hit = jnp.isfinite(best["t"])
-        t = jnp.where(hit, best["t"], 0.0)
-        tv0, tv1, tv2 = best["tv0"], best["tv1"], best["tv2"]
-        if serial:
-            geom = hit_geometry_serial(rays.orig, rays.dirn, t, tv0, tv1, tv2)
-        else:
-            geom = hit_geometry_parallel(rays.orig, rays.dirn, t, tv0, tv1, tv2)
-        geom = geom._replace(
-            poi=jnp.where(hit[:, None], geom.poi, jnp.zeros_like(geom.poi))
-        )
-        mat = materials.gather(best["mat"])
 
-        to_light = light_pos - geom.poi
-        nsd = vm.normalize(to_light)
-        sdir = -nsd if rcfg.shadow_dir_away_from_light() else nsd
-        sorig = jnp.where(hit[:, None], geom.poi,
-                          jnp.full_like(geom.poi, jnp.inf))
-        srays = RayBatch.make(sorig, sdir, mint=rcfg.shadow_mint())
-        _, sbest = _ring_sweep_grid(
-            srays, garr, meta, v0, v1, v2, fmat, shard_tris, tris_axis,
-            eps, True,
-        )
-        in_shadow = jnp.isfinite(sbest["t"]) & hit
+        def orbit(rb, t_gate, stop_first):  # grid-march hop
+            return _ring_orbit(
+                rb,
+                lambda r_, my: _grid_local_best(
+                    r_, my, garr, meta, v0, v1, v2, fmat, shard_tris,
+                    t_gate, stop_first,
+                ),
+                tris_axis,
+            )
 
-        if serial:
-            color = shade_serial(geom, mat, light_pos, light_intensity,
-                                 in_shadow, rcfg.shadow_scale)
-        else:
-            color = shade_parallel(geom, mat, light_pos, in_shadow,
-                                   rcfg.shadow_scale)
-        bg = jnp.asarray(rcfg.background, color.dtype)
-        return jnp.where(hit[:, None], color, bg)
+        return _ring_shade(rays, orbit, rcfg, materials, light_pos,
+                           light_intensity)
 
     # P(tris_axis) is a pytree PREFIX for the PackedGridArrays input:
     # every leaf is sharded on its leading (shard) dim

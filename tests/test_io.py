@@ -85,3 +85,35 @@ def test_plane_generator_matches_reference_counts():
     assert mesh.verts.shape[0] == 101 * 101
     assert mesh.faces.shape[0] == 2 * 100 * 100
     assert np.allclose(mesh.verts[:, 1], -1.0)
+
+
+def test_partially_textured_obj_uv_alignment(tmp_path):
+    """Faces without vt must keep uv_faces index-aligned with faces
+    (-1 rows), matching the native loader's -1-if-absent convention —
+    a vt-less face between textured ones must not shift later rows."""
+    p = tmp_path / "mix.obj"
+    p.write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\nv 1 1 0\n"
+        "vt 0.25 0.75\nvt 0.5 0.5\nvt 1 0\n"
+        "f 1 2 3\n"            # no vt
+        "f 2/1 4/2 3/3\n"      # textured
+    )
+    from ray_tracer_tpu.io.obj import load_obj
+
+    for use_native in (False, None):
+        m = load_obj(str(p), use_native=use_native)
+        assert m.faces.shape == (2, 3)
+        assert m.uv_faces.shape == (2, 3), m.uv_faces
+        assert (m.uv_faces[0] == -1).all()
+        np.testing.assert_array_equal(m.uv_faces[1], [0, 1, 2])
+
+    # concat keeps -1 rows unshifted (a valid-looking index after
+    # +uvoffset would silently sample another mesh's uvs)
+    from ray_tracer_tpu.models.scenes import concat_mesh_arrays
+
+    m = load_obj(str(p), use_native=False)
+    _, faces, _, uvs, uvf = concat_mesh_arrays([(m, 0), (m, 1)])
+    assert faces.shape == (4, 3)
+    assert (uvf[0] == -1).all() and (uvf[2] == -1).all()
+    np.testing.assert_array_equal(uvf[1], [0, 1, 2])
+    np.testing.assert_array_equal(uvf[3], [3, 4, 5])

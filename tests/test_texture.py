@@ -62,9 +62,12 @@ def test_checker_golden_against_halved_base():
     assert (is_half & hit).sum() + (is_plain & hit).sum() == hit.sum()
 
 
-def test_texture_none_is_default_exact():
+def test_texture_checker_differs_only_on_surface():
+    """The checker must change SOME surface pixels and NO background
+    pixels (miss lanes carry no uv sample)."""
     a = np.asarray(render(_quad_prep("none")))
-    cfg_default = _quad_prep("none").cfg
-    assert cfg_default.render.texture == "none"
-    b = np.asarray(render(_quad_prep("none")))
-    np.testing.assert_array_equal(a, b)
+    b = np.asarray(render(_quad_prep("checker")))
+    diff = np.abs(a - b).max(axis=-1)
+    assert (diff > 1e-6).any(), "checker texture changed nothing"
+    bg = (a == 0.0).all(axis=-1)  # background is black in this scene
+    assert (diff[bg] == 0.0).all(), "texture leaked into background pixels"
