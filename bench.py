@@ -141,7 +141,7 @@ def main() -> None:
     _tuned = {
         "spot": dict(block_tris=14, rm=2.0, max_res=128, wave=8192),
         "nefertiti": dict(block_tris=28, rm=1.25, max_res=64, wave=8192),
-        "parallel": dict(block_tris=56, rm=0.75, max_res=64, wave=16384),
+        "parallel": dict(block_tris=56, rm=0.75, max_res=64, wave=8192),
     }[args.scene]
     if args.block_tris is None:
         args.block_tris = _tuned["block_tris"]

@@ -266,3 +266,64 @@ def test_persistent_compact_bit_identical_and_fewer_rounds(packed_prep):
     for a, b in zip(res0, res1):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int(it1) < int(it0), (int(it0), int(it1))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_random_soup_cross_scheduler_agreement(seed):
+    """Fuzz: random triangle soups x random ray batches — the brute
+    all-pairs intersect, the tiled packed march, and the persistent
+    wave must agree on every hit id and t (same Cramer arithmetic,
+    independent search strategies)."""
+    import numpy as onp
+
+    from ray_tracer_tpu.accel.grid import build_grid
+    from ray_tracer_tpu.accel.packed import pack_grid
+    from ray_tracer_tpu.core.rays import RayBatch
+    from ray_tracer_tpu.ops.intersect import intersect_brute
+
+    rng = onp.random.default_rng(seed)
+    nt = 200
+    centers = rng.uniform(-2, 2, (nt, 1, 3))
+    tris = centers + rng.normal(0, 0.35, (nt, 3, 3))
+    verts = tris.reshape(-1, 3).astype(onp.float32)
+    faces = onp.arange(3 * nt, dtype=onp.int32).reshape(-1, 3)
+
+    grid = build_grid(verts, faces, resolution_multiplier=1.0)
+    packed = pack_grid(grid, verts, faces, block_tris=14)
+
+    r = 512
+    orig = rng.uniform(-4, 4, (r, 3)).astype(onp.float32)
+    dirn = rng.normal(0, 1, (r, 3)).astype(onp.float32)
+    dirn /= onp.linalg.norm(dirn, axis=1, keepdims=True)
+    rays = RayBatch.make(jnp.asarray(orig), jnp.asarray(dirn))
+
+    v0 = jnp.asarray(tris[:, 0].astype(onp.float32))
+    v1 = jnp.asarray(tris[:, 1].astype(onp.float32))
+    v2 = jnp.asarray(tris[:, 2].astype(onp.float32))
+    want = intersect_brute(rays, v0, v1, v2, t_lower=0.0)
+
+    tiled = traverse_packed(rays, packed.arrays, packed.meta, t_gate=0.0)
+    pers = persistent_trace(
+        rays, packed.arrays, packed.meta, wave=128, pump=2, t_gate=0.0,
+        compact=True,
+    )
+
+    wh = onp.asarray(want.hit)
+    for name, got in (("tiled", tiled), ("persistent", pers)):
+        gh = onp.asarray(got.hit)
+        onp.testing.assert_array_equal(wh, gh, err_msg=name)
+        onp.testing.assert_array_equal(
+            onp.asarray(want.tri_id)[wh], onp.asarray(got.tri_id)[wh],
+            err_msg=name,
+        )
+        # brute evaluates Cramer over (R, nt) batches, the marches over
+        # (R, 14) rows — different FMA contraction, ulp-level t drift
+        onp.testing.assert_allclose(
+            onp.asarray(want.t)[wh], onp.asarray(got.t)[wh],
+            rtol=1e-5, err_msg=name,
+        )
+    # the two grid schedulers share _march_step: bitwise equal
+    onp.testing.assert_array_equal(onp.asarray(tiled.t), onp.asarray(pers.t))
+    onp.testing.assert_array_equal(
+        onp.asarray(tiled.tri_id), onp.asarray(pers.tri_id)
+    )
