@@ -74,10 +74,11 @@ def _bench_grad(prep, args, size: int) -> None:
 
     from ray_tracer_tpu.opt.fit import make_train_step, split_scene
 
+    trainable = tuple(args.trainable.split(","))
     step, init = make_train_step(
         prep.packed.meta if prep.cfg.render.traversal == "packed" else prep.grid.meta,
         prep.cfg, lr=1e-3,
-        trainable=("base_color", "kd", "ks", "ka", "light_pos"),
+        trainable=trainable,
     )
     params = split_scene(prep.scene)
     opt_state = init(params)
@@ -101,6 +102,7 @@ def _bench_grad(prep, args, size: int) -> None:
         "vs_baseline": 0.0,  # the reference has no backward pass
         "seconds_per_step": round(sec, 4),
         "size": size,
+        "trainable": list(trainable),
     }))
 
 
@@ -124,6 +126,12 @@ def main() -> None:
                          "parallel = CUDA-variant reflective scene")
     ap.add_argument("--grad", action="store_true",
                     help="benchmark one fwd+bwd train step instead of forward")
+    ap.add_argument("--trainable",
+                    default="base_color,kd,ks,ka,light_pos",
+                    help="comma list of SceneParams fields to differentiate "
+                         "in --grad mode; add 'verts' for the BASELINE "
+                         "config-4 vertex-gradient step (grid held fixed "
+                         "for the timed steps, as fit does between rebuilds)")
     ap.add_argument("--scheduler", default="persistent",
                     choices=["tiled", "persistent"])
     ap.add_argument("--wave", type=int, default=None,
