@@ -74,7 +74,7 @@ def _bench_grad(prep, args, size: int) -> None:
 
     from ray_tracer_tpu.opt.fit import make_train_step, split_scene
 
-    trainable = tuple(args.trainable.split(","))
+    trainable = tuple(f.strip() for f in args.trainable.split(",") if f.strip())
     step, init = make_train_step(
         prep.packed.meta if prep.cfg.render.traversal == "packed" else prep.grid.meta,
         prep.cfg, lr=1e-3,
@@ -89,11 +89,14 @@ def _bench_grad(prep, args, size: int) -> None:
     p, o, loss = step(params, opt_state, prep.scene, garr, target)
     float(jax.device_get(loss))
     n = max(args.repeat, 2)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        p, o, loss = step(p, o, prep.scene, garr, target)
-    float(jax.device_get(loss))
-    sec = (time.perf_counter() - t0) / n
+    sec = float("inf")  # best-of-rounds, same protocol as the forward bench
+    for _ in range(max(args.rounds, 1)):
+        p, o = params, opt_state
+        t0 = time.perf_counter()
+        for _ in range(n):
+            p, o, loss = step(p, o, prep.scene, garr, target)
+        float(jax.device_get(loss))
+        sec = min(sec, (time.perf_counter() - t0) / n)
     rays = size * size * 2
     print(json.dumps({
         "metric": f"train_step_mrays_per_s_{args.scene}",

@@ -131,3 +131,57 @@ def test_npz_checkpoint_template_without_opt_state(tiny_prep, tmp_path, monkeypa
     import pytest as _pytest
     with _pytest.raises(ValueError, match="without opt_state"):
         restore_checkpoint(d2, {"params": params, "opt_state": opt_state}, step_num=1)
+
+
+def test_fit_persistent_camera_refill_matches_tiled(tiny_prep):
+    """The persistent-scheduler fit forward regenerates popped rays from
+    their pixel index (the zero-gather camera refill, camera_ok in
+    opt.fit._render_flat) instead of gathering the caller's ray table.
+    That is only sound because image_loss/_train_step_fn pass the full
+    camera batch in natural pixel order — pin loss AND gradients against
+    the tiled scheduler, which consumes the ray table as given."""
+    import dataclasses
+
+    import jax
+
+    from ray_tracer_tpu.render.renderer import prepare, render
+
+    def cfg_with(scheduler):
+        return dataclasses.replace(
+            tiny_prep.cfg,
+            render=dataclasses.replace(
+                tiny_prep.cfg.render, faithful=False, traversal="packed",
+                ray_tile=64, scheduler=scheduler, wave=128,
+            ),
+        )
+
+    prep_t = prepare(cfg_with("tiled"), scene=tiny_prep.scene)
+    prep_p = prepare(cfg_with("persistent"), scene=tiny_prep.scene)
+    target = render(prep_t)
+    params = split_scene(prep_t.scene)._replace(
+        kd=split_scene(prep_t.scene).kd * 1.5
+    )
+
+    def loss_and_grad(prep):
+        fn = jax.value_and_grad(image_loss)
+        return fn(params, prep.scene, prep.packed.arrays, prep.packed.meta,
+                  prep.cfg, target)
+
+    lt, gt = loss_and_grad(prep_t)
+    lp, gp = loss_and_grad(prep_p)
+    np.testing.assert_allclose(float(lp), float(lt), rtol=1e-5)
+    for f in gt._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(gp, f)), np.asarray(getattr(gt, f)),
+            rtol=1e-4, atol=1e-7, err_msg=f,
+        )
+
+    # one optimizer step through the persistent path stays finite and
+    # the short fit reduces the loss (exercises _train_step_fn's
+    # camera_ok routing end-to-end)
+    from ray_tracer_tpu.opt.fit import fit
+
+    prep_fit = prep_p._replace(scene=merge_scene(params, prep_p.scene))
+    _, losses = fit(prep_fit, target, steps=6, lr=5e-2, trainable=("kd",),
+                    log_every=0)
+    assert losses[-1] < losses[0]
