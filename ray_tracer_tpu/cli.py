@@ -69,6 +69,32 @@ def _build_cfg(args):
         cfg = dataclasses.replace(
             cfg, render=dataclasses.replace(cfg.render, spp=args.spp)
         )
+    if getattr(args, "texture", None):
+        cfg = dataclasses.replace(
+            cfg,
+            render=dataclasses.replace(
+                cfg.render,
+                texture=args.texture,
+                texture_scale=getattr(args, "texture_scale", None)
+                or cfg.render.texture_scale,
+            ),
+        )
+    if getattr(args, "texture_file", None):
+        # Attach a PPM as the scene's bilinear texture (requires a scene
+        # object; config-only scenes get it after prepare via _replace).
+        import jax.numpy as jnp
+
+        from ray_tracer_tpu.io.ppm import read_ppm
+
+        tex = jnp.asarray(read_ppm(args.texture_file), jnp.float32) / 255.0
+        if scene is None:
+            from ray_tracer_tpu.models.scenes import (
+                scene_from_numpy, scene_numpy_arrays,
+            )
+
+            v, f, fm, uv, uvf = scene_numpy_arrays(cfg)
+            scene = scene_from_numpy(v, f, fm, cfg.materials, cfg.light, uv, uvf)
+        scene = scene._replace(texture_image=tex)
     return cfg, scene
 
 
@@ -210,6 +236,13 @@ def main(argv=None) -> None:
                    help="shard rays over this many devices")
     r.add_argument("--profile", default=None,
                    help="write a jax.profiler trace to this directory")
+    r.add_argument("--texture", default=None,
+                   choices=["none", "checker", "image"],
+                   help="modulate base_color from the carried uvs")
+    r.add_argument("--texture-file", default=None,
+                   help="PPM image sampled bilinearly when --texture image")
+    r.add_argument("--texture-scale", type=float, default=None,
+                   help="checker cells / image repeats per uv unit")
     r.add_argument("--spp", type=int, default=1,
                    help="anti-aliasing: spp x spp subpixel samples per pixel")
     r.set_defaults(fn=cmd_render)

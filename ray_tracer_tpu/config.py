@@ -137,7 +137,10 @@ class RenderConfig:
     # carries uvs per triangle but never samples them in shading
     # (Serial/raytracer.cpp:252-283); "checker" completes that plumbing
     # with a procedural checkerboard modulating base_color (x1 / x0.5
-    # cells, texture_scale cells per uv unit).  "none" = reference-exact.
+    # cells, texture_scale cells per uv unit); "image" samples the
+    # scene's (Th,Tw,3) texture_image bilinearly (wrap tiling,
+    # texture_scale repeats per uv unit) — a differentiable leaf that
+    # fit() can recover from renders.  "none" = reference-exact.
     texture: str = "none"
     texture_scale: float = 8.0
     # Packed path: fuse the shadow pass into the primary march (lanes

@@ -87,6 +87,36 @@ class Scene(NamedTuple):
     light_intensity: jnp.ndarray  # ()
     uvs: Optional[jnp.ndarray] = None  # (VT,2) f32
     uv_faces: Optional[jnp.ndarray] = None  # (F,3) i32, -1 where absent
+    # Optional (Th,Tw,3) f32 texel grid in [0,1], sampled bilinearly at
+    # the carried uvs when cfg.render.texture == "image".  A
+    # differentiable leaf: fit() can recover it from renders
+    # (trainable=("texture_image",)).
+    texture_image: Optional[jnp.ndarray] = None
+
+    def sample_texture(self, uv: jnp.ndarray) -> jnp.ndarray:
+        """Bilinear wrap-mode sample: (R,2) uv -> (R,3) rgb in [0,1].
+
+        v follows OBJ convention (v=0 is the image BOTTOM row); texels
+        are centered at (i+0.5)/size; coordinates wrap (repeat tiling).
+        Differentiable in uv (through the bilinear weights) and in the
+        texel grid (through the four gathers)."""
+        tex = self.texture_image
+        if tex is None:
+            raise ValueError("scene has no texture_image")
+        th, tw = tex.shape[0], tex.shape[1]
+        u = uv[:, 0] * tw - 0.5
+        v = (1.0 - uv[:, 1]) * th - 0.5
+        u0f, v0f = jnp.floor(u), jnp.floor(v)
+        fu, fv = u - u0f, v - v0f
+        iu0 = jnp.mod(u0f.astype(jnp.int32), tw)
+        iv0 = jnp.mod(v0f.astype(jnp.int32), th)
+        iu1 = jnp.mod(iu0 + 1, tw)
+        iv1 = jnp.mod(iv0 + 1, th)
+        c00, c01 = tex[iv0, iu0], tex[iv0, iu1]
+        c10, c11 = tex[iv1, iu0], tex[iv1, iu1]
+        top = c00 + (c01 - c00) * fu[:, None]
+        bot = c10 + (c11 - c10) * fu[:, None]
+        return top + (bot - top) * fv[:, None]
 
     def interpolate_uv(self, tri: jnp.ndarray, beta: jnp.ndarray,
                        gamma: jnp.ndarray) -> jnp.ndarray:

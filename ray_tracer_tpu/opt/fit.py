@@ -46,6 +46,9 @@ class SceneParams(NamedTuple):
     km: jnp.ndarray
     light_pos: jnp.ndarray
     light_intensity: jnp.ndarray
+    # None when the scene has no image texture (None is an empty pytree
+    # node, so checkpoints and optimizer states are unaffected).
+    texture_image: Optional[jnp.ndarray] = None
 
 
 def split_scene(scene: Scene) -> SceneParams:
@@ -55,6 +58,7 @@ def split_scene(scene: Scene) -> SceneParams:
         base_color=m.base_color, kd=m.kd, ks=m.ks,
         spec_alpha=m.spec_alpha, ka=m.ka, km=m.km,
         light_pos=scene.light_pos, light_intensity=scene.light_intensity,
+        texture_image=scene.texture_image,
     )
 
 
@@ -72,6 +76,7 @@ def merge_scene(params: SceneParams, scene: Scene) -> Scene:
         light_intensity=params.light_intensity,
         uvs=scene.uvs,
         uv_faces=scene.uv_faces,
+        texture_image=params.texture_image,
     )
 
 
@@ -178,7 +183,8 @@ def _train_step_fn(meta: GridMeta, cfg: SceneConfig, optimizer_name: str,
         if trainable is not None:
             frozen = {
                 f: jnp.zeros_like(getattr(grads, f))
-                for f in SceneParams._fields if f not in trainable
+                for f in SceneParams._fields
+                if f not in trainable and getattr(grads, f) is not None
             }
             grads = grads._replace(**frozen)
         updates, opt_state = optimizer.update(grads, opt_state, params)

@@ -294,12 +294,12 @@ def render_rays(
         t = jnp.where(res.hit, t_re.astype(res.t.dtype), jnp.zeros_like(res.t))
         mat = scene.materials.gather(scene.face_material[tri])
 
-        if rcfg.texture == "checker" and scene.uvs is not None:
+        if rcfg.texture != "none" and scene.uvs is not None:
             # Sample the carried vt data (the reference stores it per
             # triangle but never reads it, Serial/raytracer.cpp:252-283):
-            # barycentric uv at the hit -> procedural checkerboard
-            # modulating base_color.  Differentiable in the vertices
-            # through beta/gamma (the checker itself is piecewise flat).
+            # barycentric uv at the hit -> texture modulating base_color.
+            # Differentiable in the vertices through beta/gamma (and, for
+            # "image", in the texel grid through the bilinear gathers).
             hb, hg = cramer_bg_safe(
                 jnp.where(res.hit[:, None], cur.orig, jnp.zeros_like(cur.orig)),
                 cur.dirn, tv0, tv1, tv2, res.hit,
@@ -307,10 +307,25 @@ def render_rays(
             )
             uv = scene.interpolate_uv(tri, hb.astype(v0.dtype), hg.astype(v0.dtype))
             n = jnp.asarray(rcfg.texture_scale, uv.dtype)
-            checker = (jnp.floor(uv[:, 0] * n) + jnp.floor(uv[:, 1] * n)) % 2.0
             has_uv = scene.uv_faces[tri][:, 0] >= 0
-            tex = jnp.where(has_uv & hit, 1.0 - 0.5 * checker, 1.0)
-            mat = mat._replace(base_color=mat.base_color * tex[:, None].astype(mat.base_color.dtype))
+            if rcfg.texture == "checker":
+                checker = (jnp.floor(uv[:, 0] * n) + jnp.floor(uv[:, 1] * n)) % 2.0
+                tex = jnp.where(has_uv & hit, 1.0 - 0.5 * checker, 1.0)[:, None]
+            elif rcfg.texture == "image":
+                if scene.texture_image is None:
+                    raise ValueError(
+                        'cfg.render.texture == "image" but the scene has '
+                        "no texture_image"
+                    )
+                # texture_scale = repeat count across the unit uv square
+                # (wrap sampling); uv is masked on dead lanes so the
+                # bilinear weights stay finite for the backward pass.
+                uv_s = jnp.where(hit[:, None], uv, jnp.zeros_like(uv)) * n
+                rgb = scene.sample_texture(uv_s).astype(mat.base_color.dtype)
+                tex = jnp.where((has_uv & hit)[:, None], rgb, jnp.ones_like(rgb))
+            else:
+                raise ValueError(f"unknown texture mode {rcfg.texture!r}")
+            mat = mat._replace(base_color=mat.base_color * tex.astype(mat.base_color.dtype))
 
         # Retired bounce lanes carry inf origins; sanitize BEFORE any
         # arithmetic so no inf/nan residual exists for the backward pass

@@ -171,6 +171,9 @@ def test_fit_persistent_camera_refill_matches_tiled(tiny_prep):
     lp, gp = loss_and_grad(prep_p)
     np.testing.assert_allclose(float(lp), float(lt), rtol=1e-5)
     for f in gt._fields:
+        if getattr(gt, f) is None:  # absent optional leaf (texture_image)
+            assert getattr(gp, f) is None
+            continue
         np.testing.assert_allclose(
             np.asarray(getattr(gp, f)), np.asarray(getattr(gt, f)),
             rtol=1e-4, atol=1e-7, err_msg=f,
