@@ -157,7 +157,8 @@ def cmd_fit(args) -> None:
             params._replace(kd=params.kd * 1.5, base_color=params.base_color * 0.6),
             prep.scene,
         ))
-    trainable = tuple(args.trainable.split(",")) if args.trainable else None
+    trainable = (tuple(f.strip() for f in args.trainable.split(",") if f.strip())
+                 if args.trainable else None)
     _, losses = fit(
         prep, target, steps=args.steps, lr=args.lr, trainable=trainable,
         checkpoint_dir=args.out_dir, log_every=max(1, args.steps // 10),
@@ -256,6 +257,12 @@ def main(argv=None) -> None:
     f.add_argument("--steps", type=int, default=100)
     f.add_argument("--lr", type=float, default=2e-2)
     f.add_argument("--target", help="target PPM image (default: self-demo)")
+    f.add_argument("--texture", default=None,
+                   choices=["none", "checker", "image"])
+    f.add_argument("--texture-file", default=None,
+                   help="PPM sampled bilinearly when --texture image "
+                        "(also the init for --trainable texture_image)")
+    f.add_argument("--texture-scale", type=float, default=None)
     f.add_argument("--trainable", default="base_color,kd,ks,ka,light_pos",
                    help="comma-separated SceneParams fields")
     f.add_argument("--out-dir", default=None, help="checkpoint directory")
