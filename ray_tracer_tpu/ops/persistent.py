@@ -43,6 +43,7 @@ from ray_tracer_tpu.core.rays import RayBatch
 from ray_tracer_tpu.ops.traverse_packed import (
     FusedTraceResult,
     _default_max_steps,
+    _fused_retire_rearm,
     _march_step,
     _slab_entry,
 )
@@ -53,7 +54,6 @@ _INF = float("inf")
 def _pack_rays(rays: RayBatch) -> jnp.ndarray:
     """(R+1, 8) f32 rows [o xyz, d xyz, mint, maxt]; row R is the
     never-entering pad popped by lanes with no work left."""
-    r = rays.count
     rows = jnp.concatenate(
         [
             rays.orig.astype(jnp.float32),
@@ -139,6 +139,15 @@ def persistent_trace(
     bt = meta.block_tris
     n_slots = grid.slot_tri.shape[0]
     assert n_slots < (1 << 30), "slot index must fit in 30 bits"
+    if fuse_shadow:
+        assert light_pos is not None, "fuse_shadow needs light_pos"
+        # stop_on_first_hit retires the primary at an ARBITRARY accepted
+        # triangle (block-row order), so the rearmed shadow origin would
+        # be a surface the ray may never reach — reject the combination
+        assert not stop_on_first_hit, (
+            "stop_on_first_hit (any-hit) cannot be fused with shadow "
+            "rearm: the rearm point must be the NEAREST hit"
+        )
     inf = jnp.float32(_INF)
     per_ray = _default_max_steps(meta) * (2 if fuse_shadow else 1)
     if max_iters is None:
@@ -157,11 +166,25 @@ def persistent_trace(
 
     if compact:
         # live-first work queue: one slab test over the batch, then a
-        # cumsum scatter of the surviving ray ids to the queue front
+        # cumsum scatter of the surviving ray ids to the queue front.
+        # With a static camera the batch is REGENERATED for the test so
+        # the "rays only supplies the count" contract holds for compact
+        # too (the caller's placeholder rows are never read).
+        if camera is not None:
+            from ray_tracer_tpu.ops.camera import camera_ray_at
+
+            _gen = camera_ray_at(
+                camera, jnp.arange(r, dtype=jnp.int32), spp=spp
+            )
+            _o, _d = _gen.orig, _gen.dirn
+            _mint, _maxt = _gen.mint, _gen.maxt
+        else:
+            _o, _d = rays.orig, rays.dirn
+            _mint, _maxt = rays.mint, rays.maxt
         _, live = _slab_entry(
             grid,
-            rays.orig.astype(jnp.float32), rays.dirn.astype(jnp.float32),
-            rays.mint.astype(jnp.float32), rays.maxt.astype(jnp.float32),
+            _o.astype(jnp.float32), _d.astype(jnp.float32),
+            _mint.astype(jnp.float32), _maxt.astype(jnp.float32),
         )
         pos = jnp.cumsum(live.astype(jnp.int32)) - 1
         buf = jnp.full((r + 1,), r, jnp.int32)
@@ -299,65 +322,43 @@ def persistent_trace(
             s, o=s["o"], d=s["d"], invd=1.0 / s["d"], gate=s["gate"],
             maxt=maxt_lane, grid=grid, meta=meta,
         )
-        walked_out = pre_alive & ~s["alive"]
-        phase, best_t, testing, t_cur = (
-            s["phase"], s["best_t"], s["testing"], s["t_cur"],
-        )
         lane_steps = s["lane_steps"] + pre_alive.astype(jnp.int32)
 
-        hit_now = jnp.isfinite(best_t)
-        limit = jnp.minimum(maxt_lane, best_t)
-        early = s["alive"] & hit_now if stop_on_first_hit else zb
-        retire_primary = ~phase & (
-            (s["alive"] & ~testing & (t_cur > limit)) | walked_out | early
-        )
-        retire_shadow = phase & ((s["alive"] & hit_now) | walked_out)
-
-        hit0 = retire_primary & hit_now
         if fuse_shadow:
-            # primary done with a hit -> rearm in place as the shadow ray
-            poi = s["o"] + s["d"] * best_t[:, None]
-            to_light = light - poi
-            norm = jnp.sqrt(jnp.sum(to_light * to_light, axis=-1, keepdims=True))
-            sdir = to_light / jnp.where(norm > 0, norm, 1.0)
-            if serial_quirk:  # Serial/raytracer.cpp:106 — away from light
-                sdir = -sdir
-            new_o = jnp.where(hit0[:, None], poi, s["o"])
-            new_d = jnp.where(hit0[:, None], sdir, s["d"])
-            smint = jnp.full_like(best_t, jnp.float32(shadow_mint))
-            st0, s_entered = _slab_entry(
-                grid, new_o, new_d, smint, jnp.full_like(best_t, inf)
+            # retire/rearm via the layer shared with the tiled fused
+            # march (stop_on_first_hit is rejected up front, so the
+            # any-hit `early` clause below never applies here)
+            s, aux = _fused_retire_rearm(
+                s, pre_alive=pre_alive, maxt_primary=s["maxt"],
+                light=light, serial_quirk=serial_quirk,
+                shadow_gate=shadow_gate, shadow_mint=shadow_mint,
+                grid=grid,
             )
-            done = (
-                (retire_primary & ~hit_now)  # primary miss
-                | (hit0 & ~s_entered)  # shadow ray misses the grid: lit
-                | retire_shadow
-            )
-            final_t = jnp.where(phase, s["p_best_t"], best_t)
-            final_blk = jnp.where(phase, s["p_best_blk"], s["best_blk"])
-            final_slot = jnp.where(phase, s["p_best_slot"], s["best_slot"])
-            in_shadow = phase & hit_now & retire_shadow
+            done, in_shadow = aux["done"], aux["in_shadow"]
+            final_t = aux["final_t"]
+            final_blk, final_slot = aux["final_blk"], aux["final_slot"]
+            # a retiring shadow lane's best_* freeze at retirement
+            # (testing cleared), so this reads the blocker at first-hit
+            # time — the record the latch wants
             sh_blk, sh_slot = s["best_blk"], s["best_slot"]
-            s = dict(
-                s,
-                o=new_o, d=new_d,
-                phase=phase | hit0,
-                gate=jnp.where(hit0, jnp.float32(shadow_gate), s["gate"]),
-                p_best_t=jnp.where(hit0, best_t, s["p_best_t"]),
-                p_best_blk=jnp.where(hit0, s["best_blk"], s["p_best_blk"]),
-                p_best_slot=jnp.where(hit0, s["best_slot"], s["p_best_slot"]),
-                best_t=jnp.where(hit0, inf, best_t),
-                t_cur=jnp.where(hit0, st0, t_cur),
-                testing=testing & ~hit0,
-                cursor=jnp.where(hit0, 0, s["cursor"]),
-                alive=((s["alive"] | hit0) & ~done),
-            )
         else:
-            done = retire_primary
+            walked_out = pre_alive & ~s["alive"]
+            phase, best_t, testing, t_cur = (
+                s["phase"], s["best_t"], s["testing"], s["t_cur"],
+            )
+            hit_now = jnp.isfinite(best_t)
+            limit = jnp.minimum(maxt_lane, best_t)
+            early = s["alive"] & hit_now if stop_on_first_hit else zb
+            done = ~phase & (
+                (s["alive"] & ~testing & (t_cur > limit)) | walked_out | early
+            )
             final_t, final_blk, final_slot = best_t, s["best_blk"], s["best_slot"]
             in_shadow = zb
             sh_blk, sh_slot = zi, zi
-            s = dict(s, alive=s["alive"] & ~done)
+            # ~done matters only for stop_on_first_hit, which can retire
+            # a lane mid-cell; the lane's record is latched below
+            s = dict(s, alive=s["alive"] & ~done,
+                     testing=s["testing"] & ~done)
 
         # ---- latch finished rays (misses latch code -1, matching the
         # miss-initialized output rows) ---------------------------------

@@ -186,6 +186,90 @@ def _march_step(s, *, o, d, invd, gate, maxt, grid, meta):
     )
 
 
+def _fused_retire_rearm(s, *, pre_alive, maxt_primary, light, serial_quirk,
+                        shadow_gate, shadow_mint, grid):
+    """The ONE retire/rearm layer shared by both fused marches
+    (traverse_packed_fused_shadow and ops.persistent.persistent_trace),
+    like _march_step is their one DDA core — so a semantics fix cannot
+    leave one of them stale.
+
+    Runs right after _march_step: decides per-lane retirement, rearms a
+    finished primary in place as its shadow ray (the queue-free
+    wavefront trick, Parallel/raytracer.cu:177-334), and updates the
+    march-state keys {o, d, phase, gate, p_best_*, best_*, t_cur,
+    testing, cursor, alive} of dict `s` (other keys pass through).
+
+    maxt_primary is each lane's PRIMARY-ray maxt (shadow rays march
+    unbounded; retirement only consults it on ~phase lanes).
+
+    Returns (s, aux) with aux = {done, hit0, retire_primary,
+    retire_shadow, hit_now, in_shadow, final_t, final_blk, final_slot}:
+    `done` lanes finished their ray THIS step with the final record in
+    final_* / in_shadow (callers latch or accumulate it); best_blk/slot
+    freeze at retirement (a done lane stops testing), so reading them
+    on retire_shadow lanes after this call yields the blocker at
+    first-hit time.
+    """
+    inf = jnp.float32(_INF)
+    phase = s["phase"]
+    best_t, testing, t_cur = s["best_t"], s["testing"], s["t_cur"]
+    walked_out = pre_alive & ~s["alive"]
+    hit_now = jnp.isfinite(best_t)
+    limit = jnp.minimum(maxt_primary, best_t)
+    retire_primary = ~phase & (
+        (s["alive"] & ~testing & (t_cur > limit)) | walked_out
+    )
+    retire_shadow = phase & ((s["alive"] & hit_now) | walked_out)
+
+    # lanes whose primary just finished with a hit REARM as their shadow
+    hit0 = retire_primary & hit_now
+    poi = s["o"] + s["d"] * best_t[:, None]
+    to_light = light - poi
+    norm = jnp.sqrt(jnp.sum(to_light * to_light, axis=-1, keepdims=True))
+    sdir = to_light / jnp.where(norm > 0, norm, 1.0)
+    if serial_quirk:  # Serial/raytracer.cpp:106 — away from the light
+        sdir = -sdir
+    new_o = jnp.where(hit0[:, None], poi, s["o"])
+    new_d = jnp.where(hit0[:, None], sdir, s["d"])
+    smint = jnp.full_like(best_t, jnp.float32(shadow_mint))
+    st0, s_entered = _slab_entry(
+        grid, new_o, new_d, smint, jnp.full_like(best_t, inf)
+    )
+    done = (
+        (retire_primary & ~hit_now)  # primary miss
+        | (hit0 & ~s_entered)  # shadow ray misses the grid: lit
+        | retire_shadow
+    )
+    in_shadow = retire_shadow & hit_now
+    final_t = jnp.where(phase, s["p_best_t"], best_t)
+    final_blk = jnp.where(phase, s["p_best_blk"], s["best_blk"])
+    final_slot = jnp.where(phase, s["p_best_slot"], s["best_slot"])
+    s = dict(
+        s,
+        o=new_o, d=new_d,
+        phase=phase | hit0,
+        gate=jnp.where(hit0, jnp.float32(shadow_gate), s["gate"]),
+        p_best_t=jnp.where(retire_primary, best_t, s["p_best_t"]),
+        p_best_blk=jnp.where(retire_primary, s["best_blk"], s["p_best_blk"]),
+        p_best_slot=jnp.where(retire_primary, s["best_slot"], s["p_best_slot"]),
+        best_t=jnp.where(hit0, inf, best_t),
+        best_blk=jnp.where(hit0, 0, s["best_blk"]),
+        best_slot=jnp.where(hit0, 0, s["best_slot"]),
+        t_cur=jnp.where(hit0, st0, t_cur),
+        # ~done: a shadow lane retires MID-cell at its first hit; left
+        # testing, the dead lane would keep scanning the cell's rows and
+        # a later (nearer) blocker would overwrite best_blk/best_slot
+        testing=testing & ~hit0 & ~done,
+        cursor=jnp.where(hit0, 0, s["cursor"]),
+        alive=(s["alive"] | hit0) & ~done,
+    )
+    return s, dict(
+        done=done, hit0=hit0, retire_primary=retire_primary,
+        retire_shadow=retire_shadow, hit_now=hit_now, in_shadow=in_shadow,
+        final_t=final_t, final_blk=final_blk, final_slot=final_slot,
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=("meta", "t_gate", "stop_on_first_hit", "max_steps", "unroll"),
@@ -245,16 +329,23 @@ def traverse_packed(
         # overhead (measured: unroll=1 is optimal at production tiles;
         # the knob stays for future hardware).
         for _ in range(unroll):
+            pre_alive = s["alive"]
             s = _march_step(s, o=o, d=d, invd=invd, gate=gate, maxt=maxt,
                             grid=grid, meta=meta)
             limit = jnp.minimum(maxt, s["best_t"])
             alive = s["alive"] & (s["testing"] | (s["t_cur"] <= limit))
             if stop_on_first_hit:
                 alive = alive & ~jnp.isfinite(s["best_t"])
+                # any-hit retirement can land mid-cell; stop the dead
+                # lane's residual row scan (result already recorded)
+                s = dict(s, testing=s["testing"] & alive)
             s = dict(
                 s,
                 alive=alive,
-                steps=s["steps"] + s["alive"].astype(jnp.int32),
+                # count march steps EXECUTED (pre-march alive), matching
+                # persistent_trace and the fused march — a lane dying by
+                # walking out still ran this step
+                steps=s["steps"] + pre_alive.astype(jnp.int32),
             )
         return dict(s, i=s["i"] + 1)
 
@@ -361,56 +452,17 @@ def traverse_packed_fused_shadow(
             s, o=s["o"], d=s["d"], invd=1.0 / s["d"], gate=s["gate"],
             maxt=maxt_lane, grid=grid, meta=meta,
         )
-        walked_out = pre_alive & ~s["alive"]  # probed outside the grid
-        phase = s["phase"]
-        best_t, testing, t_cur = s["best_t"], s["testing"], s["t_cur"]
-
-        # retirement per phase (early exit past the nearest hit, OR the
-        # march walked off the grid — boundary-cell hits land here)
-        limit = jnp.minimum(maxt0, best_t)
-        retire_primary = ~phase & (
-            (s["alive"] & ~testing & (t_cur > limit)) | walked_out
+        s, aux = _fused_retire_rearm(
+            s, pre_alive=pre_alive, maxt_primary=maxt0, light=light,
+            serial_quirk=serial_quirk, shadow_gate=shadow_gate,
+            shadow_mint=shadow_mint, grid=grid,
         )
-        retire_shadow = phase & (
-            (s["alive"] & jnp.isfinite(best_t))  # occlusion: first hit
-            | walked_out  # unbounded shadow rays retire by leaving the grid
-        )
-
-        # lanes whose primary just finished REARM as their shadow ray
-        hit0 = retire_primary & jnp.isfinite(best_t)
-        poi = s["o"] + s["d"] * best_t[:, None]
-        to_light = light - poi
-        norm = jnp.sqrt(jnp.sum(to_light * to_light, axis=-1, keepdims=True))
-        sdir_t = to_light / jnp.where(norm > 0, norm, 1.0)
-        sdir = -sdir_t if serial_quirk else sdir_t
-        new_o = jnp.where(hit0[:, None], poi, s["o"])
-        new_d = jnp.where(hit0[:, None], sdir, s["d"])
-        smint = jnp.full_like(best_t, jnp.float32(shadow_mint))
-        sinf = jnp.full_like(best_t, jnp.float32(_INF))
-        st_ent, s_entered = _slab_entry(grid, new_o, new_d, smint, sinf)
-
-        s = dict(
+        return dict(
             s,
-            o=new_o, d=new_d,
-            phase=phase | hit0,
-            gate=jnp.where(hit0, jnp.float32(shadow_gate), s["gate"]),
-            p_best_t=jnp.where(retire_primary, best_t, s["p_best_t"]),
-            p_best_blk=jnp.where(retire_primary, s["best_blk"], s["p_best_blk"]),
-            p_best_slot=jnp.where(retire_primary, s["best_slot"], s["p_best_slot"]),
-            best_t=jnp.where(hit0, inf, best_t),
-            best_blk=jnp.where(hit0, 0, s["best_blk"]),
-            best_slot=jnp.where(hit0, 0, s["best_slot"]),
-            t_cur=jnp.where(hit0, st_ent, t_cur),
-            testing=s["testing"] & ~hit0,
-            cursor=jnp.where(hit0, 0, s["cursor"]),
-            shadow_hit=s["shadow_hit"] | (retire_shadow & jnp.isfinite(best_t)),
-            alive=(s["alive"] | hit0)  # rearmed lanes resurrect as shadow rays
-            & ~(retire_primary & ~jnp.isfinite(best_t))  # primary miss: done
-            & ~(hit0 & ~s_entered)  # shadow ray misses the grid: done
-            & ~retire_shadow,
+            shadow_hit=s["shadow_hit"] | aux["in_shadow"],
             steps=s["steps"] + pre_alive.astype(jnp.int32),
+            i=s["i"] + 1,
         )
-        return dict(s, i=s["i"] + 1)
 
     out = jax.lax.while_loop(cond, body, state)
     # lanes still in phase 0 at exhaustion: harvest their primary record
