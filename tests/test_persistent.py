@@ -327,3 +327,28 @@ def test_random_soup_cross_scheduler_agreement(seed):
     onp.testing.assert_array_equal(
         onp.asarray(tiled.tri_id), onp.asarray(pers.tri_id)
     )
+
+
+def test_persistent_compact_with_camera_refill(packed_prep):
+    """compact + camera combine: the queue is prefiltered on rays
+    REGENERATED from the camera (the count-only contract), and the
+    march matches the camera-refill run without compaction.  A
+    placeholder ray table must not influence the result."""
+    prep = packed_prep
+    rays = camera_rays(prep.cfg.camera, dtype=jnp.float32)
+    # placeholder batch: same count, garbage content (never entering)
+    from ray_tracer_tpu.core.rays import RayBatch
+
+    junk = RayBatch.make(
+        jnp.full((rays.count, 3), jnp.inf, jnp.float32),
+        jnp.ones((rays.count, 3), jnp.float32),
+    )
+    kw = dict(wave=400, t_gate=0.0, camera=prep.cfg.camera)
+    a = persistent_trace(rays, prep.packed.arrays, prep.packed.meta, **kw)
+    b = persistent_trace(
+        junk, prep.packed.arrays, prep.packed.meta, compact=True, **kw
+    )
+    for f in ("hit", "tri_id"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, f)), np.asarray(getattr(b, f)), err_msg=f
+        )
