@@ -86,8 +86,22 @@ def _slab_entry(grid, o, d, mint, maxt):
     invd = 1.0 / d
     t_near = (grid.lower - o) * invd
     t_far = (grid.upper - o) * invd
-    lo = jnp.nan_to_num(jnp.minimum(t_near, t_far), nan=-jnp.inf)
-    hi = jnp.nan_to_num(jnp.maximum(t_near, t_far), nan=jnp.inf)
+    # posinf/neginf passthrough: nan_to_num's DEFAULT replaces ±inf with
+    # ±f32max, which let inf-origin rays (retired bounce lanes, padding)
+    # "enter" with a finite t0 = 3.4e38 — isfinite passed and the lane
+    # marched one garbage step.  Worse, any downstream arithmetic that
+    # nudges 3.4e38 overflows to inf and o + d*inf yields NaN positions,
+    # which XLA's saturating float->int converts to CELL 0 — an alive
+    # lane spinning in-grid until max_iters.  Only NaN (the 0*inf
+    # boundary-plane case) is remapped; infinities stay infinite.
+    lo = jnp.nan_to_num(
+        jnp.minimum(t_near, t_far), nan=-jnp.inf, posinf=jnp.inf,
+        neginf=-jnp.inf,
+    )
+    hi = jnp.nan_to_num(
+        jnp.maximum(t_near, t_far), nan=jnp.inf, posinf=jnp.inf,
+        neginf=-jnp.inf,
+    )
     t0 = jnp.maximum(jnp.max(lo, axis=-1), mint)
     t1 = jnp.minimum(jnp.min(hi, axis=-1), maxt)
     return t0, (t0 <= t1) & jnp.isfinite(t0)
@@ -112,7 +126,14 @@ def _march_step(s, *, o, d, invd, gate, maxt, grid, meta):
     alive, testing, t_cur = s["alive"], s["testing"], s["t_cur"]
 
     # ---- cell probe + info fetch (lanes not mid-voxel) --------------------
-    probe = t_cur + delta
+    # The nudge is relative past t ~ delta/4e-6: an absolute delta below
+    # ulp(t_cur) would round away (t_cur + delta == t_cur) and the lane
+    # would re-probe the same cell until max_steps — a real stall for
+    # rays far from the origin or for ring-sharded grids whose shared
+    # probe_delta is the min over shards with very different cell sizes.
+    # 4e-6 ≈ 33 f32 ulps at 1.0, far below any practical cell width, so
+    # near-field behavior (probe == t_cur + delta) is unchanged.
+    probe = t_cur + jnp.maximum(delta, t_cur * jnp.float32(4e-6))
     p = o + d * probe[:, None]
     cell = jnp.floor((p - grid.lower) * grid.inv_width).astype(jnp.int32)
     inside = jnp.all((cell >= 0) & (cell < nvox), axis=-1)

@@ -61,12 +61,30 @@ def stride_permutation(n: int, shards: int) -> np.ndarray:
     return np.concatenate([idx[s::shards] for s in range(shards)])
 
 
+def _pad_tris(v0, v1, v2, n_shards, fmat=None):
+    """Pad the triangle soup to a multiple of n_shards with DEGENERATE
+    (all-zero) triangles — they can never pass the strict barycentric
+    test, the invariant every sharded path relies on.  The ONE padding
+    implementation for all sharded intersect/render entry points.
+    Returns (v0, v1, v2, fmat_padded_or_None, fp)."""
+    f = v0.shape[0]
+    fp = _pad_to(f, n_shards)
+    if fp != f:
+        z = jnp.zeros((fp - f, 3), v0.dtype)
+        v0, v1, v2 = (jnp.concatenate([x, z]) for x in (v0, v1, v2))
+        if fmat is not None:
+            fmat = jnp.concatenate(
+                [fmat, jnp.zeros((fp - f,), fmat.dtype)]
+            )
+    return v0, v1, v2, fmat, fp
+
+
 @lru_cache(maxsize=32)
 def _sharded_image_fn(meta: GridMeta, cfg: SceneConfig, mesh: Mesh, axis: str, balance: bool):
     n_shards = mesh.shape[axis]
     rcfg = cfg.render
     h, w = cfg.camera.height, cfg.camera.width
-    r = h * w * rcfg.spp * rcfg.spp
+    r = h * w
     padded = _pad_to(r, n_shards)
     perm = stride_permutation(padded, n_shards) if balance else np.arange(padded)
     inv_perm = np.argsort(perm)
@@ -90,13 +108,29 @@ def _sharded_image_fn(meta: GridMeta, cfg: SceneConfig, mesh: Mesh, axis: str, b
 
     @jax.jit
     def run(scene: Scene, grid: GridArrays) -> jnp.ndarray:
-        rays = camera_rays(cfg.camera, dtype=jnp.dtype(rcfg.dtype), spp=rcfg.spp)
-        rays = pad_rays(rays, padded)
-        rays = jax.tree.map(lambda x: x[jnp.asarray(perm)], rays)
-        colors = sharded(scene, grid, rays)
-        colors = colors[jnp.asarray(inv_perm)][:r]
-        if rcfg.spp > 1:
-            colors = colors.reshape(rcfg.spp * rcfg.spp, -1, 3).mean(axis=0)
+        def one(rays: RayBatch) -> jnp.ndarray:
+            rays = pad_rays(rays, padded)
+            rays = jax.tree.map(lambda x: x[jnp.asarray(perm)], rays)
+            colors = sharded(scene, grid, rays)
+            return colors[jnp.asarray(inv_perm)][:r]
+
+        if rcfg.spp == 1:
+            colors = one(camera_rays(cfg.camera, dtype=jnp.dtype(rcfg.dtype)))
+        else:
+            # accumulate one spp-subsample batch at a time — O(H*W)
+            # memory like _render_image, instead of materializing (and
+            # permuting) all spp^2 * H * W rays in one buffer; the
+            # sequential sum matches _render_image's accumulation order
+            from ray_tracer_tpu.ops.camera import camera_rays_subsample
+
+            total = rcfg.spp * rcfg.spp
+            acc = None
+            for s in range(total):
+                c = one(camera_rays_subsample(
+                    cfg.camera, s, rcfg.spp, dtype=jnp.dtype(rcfg.dtype)
+                ))
+                acc = c if acc is None else acc + c
+            colors = acc / total
         return colors.reshape(h, w, 3)
 
     return run
@@ -134,7 +168,11 @@ def _local_best(rays, v0, v1, v2, tri_offset, t_lower, det_dtype):
     t_masked = jnp.where(accept, t, jnp.asarray(jnp.inf, t.dtype))
     j = jnp.argmin(t_masked, axis=1).astype(jnp.int32)
     t_best = jnp.take_along_axis(t_masked, j[:, None], axis=1)[:, 0]
-    return jnp.any(passed, axis=1), t_best.astype(jnp.float32), j + tri_offset
+    # t stays in det_dtype through the cross-shard merge: an f32 cast
+    # here can collapse two f64-distinct t's into an f32 tie, letting
+    # the lowest-id rule pick a different triangle than the replicated
+    # intersect_brute's f64 argmin
+    return jnp.any(passed, axis=1), t_best, j + tri_offset
 
 
 @lru_cache(maxsize=32)
@@ -194,10 +232,7 @@ def intersect_brute_sharded(
     degenerate (all-zero) and never pass the barycentric test."""
     f = v0.shape[0]
     n_tri_shards = mesh.shape[tris_axis]
-    fp = _pad_to(f, n_tri_shards)
-    if fp != f:
-        z = jnp.zeros((fp - f, 3), v0.dtype)
-        v0, v1, v2 = (jnp.concatenate([x, z]) for x in (v0, v1, v2))
+    v0, v1, v2, _, fp = _pad_tris(v0, v1, v2, n_tri_shards)
     n_ray_shards = mesh.shape[rays_axis] if rays_axis else 1
     r = rays.count
     rp = _pad_to(r, n_ray_shards)
@@ -228,14 +263,16 @@ def _ring_local_best(rays, v0, v1, v2, fmat, tri_offset, t_lower, ddt):
     j = jnp.argmin(t_masked, axis=1).astype(jnp.int32)
     t_best = jnp.take_along_axis(t_masked, j[:, None], axis=1)[:, 0]
     return dict(
-        t=t_best.astype(jnp.float32),
+        t=t_best,  # det_dtype — see _local_best on why no f32 cast
         tid=j + tri_offset,
         mat=fmat[j],
         tv0=v0[j], tv1=v1[j], tv2=v2[j],
+        ap=jnp.any(passed, axis=1),
     )
 
 
-def _ring_orbit(rays, local_best, tris_axis):
+def _ring_orbit(rays, local_best, tris_axis, t_dtype=jnp.float32,
+                with_any_pass=False):
     """Rays orbit the triangle shards: D hops of (local intersect ->
     strict-better merge -> ppermute to the next shard).  After D shifts
     every ray is back on its home shard carrying the GLOBAL nearest hit.
@@ -252,7 +289,6 @@ def _ring_orbit(rays, local_best, tris_axis):
     from ray_tracer_tpu.parallel.collectives import ring_shift
 
     nt = jax.lax.axis_size(tris_axis)
-    inf = jnp.float32(jnp.inf)
     # The hop output varies over every axis the ray bundle's most-
     # varying leaf does (ppermute keeps vma; the intersect mixes the
     # leaves), so every carry leaf must enter the loop with that same
@@ -271,11 +307,15 @@ def _ring_orbit(rays, local_best, tris_axis):
     zi = zf.astype(jnp.int32)
     z3 = (rays.orig * 0.0).astype(jnp.float32)
     best = dict(
-        t=zf + inf,
+        t=zf.astype(t_dtype) + jnp.asarray(jnp.inf, t_dtype),
         tid=zi + jnp.iinfo(jnp.int32).max,
         mat=zi,
         tv0=z3, tv1=z3, tv2=z3,
     )
+    if with_any_pass:
+        # OR-accumulated across hops (ungated barycentric pass, the
+        # BruteResult.any_pass semantics), outside the nearest-hit merge
+        best["ap"] = zi != 0
     bundle = (rays, best)
 
     def hop(_, bundle):
@@ -285,8 +325,9 @@ def _ring_orbit(rays, local_best, tris_axis):
             (loc["t"] == best["t"]) & (loc["tid"] < best["tid"])
         )
         best = {
-            k: jnp.where(better[:, None] if best[k].ndim == 2 else better,
-                         loc[k], best[k])
+            k: (best[k] | loc[k]) if k == "ap"
+            else jnp.where(better[:, None] if best[k].ndim == 2 else better,
+                           loc[k], best[k])
             for k in best
         }
         # every hop shifts, so hop D lands the bundle back home
@@ -372,11 +413,11 @@ def _ring_intersect_fn(mesh: Mesh, rays_axis: Optional[str], tris_axis: str,
             lambda rb, my: _ring_local_best(
                 rb, v0, v1, v2, fmat, my * shard_tris, t_lower, ddt
             ),
-            tris_axis,
+            tris_axis, t_dtype=ddt, with_any_pass=True,
         )
         hit = jnp.isfinite(best["t"])
         return BruteResult(
-            any_pass=hit, t=best["t"],
+            any_pass=best["ap"], t=best["t"],
             tri_id=jnp.where(hit, best["tid"], -1), hit=hit,
         )
 
@@ -412,10 +453,7 @@ def intersect_ring_sharded(
     merge)."""
     f = v0.shape[0]
     n_tri_shards = mesh.shape[tris_axis]
-    fp = _pad_to(f, n_tri_shards)
-    if fp != f:
-        z = jnp.zeros((fp - f, 3), v0.dtype)
-        v0, v1, v2 = (jnp.concatenate([x, z]) for x in (v0, v1, v2))
+    v0, v1, v2, _, fp = _pad_tris(v0, v1, v2, n_tri_shards)
     fmat = jnp.zeros((fp,), jnp.int32)
     shards = n_tri_shards * (mesh.shape[rays_axis] if rays_axis else 1)
     r = rays.count
@@ -429,12 +467,27 @@ def intersect_ring_sharded(
     )
 
 
+def _check_ring_cfg(rcfg) -> None:
+    """Reject render features _ring_shade does not implement — a silent
+    drop would break the documented bit-equality with the replicated
+    render()."""
+    assert not rcfg.faithful, "ring renderer has production semantics only"
+    assert rcfg.max_bounces == 0, "ring renderer: bounces not supported yet"
+    if rcfg.texture != "none":
+        raise NotImplementedError("ring renderer: textures not supported")
+    if rcfg.soft_visibility > 0 or rcfg.soft_primary > 0:
+        raise NotImplementedError(
+            "ring renderer: soft visibility not supported"
+        )
+    if rcfg.spp != 1:
+        raise NotImplementedError("ring renderer: spp > 1 not supported")
+
+
 @lru_cache(maxsize=16)
 def _ring_render_fn(cfg: SceneConfig, mesh: Mesh, rays_axis: Optional[str],
                     tris_axis: str, n_tris_padded: int):
     rcfg = cfg.render
-    assert not rcfg.faithful, "ring renderer has production semantics only"
-    assert rcfg.max_bounces == 0, "ring renderer: bounces not supported yet"
+    _check_ring_cfg(rcfg)
     ddt = jnp.dtype(rcfg.det_dtype)
     shard_tris = n_tris_padded // mesh.shape[tris_axis]
     ray_axes = (rays_axis, tris_axis) if rays_axis else (tris_axis,)
@@ -446,7 +499,7 @@ def _ring_render_fn(cfg: SceneConfig, mesh: Mesh, rays_axis: Optional[str],
                 lambda r_, my: _ring_local_best(
                     r_, v0, v1, v2, fmat, my * shard_tris, t_gate, ddt
                 ),
-                tris_axis,
+                tris_axis, t_dtype=ddt,
             )
 
         return _ring_shade(rays, orbit, rcfg, materials, light_pos,
@@ -490,16 +543,9 @@ def render_sharded_geometry(
     v0, v1, v2 = scene.triangle_soa()
     f = scene.num_faces
     n_tri_shards = mesh.shape[tris_axis]
-    fp = _pad_to(f, n_tri_shards)
-    if fp != f:
-        z = jnp.zeros((fp - f, 3), v0.dtype)
-        v0, v1, v2 = (jnp.concatenate([x, z]) for x in (v0, v1, v2))
-        fmat = jnp.concatenate([
-            scene.face_material,
-            jnp.zeros((fp - f,), scene.face_material.dtype),
-        ])
-    else:
-        fmat = scene.face_material
+    v0, v1, v2, fmat, fp = _pad_tris(
+        v0, v1, v2, n_tri_shards, scene.face_material
+    )
     rays = camera_rays(cfg.camera, dtype=jnp.dtype(cfg.render.dtype))
     shards = n_tri_shards * (mesh.shape[rays_axis] if rays_axis else 1)
     r = rays.count
@@ -578,6 +624,10 @@ def build_ring_grids(prep: Prepared, n_shards: int):
     meta = PackedGridMeta(
         n_voxels=common_res,
         n_blocks=nb,
+        # min: never larger than any shard's own nudge, so no shard can
+        # skip a cell thinner than the shared delta.  A delta below
+        # ulp(t_cur) cannot stall the march — _march_step's probe nudge
+        # is relative past that point.
         probe_delta=min(p.meta.probe_delta for p in packs),
         block_tris=bt,
         row_lanes=packs[0].meta.row_lanes,
@@ -613,8 +663,7 @@ def build_ring_grids(prep: Prepared, n_shards: int):
 def _ring_render_grid_fn(cfg: SceneConfig, mesh: Mesh, rays_axis: Optional[str],
                          tris_axis: str, meta, n_tris_padded: int):
     rcfg = cfg.render
-    assert not rcfg.faithful, "ring renderer has production semantics only"
-    assert rcfg.max_bounces == 0, "ring renderer: bounces not supported yet"
+    _check_ring_cfg(rcfg)
     shard_tris = n_tris_padded // mesh.shape[tris_axis]
     ray_axes = (rays_axis, tris_axis) if rays_axis else (tris_axis,)
 

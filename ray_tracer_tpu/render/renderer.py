@@ -41,7 +41,12 @@ from ray_tracer_tpu.ops.shade import (
     shade_parallel,
     shade_serial,
 )
-from ray_tracer_tpu.accel.packed import PackedGrid, pack_grid
+from ray_tracer_tpu.accel.packed import (
+    PackedGrid,
+    PackedGridArrays,
+    PackedGridMeta,
+    pack_grid,
+)
 from ray_tracer_tpu.ops.traverse import traverse_grid
 from ray_tracer_tpu.ops.traverse_packed import (
     PackedTraceResult,
@@ -217,6 +222,18 @@ def render_rays(
         # rays, then recompute t/geometry differentiably from the found
         # topology below.  Matters from bounce 1 on, where `cur` derives
         # from differentiable hit points.
+        #
+        # Bounce depths gate t > eps: the traversals consult only t_gate
+        # for acceptance (rays.mint seeds grid entry, not the t test),
+        # so without this a reflected ray re-accepts its own origin
+        # triangle at t ~ 1e-7 under serial shading, whose primary gate
+        # is 0 — the RayBatch mint=eps below would otherwise be a no-op.
+        # (Parallel shading is unaffected: its gate is already eps,
+        # Parallel/geometry.cuh:155-161.)
+        if depth == 0:
+            gate_d = primary_gate
+        else:
+            gate_d = eps if primary_gate is None else max(primary_gate, eps)
         fres = None
         if fused and (depth == 0 or rcfg.scheduler == "persistent"):
             # one march for primary + shadow: lanes rearm as their own
@@ -239,7 +256,7 @@ def render_rays(
                     jax.lax.stop_gradient(scene.light_pos),
                     wave=rcfg.wave, pump=rcfg.pump, fuse_shadow=True,
                     need_t=False,  # t is recomputed from tri_id below
-                    t_gate=0.0 if primary_gate is None else primary_gate,
+                    t_gate=0.0 if gate_d is None else gate_d,
                     # blocker identity costs an extra scatter/iteration;
                     # only soft visibility consumes it
                     need_shadow_tri=rcfg.soft_visibility > 0.0,
@@ -271,7 +288,7 @@ def render_rays(
                 if depth == 0 and camera_cfg is not None:
                     tkw["camera"] = camera_cfg
                 tkw["compact"] = depth > 0  # bounce batches are mostly dead
-            res = trav(jax.lax.stop_gradient(cur), t_gate=primary_gate, **tkw)
+            res = trav(jax.lax.stop_gradient(cur), t_gate=gate_d, **tkw)
         hit = rcfg.accepted_hit(res)
         tri = jnp.maximum(res.tri_id, 0)
 
@@ -300,9 +317,9 @@ def render_rays(
             # barycentric uv at the hit -> texture modulating base_color.
             # Differentiable in the vertices through beta/gamma (and, for
             # "image", in the texel grid through the bilinear gathers).
+            # cramer_bg_safe sanitizes invalid lanes' origins internally
             hb, hg = cramer_bg_safe(
-                jnp.where(res.hit[:, None], cur.orig, jnp.zeros_like(cur.orig)),
-                cur.dirn, tv0, tv1, tv2, res.hit,
+                cur.orig, cur.dirn, tv0, tv1, tv2, res.hit,
                 det_dtype=jnp.dtype(rcfg.det_dtype),
             )
             uv = scene.interpolate_uv(tri, hb.astype(v0.dtype), hg.astype(v0.dtype))

@@ -126,3 +126,64 @@ def test_boundary_plane_parallel_ray_no_nan():
         prep.packed.arrays, prep.packed.meta, t_gate=0.0,
     )
     assert np.isfinite(float(np.asarray(res2.t)[0])) or not bool(np.asarray(res2.hit)[0])
+
+
+def test_serial_bounce_does_not_self_intersect():
+    """A lone reflective quad under SERIAL shading (primary gate 0):
+    the bounce ray starts ON its own triangle, the case the t > eps
+    gate on bounce depths exists for (the traversals consult only
+    t_gate for acceptance, so the bounce RayBatch mint=eps alone does
+    not protect).  With nothing else in the scene every bounce must
+    MISS: the blended color is exactly local * (1 - km)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ray_tracer_tpu.config import (
+        CameraConfig, LightConfig, MaterialConfig, RenderConfig, SceneConfig,
+    )
+    from ray_tracer_tpu.io.obj import MeshArrays
+    from ray_tracer_tpu.models.scenes import scene_from_meshes
+    from ray_tracer_tpu.render.renderer import prepare, render
+
+    quad = MeshArrays(
+        verts=np.array(
+            [[-3, 0, -3], [3, 0, -3], [3, 0, 3], [-3, 0, 3]], np.float32
+        ),
+        faces=np.array([[0, 2, 1], [0, 3, 2]], np.int32),
+        uvs=np.zeros((0, 2), np.float32),
+        uv_faces=np.zeros((0, 3), np.int32),
+    )
+    # unit base color: the reflective blend multiplies by base AGAIN
+    # (quirk-faithful, raytracer.cu:519-520), so base 1 makes the
+    # expected image exactly local * (1 - km) when every bounce misses
+    mat = MaterialConfig(base_color=(1.0, 1.0, 1.0), kd=2.0, ks=0.0,
+                         spec_alpha=4.0, ka=0.3, km=0.5, reflective=True)
+    light = LightConfig(position=(0.0, 8.0, 0.0), intensity=1.0)
+    scene = scene_from_meshes([(quad, 0)], [mat], light)
+    cfg = SceneConfig(
+        materials=(mat,),
+        camera=CameraConfig(position=(0.0, 5.0, 0.01), target=(0, 0, 0),
+                            up=(0, 0, 1), fov_degrees=45.0,
+                            width=16, height=16),
+        light=light,
+        render=RenderConfig(
+            shading="serial", faithful=False, max_bounces=2,
+            shadow_eps=1e-3, ray_tile=256,
+        ),
+    )
+    prep = prepare(cfg, scene=scene)
+    img2 = np.asarray(render(prep))
+
+    cfg0 = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, max_bounces=0)
+    )
+    img0 = np.asarray(render(prepare(cfg0, scene=scene)))
+
+    hit = (img0 != np.asarray(jnp.asarray(cfg.render.background))).any(axis=-1)
+    assert hit.any()
+    # every bounce misses, so the bounced contribution is the black
+    # background and the image is exactly local * (1 - km); a bounce
+    # self-intersection would re-add surface color and brighten it
+    np.testing.assert_allclose(img2[hit], 0.5 * img0[hit], atol=1e-3)
