@@ -37,6 +37,14 @@ RtpuMesh* rtpu_obj_load(const char* path) {
   std::fseek(f, 0, SEEK_END);
   long size = std::ftell(f);
   std::fseek(f, 0, SEEK_SET);
+  // ftell can return -1 (error) or bogus values for non-regular files
+  // (a directory fopen()s fine on Linux); a bad size would otherwise
+  // become vector(size+1) throwing across the C ABI, or a buf[-1]
+  // write.  Bail to the numpy fallback, which raises cleanly.
+  if (size <= 0 || size > (1L << 40)) {
+    std::fclose(f);
+    return nullptr;
+  }
   std::vector<char> buf(size + 1);
   if (std::fread(buf.data(), 1, size, f) != size_t(size)) {
     std::fclose(f);
@@ -58,6 +66,8 @@ RtpuMesh* rtpu_obj_load(const char* path) {
       for (int k = 0; k < 2; ++k) mesh->uvs.push_back(float(std::strtod(p, &p)));
     } else if (p[0] == 'f' && p[1] == ' ') {
       p += 2;
+      int32_t frow[3], trow[3];
+      bool all_vt = true;
       for (int k = 0; k < 3; ++k) {
         long v = std::strtol(p, &p, 10);
         long vt = 0;
@@ -69,8 +79,21 @@ RtpuMesh* rtpu_obj_load(const char* path) {
             std::strtol(p, &p, 10);  // normal index, ignored
           }
         }
-        mesh->faces.push_back(int32_t(v - 1));
-        mesh->uv_faces.push_back(int32_t(vt - 1));
+        // OBJ negative indices are relative to the elements defined so
+        // far (-1 = most recent), matching io/obj._parse_obj_numpy
+        long nvert = long(mesh->verts.size() / 3);
+        long nuv = long(mesh->uvs.size() / 2);
+        frow[k] = int32_t(v > 0 ? v - 1 : nvert + v);
+        trow[k] = int32_t(vt > 0 ? vt - 1 : (vt < 0 ? nuv + vt : -1));
+        if (vt == 0) all_vt = false;
+      }
+      for (int k = 0; k < 3; ++k) {
+        mesh->faces.push_back(frow[k]);
+        // a face is textured only when ALL THREE corners carry vt —
+        // per-corner -1 would pass the renderer's face-level has_uv
+        // check and gather garbage uvs (parity with the numpy parser's
+        // whole-row -1 for partially-textured faces)
+        mesh->uv_faces.push_back(all_vt ? trow[k] : -1);
       }
     }
     while (p < end && *p != '\n') ++p;
@@ -112,14 +135,27 @@ static inline int rtpu_iclamp(int v, int lo, int hi) {
 
 RtpuGrid* rtpu_grid_build(const float* verts, long nv, const int32_t* faces,
                           long nf, float res_mult, int max_res) {
-  (void)nv;
   auto* g = new RtpuGrid();
+  if (nf <= 0 || nv <= 0) {  // callers gate on nf > 0; stay defined anyway
+    for (int k = 0; k < 3; ++k) {
+      g->lower[k] = g->upper[k] = g->width[k] = g->inv_width[k] = 0.f;
+      g->n[k] = 1;
+    }
+    g->cell_start.assign(2, 0);
+    return g;
+  }
+  // Bounds-clamp face indices: a corrupt index would otherwise read
+  // out of the caller's vertex buffer (UB).  Valid meshes (incl. OBJ
+  // relative indices, resolved by the loader) are unaffected.
+  auto vert_at = [&](long i) {
+    return verts + 3 * rtpu_iclamp(faces[i], 0, int(nv - 1));
+  };
   for (int k = 0; k < 3; ++k) {
     g->lower[k] = INFINITY;
     g->upper[k] = -INFINITY;
   }
   for (long i = 0; i < nf * 3; ++i) {
-    const float* v = verts + 3 * faces[i];
+    const float* v = vert_at(i);
     for (int k = 0; k < 3; ++k) {
       g->lower[k] = std::min(g->lower[k], v[k]);
       g->upper[k] = std::max(g->upper[k], v[k]);
@@ -130,20 +166,35 @@ RtpuGrid* rtpu_grid_build(const float* verts, long nv, const int32_t* faces,
   int axis = delta[0] > delta[1] ? 0 : 1;
   if (axis == 1) axis = delta[1] > delta[2] ? 1 : 2;
   else axis = delta[0] > delta[2] ? 0 : 2;
-  float vpud = res_mult * std::pow(float(nf), 1.0f / 3.0f) / delta[axis];
-  for (int k = 0; k < 3; ++k) {
-    g->n[k] = rtpu_iclamp(int(delta[k] * vpud + 1), 1, max_res);
-    g->width[k] = delta[k] / g->n[k];
-    g->inv_width[k] = g->width[k] == 0.f ? 0.f : 1.f / g->width[k];
+  // Float32 arithmetic in the SAME operation order as
+  // accel/grid.grid_resolution (reciprocal then multiply): libm
+  // double pow + divide rounds differently and can flip int(x+1) by
+  // one voxel on some scenes, silently diverging from the numpy
+  // correctness reference.
+  if (delta[axis] == 0.f) {  // fully degenerate mesh: 1-cell grid
+    for (int k = 0; k < 3; ++k) {
+      g->n[k] = 1;
+      g->width[k] = 0.f;
+      g->inv_width[k] = 0.f;
+    }
+  } else {
+    float max_inv_width = 1.0f / delta[axis];
+    float cube_root = res_mult * std::pow(float(nf), 1.0f / 3.0f);
+    float vpud = cube_root * max_inv_width;
+    for (int k = 0; k < 3; ++k) {
+      g->n[k] = rtpu_iclamp(int(delta[k] * vpud + 1.0f), 1, max_res);
+      g->width[k] = delta[k] / g->n[k];
+      g->inv_width[k] = g->width[k] == 0.f ? 0.f : 1.f / g->width[k];
+    }
   }
 
   const int64_t total = int64_t(g->n[0]) * g->n[1] * g->n[2];
   std::vector<int64_t> counts(total, 0);
   std::vector<int32_t> vmin(nf * 3), vmax(nf * 3);
   for (long i = 0; i < nf; ++i) {
-    const float* a = verts + 3 * faces[3 * i];
-    const float* b = verts + 3 * faces[3 * i + 1];
-    const float* c = verts + 3 * faces[3 * i + 2];
+    const float* a = vert_at(3 * i);
+    const float* b = vert_at(3 * i + 1);
+    const float* c = vert_at(3 * i + 2);
     for (int k = 0; k < 3; ++k) {
       float lo = std::min(a[k], std::min(b[k], c[k]));
       float hi = std::max(a[k], std::max(b[k], c[k]));

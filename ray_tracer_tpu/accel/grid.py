@@ -95,6 +95,11 @@ def grid_resolution(
 ) -> np.ndarray:
     """nVoxels per axis with the reference's float32 arithmetic (grid.h:94-101)."""
     delta = (upper - lower).astype(np.float32)
+    if delta[_max_axis(delta)] == 0.0:
+        # fully degenerate mesh (all referenced points identical): the
+        # reference formula divides by zero; define it as a 1-cell grid
+        # instead of letting inf * 0 = NaN reach the int cast
+        return np.ones((3,), np.int32)
     max_inv_width = np.float32(1.0) / delta[_max_axis(delta)]
     cube_root = np.float32(resolution_multiplier) * np.float32(
         np.power(np.float32(num_tris), np.float32(1.0 / 3.0))
@@ -142,29 +147,24 @@ def build_grid(
         if built is not None:
             n3, lower, upper, width, inv_width, cell_start, tri_ids = built
             nx, ny, nz = (int(x) for x in n3)
-            counts = np.diff(cell_start)
-            meta = GridMeta(
-                n_voxels=(nx, ny, nz),
-                max_per_voxel=int(counts.max()) if counts.size else 0,
-                nnz=int(tri_ids.shape[0]),
+            return _assemble_grid(
+                nx, ny, nz, lower, upper, width, inv_width,
+                cell_start, tri_ids,
             )
-            arrays = GridArrays(
-                lower=jnp.asarray(lower), upper=jnp.asarray(upper),
-                width=jnp.asarray(width), inv_width=jnp.asarray(inv_width),
-                cell_start=jnp.asarray(cell_start, dtype=jnp.int32),
-                tri_ids=jnp.asarray(tri_ids, dtype=jnp.int32),
-            )
-            host = GridHost(
-                lower=lower, upper=upper, width=width, inv_width=inv_width,
-                cell_start=np.asarray(cell_start), tri_ids=np.asarray(tri_ids),
-            )
-            return UniformGrid(arrays=arrays, meta=meta, host=host)
 
-    v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
-    tri_lo = np.minimum(np.minimum(v0, v1), v2)
-    tri_hi = np.maximum(np.maximum(v0, v1), v2)
-    lower = tri_lo.min(axis=0)
-    upper = tri_hi.max(axis=0)
+    if num_tris == 0:
+        # empty shard/selection: a valid empty grid, not a crash —
+        # _build_csr_numpy's num_tris == 0 branch handles the CSR
+        tri_lo = np.zeros((0, 3), np.float32)
+        tri_hi = tri_lo
+        lower = np.zeros((3,), np.float32)
+        upper = np.zeros((3,), np.float32)
+    else:
+        v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+        tri_lo = np.minimum(np.minimum(v0, v1), v2)
+        tri_hi = np.maximum(np.maximum(v0, v1), v2)
+        lower = tri_lo.min(axis=0)
+        upper = tri_hi.max(axis=0)
 
     if force_resolution is not None:
         n_voxels = np.asarray(force_resolution, np.int32)
@@ -184,7 +184,15 @@ def build_grid(
     cell_start, tri_ids = _build_csr_numpy(
         tri_lo, tri_hi, lower, inv_width, n_voxels, nx, ny
     )
+    return _assemble_grid(
+        nx, ny, nz, lower, upper, width, inv_width, cell_start, tri_ids
+    )
 
+
+def _assemble_grid(nx, ny, nz, lower, upper, width, inv_width,
+                   cell_start, tri_ids) -> "UniformGrid":
+    """The one GridMeta/GridArrays/GridHost assembly shared by the
+    native and numpy build branches."""
     counts = np.diff(cell_start)
     meta = GridMeta(
         n_voxels=(nx, ny, nz),
@@ -200,7 +208,8 @@ def build_grid(
         tri_ids=jnp.asarray(tri_ids, dtype=jnp.int32),
     )
     host = GridHost(
-        lower=lower, upper=upper, width=width, inv_width=inv_width,
+        lower=np.asarray(lower), upper=np.asarray(upper),
+        width=np.asarray(width), inv_width=np.asarray(inv_width),
         cell_start=np.asarray(cell_start), tri_ids=np.asarray(tri_ids),
     )
     return UniformGrid(arrays=arrays, meta=meta, host=host)

@@ -51,9 +51,14 @@ def _parse_obj_numpy(path: str) -> MeshArrays:
                 ti = []
                 for p in parts:
                     comps = p.split("/")
-                    vi.append(int(comps[0]))
+                    iv = int(comps[0])
+                    # OBJ negative indices are relative to the count of
+                    # elements defined SO FAR (-1 = most recent); store
+                    # 1-based so the uniform -1 shift below applies
+                    vi.append(iv if iv > 0 else len(verts) + iv + 1)
                     if len(comps) > 1 and comps[1]:
-                        ti.append(int(comps[1]))
+                        it = int(comps[1])
+                        ti.append(it if it > 0 else len(uvs) + it + 1)
                 faces.append(vi)
                 # one row PER face so uv_faces stays index-aligned with
                 # faces (0 here -> -1 after the 1-based shift below ->

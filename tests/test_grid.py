@@ -80,3 +80,28 @@ def test_native_build_matches_numpy():
     np.testing.assert_array_equal(np.asarray(a.arrays.tri_ids), np.asarray(b.arrays.tri_ids))
     np.testing.assert_array_equal(np.asarray(a.arrays.lower), np.asarray(b.arrays.lower))
     np.testing.assert_array_equal(np.asarray(a.arrays.width), np.asarray(b.arrays.width))
+
+
+def test_build_grid_zero_faces():
+    """An empty shard/selection builds a valid empty grid, not a crash."""
+    from ray_tracer_tpu.accel.grid import build_grid
+
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    g = build_grid(verts, np.zeros((0, 3), np.int32))
+    assert g.meta.nnz == 0
+    assert g.meta.n_voxels == (1, 1, 1)
+    assert g.host.tri_ids.shape == (0,)
+
+
+def test_build_grid_fully_degenerate_mesh():
+    """All referenced points identical: the reference's resolution
+    formula divides by zero; we define it as a 1-cell grid (both
+    builders), instead of NaN -> int UB."""
+    from ray_tracer_tpu.accel.grid import build_grid
+
+    verts = np.zeros((3, 3), np.float32)
+    faces = np.array([[0, 1, 2]], np.int32)
+    for use_native in (False, True):
+        g = build_grid(verts, faces, use_native=use_native)
+        assert g.meta.n_voxels == (1, 1, 1), use_native
+        assert g.meta.nnz == 1

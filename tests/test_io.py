@@ -117,3 +117,42 @@ def test_partially_textured_obj_uv_alignment(tmp_path):
     assert (uvf[0] == -1).all() and (uvf[2] == -1).all()
     np.testing.assert_array_equal(uvf[1], [0, 1, 2])
     np.testing.assert_array_equal(uvf[3], [3, 4, 5])
+
+
+def test_mixed_vt_face_marks_whole_row_untextured(tmp_path):
+    """A face with vt on only SOME corners ('f 1/1 2 3') is untextured
+    as a whole: per-corner -1 would pass the renderer's face-level
+    has_uv check and gather garbage uvs.  Native and numpy parsers must
+    agree."""
+    p = tmp_path / "partial.obj"
+    p.write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\n"
+        "vt 0.25 0.75\n"
+        "f 1/1 2 3\n"
+    )
+    from ray_tracer_tpu.io.obj import load_obj
+
+    for use_native in (False, None):
+        m = load_obj(str(p), use_native=use_native)
+        assert m.faces.shape == (1, 3)
+        if m.uv_faces.size:  # all-(-1) table may be dropped entirely
+            assert (m.uv_faces == -1).all(), (use_native, m.uv_faces)
+
+
+def test_relative_obj_indices(tmp_path):
+    """OBJ negative indices are relative to the elements defined so far
+    (-1 = most recent); both parsers resolve them identically."""
+    p = tmp_path / "rel.obj"
+    p.write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\n"
+        "f -3 -2 -1\n"
+        "v 2 2 0\n"
+        "f 1 2 -1\n"
+    )
+    from ray_tracer_tpu.io.obj import load_obj
+
+    for use_native in (False, None):
+        m = load_obj(str(p), use_native=use_native)
+        np.testing.assert_array_equal(
+            m.faces, [[0, 1, 2], [0, 1, 3]], err_msg=str(use_native)
+        )
