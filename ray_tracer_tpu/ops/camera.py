@@ -37,6 +37,38 @@ def camera_basis(cfg: CameraConfig, dtype=jnp.float32):
     return pos, u, v, w, focal_distance
 
 
+def _subpixel_offset(s: int, spp: int) -> "tuple[float, float]":
+    """(ox, oy) of subsample s as PYTHON floats — the one offset
+    computation every ray source shares.  Offsets must be host-side
+    float64 constants narrowed at use: an on-device f32 divide is not
+    correctly rounded on all backends ((s+0.5)/spp drifts by 1 ulp for
+    non-power-of-two spp), which would break the bitwise equality
+    between the three ray sources below."""
+    if spp == 1:
+        return 0.5, 0.5
+    sx, sy = s % spp, s // spp
+    return (sx + 0.5) / spp, (sy + 0.5) / spp
+
+
+def _rays_from_grid(cfg: CameraConfig, ox: float, oy: float, dtype):
+    """(H*W, 3) normalized directions for one subsample offset — the
+    shared direction expression (camera_rays == concat of these per
+    its docstring; camera_rays_subsample is exactly one)."""
+    pos, u, v, w, fd = camera_basis(cfg, dtype=dtype)
+    width, height = cfg.width, cfg.height
+    aspect = float(width) / float(height)
+    x = jnp.arange(width, dtype=dtype)
+    y = jnp.arange(height, dtype=dtype)
+    xw = aspect * (x - width / 2.0 + ox) / width  # (W,)
+    yw = (y - height / 2.0 + oy) / height  # (H,)
+    dirs = (
+        -w * fd
+        + u * xw[None, :, None]  # broadcast over (H, W, 3)
+        + v * yw[:, None, None]
+    )
+    return pos, vm.normalize(dirs).reshape(-1, 3)
+
+
 def camera_rays(cfg: CameraConfig, dtype=jnp.float32, spp: int = 1) -> RayBatch:
     """Primary rays for every pixel, flat index = y*W + x.
 
@@ -45,31 +77,10 @@ def camera_rays(cfg: CameraConfig, dtype=jnp.float32, spp: int = 1) -> RayBatch:
     ray[s*H*W + y*W + x]; callers average blocks of H*W.  spp == 1 keeps
     the reference's exact pixel-center expression (bitwise goldens).
     """
-    pos, u, v, w, fd = camera_basis(cfg, dtype=dtype)
-    width, height = cfg.width, cfg.height
-    aspect = float(width) / float(height)
-
-    x = jnp.arange(width, dtype=dtype)
-    y = jnp.arange(height, dtype=dtype)
-
-    if spp == 1:
-        offsets = [(0.5, 0.5)]
-    else:
-        offsets = [
-            ((sx + 0.5) / spp, (sy + 0.5) / spp)
-            for sy in range(spp) for sx in range(spp)
-        ]
-
     all_dirs = []
-    for ox, oy in offsets:
-        xw = aspect * (x - width / 2.0 + ox) / width  # (W,)
-        yw = (y - height / 2.0 + oy) / height  # (H,)
-        dirs = (
-            -w * fd
-            + u * xw[None, :, None]  # broadcast over (H, W, 3)
-            + v * yw[:, None, None]
-        )
-        all_dirs.append(vm.normalize(dirs).reshape(-1, 3))
+    for s in range(spp * spp):
+        pos, d = _rays_from_grid(cfg, *_subpixel_offset(s, spp), dtype)
+        all_dirs.append(d)
     dirs = all_dirs[0] if len(all_dirs) == 1 else jnp.concatenate(all_dirs, axis=0)
     orig = jnp.broadcast_to(pos, dirs.shape)
     return RayBatch.make(orig, dirs, mint=0.0, maxt=jnp.inf)
@@ -81,20 +92,7 @@ def camera_rays_subsample(cfg: CameraConfig, s: int, spp: int,
     bitwise equal to rays [s*H*W:(s+1)*H*W] of camera_rays(cfg, spp=spp).
     Lets the renderer accumulate subsamples with O(H*W) memory instead
     of materializing all spp^2 batches at once."""
-    pos, u, v, w, fd = camera_basis(cfg, dtype=dtype)
-    width, height = cfg.width, cfg.height
-    aspect = float(width) / float(height)
-    x = jnp.arange(width, dtype=dtype)
-    y = jnp.arange(height, dtype=dtype)
-    if spp == 1:
-        ox, oy = 0.5, 0.5
-    else:
-        sx, sy = s % spp, s // spp
-        ox, oy = (sx + 0.5) / spp, (sy + 0.5) / spp
-    xw = aspect * (x - width / 2.0 + ox) / width
-    yw = (y - height / 2.0 + oy) / height
-    dirs = -w * fd + u * xw[None, :, None] + v * yw[:, None, None]
-    dirs = vm.normalize(dirs).reshape(-1, 3)
+    pos, dirs = _rays_from_grid(cfg, *_subpixel_offset(s, spp), dtype)
     orig = jnp.broadcast_to(pos, dirs.shape)
     return RayBatch.make(orig, dirs, mint=0.0, maxt=jnp.inf)
 
@@ -118,9 +116,16 @@ def camera_ray_at(cfg: CameraConfig, idx: jnp.ndarray, dtype=jnp.float32,
     if spp == 1:
         ox = oy = jnp.asarray(0.5, dtype)
     else:
-        s = idx // hw
-        ox = ((s % spp).astype(dtype) + 0.5) / spp
-        oy = ((s // spp).astype(dtype) + 0.5) / spp
+        # gather the subsample offsets from a table of the SAME
+        # Python-float constants camera_rays bakes in — computing
+        # (s+0.5)/spp on device drifts by 1 ulp for non-power-of-two
+        # spp (the f32 divide is not correctly rounded on this backend)
+        offs = [_subpixel_offset(s, spp) for s in range(spp * spp)]
+        ox_tab = jnp.asarray([o for o, _ in offs], dtype)
+        oy_tab = jnp.asarray([o for _, o in offs], dtype)
+        s = jnp.clip(idx // hw, 0, spp * spp - 1)
+        ox = ox_tab[s]
+        oy = oy_tab[s]
     xw = aspect * (xi - width / 2.0 + ox) / width
     yw = (yi - height / 2.0 + oy) / height
     dirs = -w * fd + u * xw[:, None] + v * yw[:, None]

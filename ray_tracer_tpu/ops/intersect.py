@@ -93,27 +93,14 @@ def cramer_t_safe(
     guarding only the outputs would still leak inf residuals into the
     backward pass as nan (inf * zero-cotangent).
     """
-    vmask = valid[..., None]
-    o = jnp.where(vmask, orig, 0.0).astype(det_dtype)
-    d = jnp.where(vmask, dirn, 1.0).astype(det_dtype)
-    a = v0.astype(det_dtype)
-    b = v1.astype(det_dtype)
-    c = v2.astype(det_dtype)
-    e1 = a - b
-    e2 = a - c
-    s = a - o
-    A = vm.det3(
-        e1[..., 0], e2[..., 0], d[..., 0],
-        e1[..., 1], e2[..., 1], d[..., 1],
-        e1[..., 2], e2[..., 2], d[..., 2],
+    e1, e2, s, d, A_safe, guard = _safe_cramer_columns(
+        orig, dirn, v0, v1, v2, valid, det_dtype
     )
     tn = vm.det3(
         e1[..., 0], e2[..., 0], s[..., 0],
         e1[..., 1], e2[..., 1], s[..., 1],
         e1[..., 2], e2[..., 2], s[..., 2],
     )
-    guard = valid & (A != 0)
-    A_safe = jnp.where(guard, A, jnp.asarray(1.0, det_dtype))
     tn_safe = jnp.where(guard, tn, jnp.asarray(0.0, det_dtype))
     return tn_safe / A_safe
 
@@ -131,6 +118,31 @@ def cramer_bg_safe(
     cramer_t_safe) — used by the soft-visibility path to differentiate
     the blocker's barycentric margin without nan leakage from lanes
     whose gathered triangle is arbitrary or whose ray is retired."""
+    e1, e2, s, d, A_safe, guard = _safe_cramer_columns(
+        orig, dirn, v0, v1, v2, valid, det_dtype
+    )
+    bn = vm.det3(
+        s[..., 0], e2[..., 0], d[..., 0],
+        s[..., 1], e2[..., 1], d[..., 1],
+        s[..., 2], e2[..., 2], d[..., 2],
+    )
+    gn = vm.det3(
+        e1[..., 0], s[..., 0], d[..., 0],
+        e1[..., 1], s[..., 1], d[..., 1],
+        e1[..., 2], s[..., 2], d[..., 2],
+    )
+    z = jnp.asarray(0.0, det_dtype)
+    return (
+        jnp.where(guard, bn, z) / A_safe,
+        jnp.where(guard, gn, z) / A_safe,
+    )
+
+
+def _safe_cramer_columns(orig, dirn, v0, v1, v2, valid, det_dtype):
+    """The shared sanitize + column + guarded-divisor block of the
+    `_safe` Cramer variants: (e1, e2, s, d, A_safe, guard).  One
+    implementation so an edit to the sanitization or the A != 0 guard
+    cannot desynchronize t from beta/gamma on guarded lanes."""
     vmask = valid[..., None]
     o = jnp.where(vmask, orig, 0.0).astype(det_dtype)
     d = jnp.where(vmask, dirn, 1.0).astype(det_dtype)
@@ -145,23 +157,9 @@ def cramer_bg_safe(
         e1[..., 1], e2[..., 1], d[..., 1],
         e1[..., 2], e2[..., 2], d[..., 2],
     )
-    bn = vm.det3(
-        s[..., 0], e2[..., 0], d[..., 0],
-        s[..., 1], e2[..., 1], d[..., 1],
-        s[..., 2], e2[..., 2], d[..., 2],
-    )
-    gn = vm.det3(
-        e1[..., 0], s[..., 0], d[..., 0],
-        e1[..., 1], s[..., 1], d[..., 1],
-        e1[..., 2], s[..., 2], d[..., 2],
-    )
     guard = valid & (A != 0)
     A_safe = jnp.where(guard, A, jnp.asarray(1.0, det_dtype))
-    z = jnp.asarray(0.0, det_dtype)
-    return (
-        jnp.where(guard, bn, z) / A_safe,
-        jnp.where(guard, gn, z) / A_safe,
-    )
+    return e1, e2, s, d, A_safe, guard
 
 
 def barycentric_pass(beta: jnp.ndarray, gamma: jnp.ndarray) -> jnp.ndarray:
@@ -239,8 +237,11 @@ def mxu_intersect_all_pairs(
     """All-pairs nearest hit as six (R,3)x(3,T) matmuls on the MXU.
 
     Algebraically equivalent to `intersect_brute` (not bit-identical:
-    different operation order); used by the fast production path and
-    cross-checked against the Cramer kernel in tests.
+    different operation order).  Kept as the MXU formulation of the
+    all-pairs test, cross-checked against the Cramer kernel in tests —
+    the production fast paths are the packed/persistent grid marches
+    and the Pallas VPU sweep; at K=3 contraction depth the MXU runs at
+    ~2-5% utilization (docs/PERFORMANCE.md), so this form never won.
     """
     n, b1, b2 = _dual_basis(v0, v1, v2, dtype)
     o = rays.orig.astype(dtype)

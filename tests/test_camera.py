@@ -54,3 +54,25 @@ def test_origins_are_camera_position():
     np.testing.assert_array_equal(
         np.asarray(rays.orig), np.tile([1.0, 2.0, 3.0], (16, 1))
     )
+
+
+def test_camera_ray_at_bitwise_matches_camera_rays_odd_spp():
+    """camera_ray_at's documented bitwise contract, at the spp values
+    where an on-device (s+0.5)/spp divide drifts by 1 ulp (non-power-
+    of-two): offsets must come from the same Python-float constants."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ray_tracer_tpu.config import CameraConfig
+    from ray_tracer_tpu.ops.camera import camera_ray_at, camera_rays
+
+    cfg = CameraConfig(position=(3.0, 5.0, 3.0), target=(0, 0, 0),
+                       up=(0, -1, 0), fov_degrees=45.0, width=8, height=8)
+    for spp in (1, 2, 3, 5):
+        batch = camera_rays(cfg, spp=spp)
+        at = camera_ray_at(
+            cfg, jnp.arange(8 * 8 * spp * spp, dtype=jnp.int32), spp=spp
+        )
+        np.testing.assert_array_equal(
+            np.asarray(batch.dirn), np.asarray(at.dirn), err_msg=f"spp={spp}"
+        )
