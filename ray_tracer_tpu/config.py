@@ -175,6 +175,16 @@ class RenderConfig:
             return None
         return 0.0 if self.serial_shading else self.shadow_eps
 
+    def bounce_gate(self) -> float:
+        """Hit-update gate for bounce (depth >= 1) rays: at least eps.
+        The traversals consult only the gate for acceptance (rays.mint
+        seeds grid entry, not the t test), so without this a reflected
+        ray re-accepts its own origin triangle at t ~ 1e-7 under serial
+        shading, whose primary gate is 0/None.  (The parallel variant's
+        gate is already eps, Parallel/geometry.cuh:155-161.)"""
+        pg = self.primary_gate()
+        return self.shadow_eps if pg is None else max(pg, self.shadow_eps)
+
     def shadow_mint(self) -> float:
         """Shadow-ray mint: the serial reference re-enters the grid with
         mint = eps (Serial/geometry.h:2); the CUDA variant offsets by an

@@ -43,6 +43,7 @@ from ray_tracer_tpu.ops.intersect import BruteResult, barycentric_pass, cramer_t
 from ray_tracer_tpu.parallel.mesh import make_mesh
 from ray_tracer_tpu.render.renderer import (
     Prepared,
+    accumulate_spp,
     pad_rays,
     render_rays_tiled,
     render_rays_tiled_sorted,
@@ -108,29 +109,15 @@ def _sharded_image_fn(meta: GridMeta, cfg: SceneConfig, mesh: Mesh, axis: str, b
 
     @jax.jit
     def run(scene: Scene, grid: GridArrays) -> jnp.ndarray:
-        def one(rays: RayBatch) -> jnp.ndarray:
+        # the sharded path never uses the camera refill (rays are
+        # permuted across shards), so camera_ok is ignored
+        def one(rays: RayBatch, camera_ok: bool = False) -> jnp.ndarray:
             rays = pad_rays(rays, padded)
             rays = jax.tree.map(lambda x: x[jnp.asarray(perm)], rays)
             colors = sharded(scene, grid, rays)
             return colors[jnp.asarray(inv_perm)][:r]
 
-        if rcfg.spp == 1:
-            colors = one(camera_rays(cfg.camera, dtype=jnp.dtype(rcfg.dtype)))
-        else:
-            # accumulate one spp-subsample batch at a time — O(H*W)
-            # memory like _render_image, instead of materializing (and
-            # permuting) all spp^2 * H * W rays in one buffer; the
-            # sequential sum matches _render_image's accumulation order
-            from ray_tracer_tpu.ops.camera import camera_rays_subsample
-
-            total = rcfg.spp * rcfg.spp
-            acc = None
-            for s in range(total):
-                c = one(camera_rays_subsample(
-                    cfg.camera, s, rcfg.spp, dtype=jnp.dtype(rcfg.dtype)
-                ))
-                acc = c if acc is None else acc + c
-            colors = acc / total
+        colors = accumulate_spp(one, cfg.camera, rcfg.spp, jnp.dtype(rcfg.dtype))
         return colors.reshape(h, w, 3)
 
     return run
@@ -198,7 +185,9 @@ def _sharded_intersect_fn(mesh: Mesh, rays_axis: Optional[str], tris_axis: str,
         id_best = jnp.take_along_axis(ids, s_best[None], axis=0)[0]
         return BruteResult(
             any_pass=jnp.any(anys, axis=0),
-            t=t_best,
+            # f32 only AFTER the merge (BruteResult.t is documented f32,
+            # matching intersect_brute's post-argmin cast)
+            t=t_best.astype(jnp.float32),
             tri_id=id_best,
             hit=jnp.isfinite(t_best),
         )
@@ -417,7 +406,8 @@ def _ring_intersect_fn(mesh: Mesh, rays_axis: Optional[str], tris_axis: str,
         )
         hit = jnp.isfinite(best["t"])
         return BruteResult(
-            any_pass=best["ap"], t=best["t"],
+            # f32 only AFTER the orbit's merge (see _sharded_intersect_fn)
+            any_pass=best["ap"], t=best["t"].astype(jnp.float32),
             tri_id=jnp.where(hit, best["tid"], -1), hit=hit,
         )
 
@@ -448,9 +438,12 @@ def intersect_ring_sharded(
     §5 'long-context'; the scaling axis the reference's single-GPU
     deep-copy at Parallel/raytracer.cu:583-693 could never reach).
 
-    Result is bit-equal to intersect_brute_sharded / the brute
-    integrator (same per-triangle arithmetic; visit-order-independent
-    merge)."""
+    The merge (t <, or t == with lower global id) is visit-order
+    independent, so the tie-break matches intersect_brute_sharded / the
+    brute integrator exactly; t values agree to within last-ulp FMA
+    contraction differences (each shard's Cramer runs over a different
+    slice shape, which XLA may contract differently — the tests assert
+    exact ids and allclose t, tests/test_sharding.py)."""
     f = v0.shape[0]
     n_tri_shards = mesh.shape[tris_axis]
     v0, v1, v2, _, fp = _pad_tris(v0, v1, v2, n_tri_shards)
@@ -530,8 +523,11 @@ def render_sharded_geometry(
     traversal, each hop marches the shard's OWN uniform grid (one packed
     grid per slice, `build_ring_grids`) — the accelerated path for
     scenes too big to replicate; otherwise each hop is the all-pairs
-    sweep.  Either way the image equals the corresponding replicated
-    render bit-for-bit (same arithmetic; order-independent merge).
+    sweep.  Either way the image matches the corresponding replicated
+    render up to last-ulp arithmetic differences (per-slice Cramer can
+    FMA-contract differently; per-shard grids probe-nudge differently —
+    the order-independent merge keeps ids and tie-breaks exact, and the
+    parity tests assert allclose, tests/test_sharding.py).
     Single-shadow-ray scenes only (max_bounces == 0).
 
     ring_grids: a (arrays, meta, fp) triple from build_ring_grids to
@@ -541,7 +537,6 @@ def render_sharded_geometry(
     cfg = prep.cfg
     scene = prep.scene
     v0, v1, v2 = scene.triangle_soa()
-    f = scene.num_faces
     n_tri_shards = mesh.shape[tris_axis]
     v0, v1, v2, fmat, fp = _pad_tris(
         v0, v1, v2, n_tri_shards, scene.face_material

@@ -55,6 +55,17 @@ from ray_tracer_tpu.ops.traverse_packed import (
 )
 
 
+def _persistent_as_packed(res) -> PackedTraceResult:
+    """Adapt a persistent-wave trace result to the tiled march's result
+    type (the production convention: any_pass == hit).  The ONE
+    adaptation used by both the non-fused trav wrapper and the fused
+    branch so the two persistent paths cannot desynchronize."""
+    return PackedTraceResult(
+        any_pass=res.hit, hit=res.hit, t=res.t,
+        tri_id=res.tri_id, steps=res.steps,
+    )
+
+
 class Prepared(NamedTuple):
     scene: Scene
     grid: UniformGrid
@@ -159,10 +170,7 @@ def render_rays(
                     camera=camera, spp=rcfg.spp if camera is not None else 1,
                     compact=compact,
                 )
-                return PackedTraceResult(
-                    any_pass=res.hit, hit=res.hit, t=res.t,
-                    tri_id=res.tri_id, steps=res.steps,
-                )
+                return _persistent_as_packed(res)
         else:
 
             def trav(rb, t_gate, stop_on_first_hit=False):
@@ -189,8 +197,15 @@ def render_rays(
     elif rcfg.traversal == "brute":
         # The reference's naive O(N) integrator kept in-tree as an A/B
         # cross-check for the accelerated path (Serial/raytracer.cpp:21-69
-        # call commented at :171; Parallel/raytracer.cu:372-443).  Exact
-        # same hit semantics as the CSR walk in every eps regime.
+        # call commented at :171; Parallel/raytracer.cu:372-443).  Gate
+        # and eps regimes match the CSR walk, but the sweep tests EVERY
+        # triangle while the grid tests only voxels a forward walk
+        # visits: under the faithful serial regime (unrestricted t,
+        # Serial/geometry.h:164-171) the sweep can accept behind-origin
+        # hits on geometry the walk never reaches.  The A/B images agree
+        # exactly iff all geometry lies in the walked frustum — true of
+        # the reference scenes; pinned (both ways) by
+        # tests/test_metrics_and_parity.py.
         sg = tuple(jax.lax.stop_gradient(x) for x in (v0, v1, v2))
 
         def trav(rb, t_gate, stop_on_first_hit=False):
@@ -223,17 +238,9 @@ def render_rays(
         # topology below.  Matters from bounce 1 on, where `cur` derives
         # from differentiable hit points.
         #
-        # Bounce depths gate t > eps: the traversals consult only t_gate
-        # for acceptance (rays.mint seeds grid entry, not the t test),
-        # so without this a reflected ray re-accepts its own origin
-        # triangle at t ~ 1e-7 under serial shading, whose primary gate
-        # is 0 — the RayBatch mint=eps below would otherwise be a no-op.
-        # (Parallel shading is unaffected: its gate is already eps,
-        # Parallel/geometry.cuh:155-161.)
-        if depth == 0:
-            gate_d = primary_gate
-        else:
-            gate_d = eps if primary_gate is None else max(primary_gate, eps)
+        # Bounce depths gate t >= eps (rcfg.bounce_gate — part of the
+        # shared hit/shadow policy in RenderConfig, not derived here).
+        gate_d = primary_gate if depth == 0 else rcfg.bounce_gate()
         fres = None
         if fused and (depth == 0 or rcfg.scheduler == "persistent"):
             # one march for primary + shadow: lanes rearm as their own
@@ -278,10 +285,7 @@ def render_rays(
                     primary_gate=0.0 if primary_gate is None else primary_gate,
                     **fkw,
                 )
-            res = PackedTraceResult(
-                any_pass=fres.hit, hit=fres.hit, t=fres.t,
-                tri_id=fres.tri_id, steps=fres.steps,
-            )
+            res = _persistent_as_packed(fres)
         else:
             tkw = {}
             if rcfg.scheduler == "persistent" and rcfg.traversal == "packed":
@@ -369,7 +373,13 @@ def render_rays(
             shadow_tri = fres.shadow_tri_id
             shadow_hit_rec = fres.in_shadow
         else:
-            sres = trav(srays, t_gate=eps, stop_on_first_hit=early)
+            skw = {}
+            if rcfg.scheduler == "persistent" and rcfg.traversal == "packed":
+                # bounce-depth shadow batches are mostly dead (only
+                # reflecting lanes have finite origins) — same compaction
+                # rule as the primary trace above
+                skw["compact"] = depth > 0
+            sres = trav(srays, t_gate=eps, stop_on_first_hit=early, **skw)
             in_shadow = rcfg.accepted_hit(sres) & hit
             shadow_tri = sres.tri_id
             shadow_hit_rec = sres.hit
@@ -504,11 +514,16 @@ def entry_sort_keys(rays: RayBatch, lower, upper, inv_width, n_voxels) -> jnp.nd
     from ray_tracer_tpu.ops.traverse_packed import _slab_entry
 
     nvox = jnp.asarray(n_voxels, jnp.int32)
+    # f32 like traverse_packed's own coercion (its path is f32 by
+    # contract): under x64 an f64 slab interval here could classify a
+    # grazing ray as entering while the march's f32 test rejects it
+    o = rays.orig.astype(jnp.float32)
+    d = rays.dirn.astype(jnp.float32)
     t0, entered = _slab_entry(
         SimpleNamespace(lower=lower, upper=upper),
-        rays.orig, rays.dirn, rays.mint, rays.maxt,
+        o, d, rays.mint.astype(jnp.float32), rays.maxt.astype(jnp.float32),
     )
-    p = rays.orig + rays.dirn * t0[:, None]
+    p = o + d * t0[:, None]
     cell = jnp.clip(
         jnp.floor((p - lower) * inv_width).astype(jnp.int32), 0, nvox - 1
     )
@@ -534,10 +549,30 @@ def render_rays_tiled_sorted(
     return colors[inv_order]
 
 
+def accumulate_spp(one, camera_cfg, spp: int, dtype) -> jnp.ndarray:
+    """Sequential spp-subsample accumulation -> (R, 3) colors, one
+    subsample batch at a time (O(H*W) memory instead of materializing
+    all spp^2 * H * W rays at once).  The ONE implementation shared by
+    `_render_image` and the sharded image fn so their accumulation
+    order — which the sharded-equals-single bit-equality tests depend
+    on — cannot diverge.  `one(rays, camera_ok)` traces a batch;
+    camera_ok is True only for the full pixel-center batch in natural
+    order (the persistent wave's zero-gather camera-refill contract)."""
+    if spp == 1:
+        return one(camera_rays(camera_cfg, dtype=dtype), True)
+    from ray_tracer_tpu.ops.camera import camera_rays_subsample
+
+    total = spp * spp
+    acc = None
+    for s in range(total):
+        c = one(camera_rays_subsample(camera_cfg, s, spp, dtype=dtype), False)
+        acc = c if acc is None else acc + c
+    return acc / total
+
+
 @partial(jax.jit, static_argnames=("meta", "cfg"))
 def _render_image(scene: Scene, grid, meta, cfg: SceneConfig):
     rcfg = cfg.render
-    from ray_tracer_tpu.ops.camera import camera_rays_subsample
 
     def one(rays, camera_ok):
         if rcfg.traversal == "packed":
@@ -550,20 +585,7 @@ def _render_image(scene: Scene, grid, meta, cfg: SceneConfig):
             return render_rays_tiled_sorted(rays, scene, grid, meta, rcfg)
         return render_rays_tiled(rays, scene, grid, meta, rcfg)
 
-    if rcfg.spp == 1:
-        colors = one(camera_rays(cfg.camera, dtype=jnp.dtype(rcfg.dtype)), True)
-    else:
-        # accumulate one spp-subsample batch at a time: O(H*W) memory
-        # instead of materializing all spp^2 * H * W rays at once
-        total = rcfg.spp * rcfg.spp
-        acc = None
-        for s in range(total):
-            rays = camera_rays_subsample(
-                cfg.camera, s, rcfg.spp, dtype=jnp.dtype(rcfg.dtype)
-            )
-            c = one(rays, False)
-            acc = c if acc is None else acc + c
-        colors = acc / total
+    colors = accumulate_spp(one, cfg.camera, rcfg.spp, jnp.dtype(rcfg.dtype))
     return colors.reshape(cfg.camera.height, cfg.camera.width, 3)
 
 

@@ -37,6 +37,48 @@ def test_brute_traversal_matches_csr_faithful(tiny_prep):
     np.testing.assert_array_equal(a, b)
 
 
+def test_brute_vs_grid_divergence_behind_camera():
+    """The DOCUMENTED limit of the brute/grid A/B property
+    (render/renderer.py): under the faithful serial regime the O(N)
+    sweep tests every triangle while the grid walk only visits voxels a
+    forward walk reaches — a triangle strictly behind the camera is
+    shaded by brute (negative-t accept, Serial/geometry.h:164-171) and
+    background for the grid."""
+    from ray_tracer_tpu.config import (
+        CameraConfig, LightConfig, MaterialConfig, RenderConfig, SceneConfig,
+    )
+    from ray_tracer_tpu.io.obj import MeshArrays
+    from ray_tracer_tpu.models.scenes import scene_from_meshes
+
+    mesh = MeshArrays(
+        verts=np.array([[-4, 2, 8], [4, 2, 8], [0, 6, 8]], np.float32),
+        faces=np.array([[0, 1, 2]], np.int32),
+        uvs=np.zeros((1, 2), np.float32),
+        uv_faces=np.zeros((1, 3), np.int32),
+    )
+    mat = MaterialConfig(base_color=(200.0, 0.0, 0.0), kd=2.0, ks=1.0,
+                         spec_alpha=4.0, ka=0.2)
+    light = LightConfig(position=(0, 5, 0), intensity=255.0)
+    scene = scene_from_meshes([(mesh, 0)], [mat], light)
+
+    def img(traversal):
+        cfg = SceneConfig(
+            materials=(mat,),
+            camera=CameraConfig(position=(0, 2, 6), target=(0, 2, 0),
+                                up=(0, -1, 0), fov_degrees=45.0,
+                                width=8, height=8),
+            light=light,
+            render=RenderConfig(shading="serial", faithful=True,
+                                det_dtype="float64", ray_tile=64,
+                                traversal=traversal),
+        )
+        return np.asarray(render(prepare(cfg, scene=scene)))
+
+    grid_img, brute_img = img("csr"), img("brute")
+    assert (grid_img == 0).all(), "grid walk must never reach behind-camera geometry"
+    assert (brute_img != 0).any(), "brute sweep must accept the negative-t hit"
+
+
 def test_render_is_deterministic(tiny_prep):
     """SURVEY §5: the queue races of the CUDA wavefront cannot happen by
     construction — repeated renders are bit-identical."""
