@@ -69,6 +69,22 @@ def _build_cfg(args):
         cfg = dataclasses.replace(
             cfg, render=dataclasses.replace(cfg.render, spp=args.spp)
         )
+    if getattr(args, "smooth_normals", False):
+        cfg = dataclasses.replace(
+            cfg,
+            render=dataclasses.replace(
+                cfg.render, normal_mode="smooth", faithful=False
+            ),
+        )
+    if getattr(args, "light_radius", 0.0):
+        cfg = dataclasses.replace(
+            cfg,
+            render=dataclasses.replace(
+                cfg.render, faithful=False,
+                light_radius=args.light_radius,
+                shadow_samples=getattr(args, "shadow_samples", 0) or 16,
+            ),
+        )
     if getattr(args, "texture", None):
         cfg = dataclasses.replace(
             cfg,
@@ -246,6 +262,13 @@ def main(argv=None) -> None:
                    help="checker cells / image repeats per uv unit")
     r.add_argument("--spp", type=int, default=1,
                    help="anti-aliasing: spp x spp subpixel samples per pixel")
+    r.add_argument("--smooth-normals", action="store_true",
+                   help="Phong-interpolated vertex normals (production mode)")
+    r.add_argument("--light-radius", type=float, default=0.0,
+                   help="spherical area light radius -> soft shadows")
+    r.add_argument("--shadow-samples", type=int, default=0,
+                   help="shadow rays per pixel for --light-radius "
+                        "(default 16)")
     r.set_defaults(fn=cmd_render)
 
     f = sub.add_parser("fit", help="inverse-rendering optimization demo")

@@ -143,6 +143,25 @@ class RenderConfig:
     # fit() can recover from renders.  "none" = reference-exact.
     texture: str = "none"
     texture_scale: float = 8.0
+    # Shading normal source: "face" = the variant's geometric facet
+    # normal, unnormalized (reference-exact); "smooth" = area-weighted
+    # vertex normals interpolated barycentrically at the hit and
+    # normalized (Phong normal interpolation) — flat-shaded facets
+    # render as smooth surfaces, and reflection bounces follow the
+    # smooth normal.  Differentiable w.r.t. vertices.  Production
+    # feature (requires faithful=False); no reference counterpart.
+    normal_mode: str = "face"
+    # Area-light soft shadows: when BOTH shadow_samples > 1 and
+    # light_radius > 0, the occlusion factor is the mean over
+    # shadow_samples shadow rays aimed at a deterministic Fibonacci-
+    # sphere point set of that radius around the light — a penumbra in
+    # [0,1] blended like soft visibility.  The fixed sample pattern is
+    # shared by every pixel (reproducible on any topology; banding, not
+    # noise — no RNG in the render path).  Defaults reproduce the
+    # reference's point light exactly.  Production feature (requires
+    # faithful=False; forces the non-fused shadow path).
+    shadow_samples: int = 1
+    light_radius: float = 0.0
     # Packed path: fuse the shadow pass into the primary march (lanes
     # rearm as their own shadow ray on primary retirement) — fewer
     # while-loop instances, shadow work overlaps the primary tail.

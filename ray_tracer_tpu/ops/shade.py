@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from ray_tracer_tpu.core import vecmath as vm
 from ray_tracer_tpu.models.materials import MaterialTable
@@ -50,6 +51,63 @@ def _pow_safe(base: jnp.ndarray, exponent: jnp.ndarray) -> jnp.ndarray:
     safe = jnp.where(pos, base, 1.0)
     zero_pow = jnp.where(exponent == 0, 1.0, 0.0)
     return jnp.where(pos, jnp.power(safe, exponent), zero_pow)
+
+
+def vertex_normals(verts: jnp.ndarray, faces: jnp.ndarray,
+                   serial: bool) -> jnp.ndarray:
+    """Area-weighted vertex normals -> (V,3), UNNORMALIZED.
+
+    Each face's unnormalized geometric normal — in the active shading
+    variant's convention, so the smooth normal's hemisphere always
+    agrees with the hard facet normal — is scatter-added to its three
+    vertices; |cross| = 2*area gives the standard area weighting.
+    Differentiable w.r.t. verts (the scatter-add's VJP is a gather).
+    No reference counterpart (the reference shades flat facets only);
+    production feature behind RenderConfig.normal_mode="smooth".
+    """
+    fv0 = verts[faces[:, 0]]
+    fv1 = verts[faces[:, 1]]
+    fv2 = verts[faces[:, 2]]
+    if serial:
+        fn = vm.cross(fv0 - fv1, fv2 - fv0)  # getNormalMod convention
+    else:
+        fn = vm.cross(fv2 - fv1, fv0 - fv1)  # geometry.cuh:160 convention
+    vn = jnp.zeros_like(verts)
+    for k in range(3):
+        vn = vn.at[faces[:, k]].add(fn)
+    return vn
+
+
+def light_sample_offsets(n: int, radius: float) -> np.ndarray:
+    """Deterministic Fibonacci-sphere point set scaled by radius ->
+    (n,3) numpy offsets around the light center (a spherical area
+    light for soft shadows).  The FIXED pattern is shared by every
+    pixel: no RNG in the render path, so renders stay reproducible on
+    any topology (the cost is banding instead of noise at low n)."""
+    i = np.arange(n, dtype=np.float64) + 0.5
+    phi = np.arccos(1.0 - 2.0 * i / n)
+    theta = np.pi * (3.0 - np.sqrt(5.0)) * i  # golden-angle spiral
+    return (radius * np.stack([
+        np.cos(theta) * np.sin(phi),
+        np.sin(theta) * np.sin(phi),
+        np.cos(phi),
+    ], axis=1)).astype(np.float32)
+
+
+def interpolate_normal(vn: jnp.ndarray, faces: jnp.ndarray, tri: jnp.ndarray,
+                       beta: jnp.ndarray, gamma: jnp.ndarray) -> jnp.ndarray:
+    """Barycentric (Phong) normal interpolation at hits, normalized.
+
+    The reference variants shade with UNNORMALIZED facet normals (their
+    magnitude encodes facet area — Serial/raytracer.cpp:95 uses
+    getNormalMod raw); that magnitude has no meaning for an
+    interpolated normal, so smooth mode normalizes."""
+    f = faces[tri]  # (R,3)
+    alpha = 1.0 - beta - gamma
+    n = (alpha[:, None] * vn[f[:, 0]]
+         + beta[:, None] * vn[f[:, 1]]
+         + gamma[:, None] * vn[f[:, 2]])
+    return vm.normalize(n)
 
 
 class HitGeometry(NamedTuple):

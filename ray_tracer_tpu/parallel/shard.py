@@ -474,6 +474,14 @@ def _check_ring_cfg(rcfg) -> None:
         )
     if rcfg.spp != 1:
         raise NotImplementedError("ring renderer: spp > 1 not supported")
+    if rcfg.normal_mode != "face":
+        raise NotImplementedError(
+            "ring renderer: smooth normals not supported"
+        )
+    if rcfg.shadow_samples > 1 and rcfg.light_radius > 0.0:
+        raise NotImplementedError(
+            "ring renderer: area-light soft shadows not supported"
+        )
 
 
 @lru_cache(maxsize=16)

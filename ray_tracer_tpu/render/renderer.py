@@ -38,8 +38,11 @@ from ray_tracer_tpu.ops.intersect import cramer_bg_safe, cramer_t_safe, intersec
 from ray_tracer_tpu.ops.shade import (
     hit_geometry_parallel,
     hit_geometry_serial,
+    interpolate_normal,
+    light_sample_offsets,
     shade_parallel,
     shade_serial,
+    vertex_normals,
 )
 from ray_tracer_tpu.accel.packed import (
     PackedGrid,
@@ -146,6 +149,12 @@ def render_rays(
     serial = rcfg.serial_shading
     faithful = rcfg.faithful
     eps = rcfg.shadow_eps
+    smooth = rcfg.normal_mode == "smooth"
+    soft_shadows = rcfg.shadow_samples > 1 and rcfg.light_radius > 0.0
+    if faithful and (smooth or soft_shadows):
+        raise ValueError(
+            "smooth normals / area-light soft shadows require faithful=False"
+        )
     v0, v1, v2 = scene.triangle_soa()
     background = jnp.asarray(rcfg.background, v0.dtype)
 
@@ -228,8 +237,14 @@ def render_rays(
     cur = rays
     inf3 = jnp.full((r, 3), jnp.inf, v0.dtype)
     locals_ = []  # per-depth (local color, continuation weight km*reflecting)
+    # Smooth shading normals: one area-weighted vertex-normal table per
+    # render, recomputed from the DIFFERENTIABLE verts (so vertex
+    # gradients flow through the interpolated normal into the shading).
+    vn = vertex_normals(scene.verts, scene.faces, serial) if smooth else None
 
-    fused = rcfg.traversal == "packed" and rcfg.fused_shadow
+    # the fused march computes ONE shadow ray (toward the light center),
+    # so area-light sampling forces the standalone shadow path
+    fused = rcfg.traversal == "packed" and rcfg.fused_shadow and not soft_shadows
 
     for depth in range(rcfg.max_bounces + 1):
         # The traversal is a stop-gradient island (its while_loop is not
@@ -315,17 +330,20 @@ def render_rays(
         t = jnp.where(res.hit, t_re.astype(res.t.dtype), jnp.zeros_like(res.t))
         mat = scene.materials.gather(scene.face_material[tri])
 
+        # hit barycentrics, shared by texture sampling and smooth
+        # normals; cramer_bg_safe sanitizes invalid lanes internally
+        hb = hg = None
+        if smooth or (rcfg.texture != "none" and scene.uvs is not None):
+            hb, hg = cramer_bg_safe(
+                cur.orig, cur.dirn, tv0, tv1, tv2, res.hit, det_dtype=ddt,
+            )
+
         if rcfg.texture != "none" and scene.uvs is not None:
             # Sample the carried vt data (the reference stores it per
             # triangle but never reads it, Serial/raytracer.cpp:252-283):
             # barycentric uv at the hit -> texture modulating base_color.
             # Differentiable in the vertices through beta/gamma (and, for
             # "image", in the texel grid through the bilinear gathers).
-            # cramer_bg_safe sanitizes invalid lanes' origins internally
-            hb, hg = cramer_bg_safe(
-                cur.orig, cur.dirn, tv0, tv1, tv2, res.hit,
-                det_dtype=jnp.dtype(rcfg.det_dtype),
-            )
             uv = scene.interpolate_uv(tri, hb.astype(v0.dtype), hg.astype(v0.dtype))
             n = jnp.asarray(rcfg.texture_scale, uv.dtype)
             has_uv = scene.uv_faces[tri][:, 0] >= 0
@@ -360,48 +378,73 @@ def render_rays(
         geom = geom._replace(
             poi=jnp.where(hit[:, None], geom.poi, jnp.zeros_like(geom.poi))
         )
+        if smooth:
+            # Phong normal interpolation on the stop-gradient hit
+            # topology; shading AND the reflection bounce below follow
+            # the smooth normal
+            geom = geom._replace(normal=interpolate_normal(
+                vn, scene.faces, tri, hb.astype(v0.dtype), hg.astype(v0.dtype)
+            ))
 
-        # Shadow ray (direction quirk + mint from the shared policy).
-        to_light = scene.light_pos - geom.poi
-        nsd = vm.normalize(to_light)
-        sdir = -nsd if rcfg.shadow_dir_away_from_light() else nsd
+        # Shadow rays (direction quirk + mint from the shared policy).
         smint = rcfg.shadow_mint()
-        sorig = jnp.where(hit[:, None], geom.poi, inf3)
-        srays = RayBatch.make(jax.lax.stop_gradient(sorig), jax.lax.stop_gradient(sdir), mint=smint)
-        if fres is not None:
-            in_shadow = fres.in_shadow & hit
-            shadow_tri = fres.shadow_tri_id
-            shadow_hit_rec = fres.in_shadow
-        else:
-            skw = {}
-            if rcfg.scheduler == "persistent" and rcfg.traversal == "packed":
-                # bounce-depth shadow batches are mostly dead (only
-                # reflecting lanes have finite origins) — same compaction
-                # rule as the primary trace above
-                skw["compact"] = depth > 0
-            sres = trav(srays, t_gate=eps, stop_on_first_hit=early, **skw)
-            in_shadow = rcfg.accepted_hit(sres) & hit
-            shadow_tri = sres.tri_id
-            shadow_hit_rec = sres.hit
+        skw = {}
+        if rcfg.scheduler == "persistent" and rcfg.traversal == "packed":
+            # bounce-depth shadow batches are mostly dead (only
+            # reflecting lanes have finite origins) — same compaction
+            # rule as the primary trace above
+            skw["compact"] = depth > 0
 
-        if rcfg.soft_visibility > 0.0:
-            # SURVEY hard part #2: hard occlusion has zero-measure
-            # gradients.  Recompute the recorded blocker's barycentric
-            # margin from the DIFFERENTIABLE vertices and squash it:
-            # f = sigmoid(margin / s) -> 1 deep inside the blocker,
-            # 0.5 at its silhouette — gradients pull blocker edges
-            # across shadow boundaries.  (One-sided: shadow rays that
-            # missed entirely contribute f = 0.)
+        def shadow_rays_toward(light_point):
+            nsd = vm.normalize(light_point - geom.poi)
+            sdir = -nsd if rcfg.shadow_dir_away_from_light() else nsd
+            sorig = jnp.where(hit[:, None], geom.poi, inf3)
+            return RayBatch.make(jax.lax.stop_gradient(sorig),
+                                 jax.lax.stop_gradient(sdir), mint=smint)
+
+        def soften(srays, occ, shadow_tri, shadow_hit_rec):
+            """SURVEY hard part #2: hard occlusion has zero-measure
+            gradients.  Recompute the recorded blocker's barycentric
+            margin from the DIFFERENTIABLE vertices and squash it:
+            f = sigmoid(margin / s) -> 1 deep inside the blocker,
+            0.5 at its silhouette — gradients pull blocker edges
+            across shadow boundaries.  (One-sided: shadow rays that
+            missed entirely contribute f = 0.)"""
+            if rcfg.soft_visibility <= 0.0:
+                return occ
             stri = jnp.maximum(shadow_tri, 0)
             sbeta, sgamma = cramer_bg_safe(
                 srays.orig, srays.dirn, v0[stri], v1[stri], v2[stri],
-                shadow_hit_rec, det_dtype=jnp.dtype(rcfg.det_dtype),
+                shadow_hit_rec, det_dtype=ddt,
             )
             margin = jnp.minimum(
                 jnp.minimum(sbeta, sgamma), 1.0 - sbeta - sgamma
             ).astype(jnp.float32)
             f = jax.nn.sigmoid(margin / rcfg.soft_visibility)
-            in_shadow = jnp.where(in_shadow, f, 0.0)
+            return jnp.where(occ, f, 0.0)
+
+        if fres is not None:
+            in_shadow = soften(shadow_rays_toward(scene.light_pos),
+                               fres.in_shadow & hit,
+                               fres.shadow_tri_id, fres.in_shadow)
+        elif soft_shadows:
+            # Area light: mean occlusion over the fixed sample set —
+            # a float penumbra factor _apply_shadow blends continuously
+            occ = jnp.zeros((r,), jnp.float32)
+            for off in light_sample_offsets(rcfg.shadow_samples,
+                                            rcfg.light_radius):
+                srays = shadow_rays_toward(
+                    scene.light_pos + jnp.asarray(off, v0.dtype)
+                )
+                sres = trav(srays, t_gate=eps, stop_on_first_hit=early, **skw)
+                occ = occ + soften(srays, rcfg.accepted_hit(sres) & hit,
+                                   sres.tri_id, sres.hit).astype(jnp.float32)
+            in_shadow = occ / rcfg.shadow_samples
+        else:
+            srays = shadow_rays_toward(scene.light_pos)
+            sres = trav(srays, t_gate=eps, stop_on_first_hit=early, **skw)
+            in_shadow = soften(srays, rcfg.accepted_hit(sres) & hit,
+                               sres.tri_id, sres.hit)
 
         if serial:
             color = shade_serial(
