@@ -142,7 +142,12 @@ def cmd_render(args) -> None:
     if profile_ctx is not None:
         profile_ctx.__exit__(None, None, None)
         print(f"profiler trace written to {args.profile}", file=sys.stderr)
-    write_ppm(args.out, np.asarray(img))
+    if args.out.lower().endswith(".png"):
+        from ray_tracer_tpu.io.png import write_png
+
+        write_png(args.out, np.asarray(img))
+    else:
+        write_ppm(args.out, np.asarray(img))
     spp2 = cfg.render.spp * cfg.render.spp
     rays = cfg.camera.width * cfg.camera.height * spp2 * 2  # primary+shadow
     print(f"wrote {args.out} ({cfg.camera.width}x{cfg.camera.height}"

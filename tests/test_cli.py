@@ -19,6 +19,18 @@ def test_render_command(tmp_path, capsys):
     assert img.max() > 0  # something was shaded
 
 
+def test_render_png_output(tmp_path):
+    from ray_tracer_tpu.io.png import read_png
+
+    out = str(tmp_path / "img.png")
+    cli.main(["render", "--scene", "gradcheck", "--width", "16",
+              "--out", out, "--fast"])
+    ppm = str(tmp_path / "img.ppm")
+    cli.main(["render", "--scene", "gradcheck", "--width", "16",
+              "--out", ppm, "--fast"])
+    np.testing.assert_array_equal(read_png(out), read_ppm(ppm))
+
+
 def test_render_sharded_command(tmp_path):
     out = str(tmp_path / "img8.ppm")
     cli.main(["render", "--scene", "gradcheck", "--width", "16",

@@ -75,6 +75,36 @@ def test_ppm_roundtrip(tmp_path):
     np.testing.assert_array_equal(read_ppm(p), img)
 
 
+def test_png_roundtrip(tmp_path):
+    from ray_tracer_tpu.io.png import read_png, write_png
+
+    g = np.random.default_rng(1)
+    img = g.integers(0, 256, size=(6, 9, 3)).astype(np.uint8)
+    p = str(tmp_path / "x.png")
+    write_png(p, img, already_u8=True)
+    np.testing.assert_array_equal(read_png(p), img)
+    # both writers share tonemap_u8: identical pixel bytes
+    f = g.uniform(0, 300, size=(4, 5, 3)).astype(np.float32)
+    write_png(p, f)
+    np.testing.assert_array_equal(read_png(p), tonemap_u8(f))
+
+
+def test_png_reader_on_external_files():
+    """The reader handles third-party PNGs (filtered rows), not just our
+    own filter-0 output: the README sample images."""
+    import os
+
+    from ray_tracer_tpu.io.png import read_png
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "docs", "images",
+        "serial_scene_512.png",
+    )
+    img = read_png(path)
+    assert img.shape == (512, 512, 3)
+    assert img.max() > 0
+
+
 def test_plane_generator_matches_reference_counts():
     """plane_mesh_creator.py emits 10,404 verts / 20,402 faces (SURVEY #23);
     the reference's count includes 202 degenerate closing faces we don't
