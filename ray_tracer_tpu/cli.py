@@ -76,13 +76,18 @@ def _build_cfg(args):
                 cfg.render, normal_mode="smooth", faithful=False
             ),
         )
-    if getattr(args, "light_radius", 0.0):
+    ss = getattr(args, "shadow_samples", 0)
+    lr = getattr(args, "light_radius", 0.0)
+    if ss and not lr:
+        raise SystemExit("--shadow-samples requires --light-radius")
+    if lr:
+        if ss == 1:
+            raise SystemExit("--shadow-samples must be > 1 for a penumbra")
         cfg = dataclasses.replace(
             cfg,
             render=dataclasses.replace(
                 cfg.render, faithful=False,
-                light_radius=args.light_radius,
-                shadow_samples=getattr(args, "shadow_samples", 0) or 16,
+                light_radius=lr, shadow_samples=ss or 16,
             ),
         )
     if getattr(args, "texture", None):
@@ -149,7 +154,11 @@ def cmd_render(args) -> None:
     else:
         write_ppm(args.out, np.asarray(img))
     spp2 = cfg.render.spp * cfg.render.spp
-    rays = cfg.camera.width * cfg.camera.height * spp2 * 2  # primary+shadow
+    # shadow fan: 1 point-light ray, or shadow_samples area-light rays
+    sfan = (cfg.render.shadow_samples
+            if cfg.render.shadow_samples > 1 and cfg.render.light_radius > 0
+            else 1)
+    rays = cfg.camera.width * cfg.camera.height * spp2 * (1 + sfan)
     print(f"wrote {args.out} ({cfg.camera.width}x{cfg.camera.height}"
           f"{f', spp={cfg.render.spp}' if spp2 > 1 else ''}) "
           f"in {dt:.2f}s = {rays / dt / 1e6:.2f} Mrays/s "

@@ -159,7 +159,12 @@ class RenderConfig:
     # shared by every pixel (reproducible on any topology; banding, not
     # noise — no RNG in the render path).  Defaults reproduce the
     # reference's point light exactly.  Production feature (requires
-    # faithful=False; forces the non-fused shadow path).
+    # faithful=False; forces the non-fused shadow path).  Under SERIAL
+    # shading the sampled rays inherit the reference's away-from-light
+    # direction quirk (shadow_dir_away_from_light) deliberately: the
+    # penumbra then softens the same mirrored shadow the hard serial
+    # path casts, so radius -> 0 recovers the hard image; the
+    # physically-oriented penumbra is the parallel-shading one.
     shadow_samples: int = 1
     light_radius: float = 0.0
     # Packed path: fuse the shadow pass into the primary march (lanes

@@ -4,8 +4,10 @@ The reference emits binary PPM only (Serial/raytracer.cpp:178-185);
 PNG is a production convenience for sharing renders.  PPM remains the
 golden parity format — both writers share ppm.tonemap_u8's exact
 min(1, c/255) truncating clamp, so the pixel bytes are identical.
-Writes filter-0 rows; the reader handles all five standard filters
-(enough to round-trip our own files and read common tool output).
+Writes filter-0 rows; the reader handles all five standard row filters
+on NON-interlaced 8-bit RGB/RGBA files (enough to round-trip our own
+output and read common tool output; Adam7 interlacing is rejected
+with a clear error).
 """
 
 from __future__ import annotations
@@ -40,12 +42,6 @@ def write_png(path: str, image: np.ndarray, already_u8: bool = False) -> None:
         fh.write(_chunk(b"IEND", b""))
 
 
-def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
-    p = a.astype(np.int32) + b.astype(np.int32) - c.astype(np.int32)
-    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
-    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
-
-
 def read_png(path: str) -> np.ndarray:
     """8-bit RGB (or RGBA, alpha dropped) PNG -> (H,W,3) uint8."""
     with open(path, "rb") as fh:
@@ -62,6 +58,9 @@ def read_png(path: str) -> np.ndarray:
             w, h, depth, ctype = struct.unpack(">IIBB", body[:10])
             if depth != 8 or ctype not in (2, 6):
                 raise ValueError(f"unsupported PNG (depth={depth} type={ctype})")
+            if body[12]:
+                # Adam7 passes would be misparsed as sequential rows
+                raise ValueError("interlaced PNG unsupported")
             ch = 3 if ctype == 2 else 4
         elif tag == b"IDAT":
             idat += body
@@ -94,8 +93,11 @@ def read_png(path: str) -> np.ndarray:
                 elif f == 3:
                     pred = (a + b) // 2
                 elif f == 4:
-                    pred = int(_paeth(np.asarray(a), np.asarray(b),
-                                      np.asarray(c)))
+                    p = a + b - c  # Paeth, pure ints (scalar hot loop)
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c
+                    )
                 else:
                     raise ValueError(f"bad PNG filter {f}")
                 cur[x] = (int(row[x]) + pred) & 0xFF  # mod-256 per spec

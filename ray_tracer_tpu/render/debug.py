@@ -27,6 +27,17 @@ def trace_pixel(prep, x: int, y: int) -> Dict[str, Any]:
     traversal result, hit geometry, shadow query, shading inputs."""
     cfg = prep.cfg
     rcfg = cfg.render
+    # refuse configs whose shading this trace would misreport, instead
+    # of silently diverging from the renderer (the bug class the shared
+    # policy methods exist to prevent)
+    if rcfg.normal_mode != "face":
+        raise NotImplementedError(
+            "trace_pixel reports the face-normal pipeline only"
+        )
+    if rcfg.shadow_samples > 1 and rcfg.light_radius > 0:
+        raise NotImplementedError(
+            "trace_pixel reports a single point-light shadow ray only"
+        )
     all_rays = camera_rays(cfg.camera)
     idx = y * cfg.camera.width + x
     ray = jax.tree.map(lambda a: a[idx:idx + 1], all_rays)

@@ -37,6 +37,14 @@ def collect_render_metrics(prep) -> Dict[str, float]:
     per-stage statistics plus grid occupancy.  One host round-trip."""
     cfg = prep.cfg
     rcfg = cfg.render
+    # smooth normals are shading-only (every metric here is traversal
+    # statistics, unaffected), but area-light sampling changes the
+    # actual shadow rays — refuse rather than report the wrong fan
+    if rcfg.shadow_samples > 1 and rcfg.light_radius > 0:
+        raise NotImplementedError(
+            "collect_render_metrics reports a single point-light "
+            "shadow ray only"
+        )
     packed = rcfg.traversal == "packed"
     rays = camera_rays(cfg.camera)
 

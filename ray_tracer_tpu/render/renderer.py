@@ -464,10 +464,15 @@ def render_rays(
             # exactly at the silhouette: a pixel crossing from hit to
             # miss changes continuously, which is what makes vertex
             # gradients across silhouettes finite-difference-correct.
-            hbeta, hgamma = cramer_bg_safe(
-                orig_safe, cur.dirn, tv0, tv1, tv2, res.hit,
-                det_dtype=jnp.dtype(rcfg.det_dtype),
-            )
+            if hb is None:
+                # cramer_bg_safe sanitizes invalid lanes itself, so
+                # these are bitwise-identical to the shared hb/hg the
+                # texture/smooth paths computed from cur.orig
+                hb, hg = cramer_bg_safe(
+                    orig_safe, cur.dirn, tv0, tv1, tv2, res.hit,
+                    det_dtype=ddt,
+                )
+            hbeta, hgamma = hb, hg
             hmargin = jnp.maximum(
                 jnp.minimum(jnp.minimum(hbeta, hgamma), 1.0 - hbeta - hgamma),
                 0.0,

@@ -89,6 +89,29 @@ def test_png_roundtrip(tmp_path):
     np.testing.assert_array_equal(read_png(p), tonemap_u8(f))
 
 
+def test_png_reader_rejects_interlaced(tmp_path):
+    import struct
+    import zlib
+
+    from ray_tracer_tpu.io.png import read_png
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    # minimal header claiming Adam7 interlacing (interlace byte = 1)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    p = str(tmp_path / "i.png")
+    with open(p, "wb") as fh:
+        fh.write(b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                 + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+                 + chunk(b"IEND", b""))
+    import pytest
+
+    with pytest.raises(ValueError, match="interlaced"):
+        read_png(p)
+
+
 def test_png_reader_on_external_files():
     """The reader handles third-party PNGs (filtered rows), not just our
     own filter-0 output: the README sample images."""
