@@ -76,6 +76,18 @@ def _build_cfg(args):
                 cfg.render, normal_mode="smooth", faithful=False
             ),
         )
+    ap = getattr(args, "aperture", 0.0)
+    if ap:
+        if getattr(args, "spp", 1) <= 1:
+            raise SystemExit("--aperture needs --spp > 1 (one lens point "
+                             "per subsample)")
+        cfg = dataclasses.replace(
+            cfg,
+            camera=dataclasses.replace(
+                cfg.camera, aperture=ap,
+                focus_distance=getattr(args, "focus_distance", 0.0) or 0.0,
+            ),
+        )
     ss = getattr(args, "shadow_samples", 0)
     lr = getattr(args, "light_radius", 0.0)
     if ss and not lr:
@@ -276,6 +288,10 @@ def main(argv=None) -> None:
                    help="checker cells / image repeats per uv unit")
     r.add_argument("--spp", type=int, default=1,
                    help="anti-aliasing: spp x spp subpixel samples per pixel")
+    r.add_argument("--aperture", type=float, default=0.0,
+                   help="thin-lens radius for depth of field (needs --spp>1)")
+    r.add_argument("--focus-distance", type=float, default=0.0,
+                   help="focal-plane distance (default: distance to target)")
     r.add_argument("--smooth-normals", action="store_true",
                    help="Phong-interpolated vertex normals (production mode)")
     r.add_argument("--light-radius", type=float, default=0.0,

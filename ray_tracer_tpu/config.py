@@ -20,7 +20,15 @@ Vec3 = Tuple[float, float, float]
 
 @dataclass(frozen=True)
 class CameraConfig:
-    """Pinhole look-at camera (reference: Serial/raytracer.cpp:124-138)."""
+    """Pinhole look-at camera (reference: Serial/raytracer.cpp:124-138).
+
+    aperture > 0 turns it into a thin lens for depth of field: each
+    spp-subsample's ray starts from a deterministic golden-spiral point
+    on the aperture disk and aims at the pixel's point on the focal
+    plane (focus_distance along the view axis; 0 = the distance to
+    `target`).  Blur needs spp > 1 (one subsample = one lens point);
+    aperture == 0 is the reference-exact pinhole, bitwise.  Production
+    feature; no reference counterpart."""
 
     position: Vec3 = (3.0, 5.0, 3.0)
     target: Vec3 = (0.0, 0.0, 0.0)
@@ -28,6 +36,8 @@ class CameraConfig:
     fov_degrees: float = 45.0
     width: int = 512
     height: int = 512
+    aperture: float = 0.0
+    focus_distance: float = 0.0
 
 
 @dataclass(frozen=True)

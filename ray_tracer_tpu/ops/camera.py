@@ -50,10 +50,46 @@ def _subpixel_offset(s: int, spp: int) -> "tuple[float, float]":
     return (sx + 0.5) / spp, (sy + 0.5) / spp
 
 
-def _rays_from_grid(cfg: CameraConfig, ox: float, oy: float, dtype):
-    """(H*W, 3) normalized directions for one subsample offset — the
+def _lens_offset(cfg: CameraConfig, s: int, spp: int):
+    """(lx, ly) aperture-disk coordinates of subsample s as PYTHON
+    floats (like _subpixel_offset, so every ray source bakes in the
+    same constants), or None for the pinhole path.  Deterministic
+    golden-spiral disk: radius grows with sqrt so samples are
+    area-uniform."""
+    n = spp * spp
+    if cfg.aperture <= 0.0 or n == 1:
+        return None
+    r = cfg.aperture * math.sqrt((s + 0.5) / n)
+    th = s * math.pi * (3.0 - math.sqrt(5.0))
+    return r * math.cos(th), r * math.sin(th)
+
+
+def _focus_distance(cfg: CameraConfig) -> float:
+    if cfg.focus_distance > 0.0:
+        return float(cfg.focus_distance)
+    return math.dist(cfg.position, cfg.target)
+
+
+def _lens_rays(pos, u, v, w, dirs, lx, ly, focus: float):
+    """Thin-lens transform of normalized pinhole dirs: origin moves to
+    the lens point pos + u*lx + v*ly, direction re-aims at the pixel's
+    point on the focal plane (focus along the view axis -w).  lx/ly
+    broadcast against dirs[..., 0] (python scalars or (R,) arrays) —
+    the ONE expression all three ray sources share, so they stay
+    bitwise-consistent."""
+    cosw = -vm.dot(dirs, w)  # > 0 for any fov < 180
+    focal = pos + dirs * (focus / cosw)[..., None]
+    orig = pos + u * lx + v * ly
+    ndir = vm.normalize(focal - orig)
+    return jnp.broadcast_to(orig, ndir.shape), ndir
+
+
+def _rays_from_grid(cfg: CameraConfig, ox: float, oy: float, dtype,
+                    lens=None):
+    """(orig, dirs) of shape (H*W, 3) for one subsample offset — the
     shared direction expression (camera_rays == concat of these per
-    its docstring; camera_rays_subsample is exactly one)."""
+    its docstring; camera_rays_subsample is exactly one).  `lens` is a
+    (lx, ly) aperture point or None for the pinhole."""
     pos, u, v, w, fd = camera_basis(cfg, dtype=dtype)
     width, height = cfg.width, cfg.height
     aspect = float(width) / float(height)
@@ -66,7 +102,12 @@ def _rays_from_grid(cfg: CameraConfig, ox: float, oy: float, dtype):
         + u * xw[None, :, None]  # broadcast over (H, W, 3)
         + v * yw[:, None, None]
     )
-    return pos, vm.normalize(dirs).reshape(-1, 3)
+    dirs = vm.normalize(dirs).reshape(-1, 3)
+    if lens is None:
+        return jnp.broadcast_to(pos, dirs.shape), dirs
+    return _lens_rays(pos, u, v, w, dirs,
+                      jnp.asarray(lens[0], dtype), jnp.asarray(lens[1], dtype),
+                      _focus_distance(cfg))
 
 
 def camera_rays(cfg: CameraConfig, dtype=jnp.float32, spp: int = 1) -> RayBatch:
@@ -77,12 +118,17 @@ def camera_rays(cfg: CameraConfig, dtype=jnp.float32, spp: int = 1) -> RayBatch:
     ray[s*H*W + y*W + x]; callers average blocks of H*W.  spp == 1 keeps
     the reference's exact pixel-center expression (bitwise goldens).
     """
-    all_dirs = []
+    origs, dirss = [], []
     for s in range(spp * spp):
-        pos, d = _rays_from_grid(cfg, *_subpixel_offset(s, spp), dtype)
-        all_dirs.append(d)
-    dirs = all_dirs[0] if len(all_dirs) == 1 else jnp.concatenate(all_dirs, axis=0)
-    orig = jnp.broadcast_to(pos, dirs.shape)
+        o, d = _rays_from_grid(cfg, *_subpixel_offset(s, spp), dtype,
+                               lens=_lens_offset(cfg, s, spp))
+        origs.append(o)
+        dirss.append(d)
+    if len(dirss) == 1:
+        orig, dirs = origs[0], dirss[0]
+    else:
+        orig = jnp.concatenate(origs, axis=0)
+        dirs = jnp.concatenate(dirss, axis=0)
     return RayBatch.make(orig, dirs, mint=0.0, maxt=jnp.inf)
 
 
@@ -92,8 +138,8 @@ def camera_rays_subsample(cfg: CameraConfig, s: int, spp: int,
     bitwise equal to rays [s*H*W:(s+1)*H*W] of camera_rays(cfg, spp=spp).
     Lets the renderer accumulate subsamples with O(H*W) memory instead
     of materializing all spp^2 batches at once."""
-    pos, dirs = _rays_from_grid(cfg, *_subpixel_offset(s, spp), dtype)
-    orig = jnp.broadcast_to(pos, dirs.shape)
+    orig, dirs = _rays_from_grid(cfg, *_subpixel_offset(s, spp), dtype,
+                                 lens=_lens_offset(cfg, s, spp))
     return RayBatch.make(orig, dirs, mint=0.0, maxt=jnp.inf)
 
 
@@ -130,5 +176,17 @@ def camera_ray_at(cfg: CameraConfig, idx: jnp.ndarray, dtype=jnp.float32,
     yw = (yi - height / 2.0 + oy) / height
     dirs = -w * fd + u * xw[:, None] + v * yw[:, None]
     dirs = vm.normalize(dirs)
-    orig = jnp.broadcast_to(pos, dirs.shape)
+    lens0 = _lens_offset(cfg, 0, spp)
+    if lens0 is None:
+        orig = jnp.broadcast_to(pos, dirs.shape)
+        return RayBatch.make(orig, dirs, mint=0.0, maxt=jnp.inf)
+    # thin lens: per-lane aperture point from the same Python-float
+    # table the batch generators bake in (see ox_tab above for why)
+    lens = [_lens_offset(cfg, si, spp) for si in range(spp * spp)]
+    lx_tab = jnp.asarray([l[0] for l in lens], dtype)
+    ly_tab = jnp.asarray([l[1] for l in lens], dtype)
+    s = jnp.clip(idx // hw, 0, spp * spp - 1)
+    orig, dirs = _lens_rays(pos, u, v, w, dirs,
+                            lx_tab[s][:, None], ly_tab[s][:, None],
+                            _focus_distance(cfg))
     return RayBatch.make(orig, dirs, mint=0.0, maxt=jnp.inf)
