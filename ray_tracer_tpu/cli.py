@@ -76,6 +76,17 @@ def _build_cfg(args):
                 cfg.render, normal_mode="smooth", faithful=False
             ),
         )
+    for spec in getattr(args, "extra_light", None) or ():
+        from ray_tracer_tpu.config import LightConfig
+
+        parts = [float(x) for x in spec.split(",")]
+        if len(parts) not in (3, 4):
+            raise SystemExit(
+                f"--extra-light wants x,y,z[,intensity], got {spec!r}"
+            )
+        lc = LightConfig(position=tuple(parts[:3]),
+                         intensity=parts[3] if len(parts) == 4 else 1.0)
+        cfg = dataclasses.replace(cfg, extra_lights=cfg.extra_lights + (lc,))
     ap = getattr(args, "aperture", 0.0)
     if ap:
         if getattr(args, "spp", 1) <= 1:
@@ -126,7 +137,8 @@ def _build_cfg(args):
             )
 
             v, f, fm, uv, uvf = scene_numpy_arrays(cfg)
-            scene = scene_from_numpy(v, f, fm, cfg.materials, cfg.light, uv, uvf)
+            scene = scene_from_numpy(v, f, fm, cfg.materials, cfg.light, uv,
+                                     uvf, extra_lights=cfg.extra_lights)
         scene = scene._replace(texture_image=tex)
     return cfg, scene
 
@@ -288,6 +300,9 @@ def main(argv=None) -> None:
                    help="checker cells / image repeats per uv unit")
     r.add_argument("--spp", type=int, default=1,
                    help="anti-aliasing: spp x spp subpixel samples per pixel")
+    r.add_argument("--extra-light", action="append", default=None,
+                   metavar="X,Y,Z[,I]",
+                   help="additional point light (repeatable)")
     r.add_argument("--aperture", type=float, default=0.0,
                    help="thin-lens radius for depth of field (needs --spp>1)")
     r.add_argument("--focus-distance", type=float, default=0.0,

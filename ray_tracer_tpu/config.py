@@ -245,6 +245,13 @@ class SceneConfig:
     materials: Tuple[MaterialConfig, ...] = (MaterialConfig(),)
     camera: CameraConfig = field(default_factory=CameraConfig)
     light: LightConfig = field(default_factory=LightConfig)
+    # Additional point lights (production feature — the reference has
+    # exactly one).  Each contributes its own shadow-tested
+    # diffuse+specular term; ambient is counted once, riding the
+    # primary light's term exactly as the single-light variants do, so
+    # () reproduces the reference bitwise.  Differentiable like the
+    # primary (Scene.extra_light_pos / _intensity leaves).
+    extra_lights: Tuple[LightConfig, ...] = ()
     render: RenderConfig = field(default_factory=RenderConfig)
 
 
@@ -278,6 +285,8 @@ def _from_dict(cls, data: Dict[str, Any]):
             val = tuple(_from_dict(MeshConfig, m) for m in val)
         elif f.name == "materials":
             val = tuple(_from_dict(MaterialConfig, m) for m in val)
+        elif f.name == "extra_lights":
+            val = tuple(_from_dict(LightConfig, m) for m in val)
         elif f.name in _CONFIG_TYPES and isinstance(val, dict):
             val = _from_dict(_CONFIG_TYPES[f.name], val)
         elif isinstance(val, list):

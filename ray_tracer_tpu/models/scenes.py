@@ -92,6 +92,11 @@ class Scene(NamedTuple):
     # differentiable leaf: fit() can recover it from renders
     # (trainable=("texture_image",)).
     texture_image: Optional[jnp.ndarray] = None
+    # Additional point lights (SceneConfig.extra_lights) —
+    # differentiable leaves like the primary light_pos/_intensity.
+    # None = the reference's single light.
+    extra_light_pos: Optional[jnp.ndarray] = None  # (L,3)
+    extra_light_intensity: Optional[jnp.ndarray] = None  # (L,)
 
     def sample_texture(self, uv: jnp.ndarray) -> jnp.ndarray:
         """Bilinear wrap-mode sample: (R,2) uv -> (R,3) rgb in [0,1].
@@ -193,6 +198,7 @@ def scene_from_numpy(
     uvs: Optional[np.ndarray] = None,
     uv_faces: Optional[np.ndarray] = None,
     dtype=jnp.float32,
+    extra_lights: Sequence[LightConfig] = (),
 ) -> Scene:
     scene = Scene(
         verts=jnp.asarray(verts, dtype=dtype),
@@ -203,6 +209,11 @@ def scene_from_numpy(
         light_intensity=jnp.asarray(light.intensity, dtype=dtype),
         uvs=jnp.asarray(uvs, dtype=dtype) if uvs is not None else None,
         uv_faces=jnp.asarray(uv_faces) if uv_faces is not None else None,
+        extra_light_pos=(jnp.asarray([l.position for l in extra_lights], dtype)
+                         if extra_lights else None),
+        extra_light_intensity=(
+            jnp.asarray([l.intensity for l in extra_lights], dtype)
+            if extra_lights else None),
     )
     _register_host_geometry(
         scene.verts,
@@ -217,11 +228,13 @@ def scene_from_meshes(
     materials: Sequence[MaterialConfig],
     light: LightConfig,
     dtype=jnp.float32,
+    extra_lights: Sequence[LightConfig] = (),
 ) -> Scene:
     """Concatenate (mesh, material_index) parts into one Scene."""
     verts, faces, fmat, uvs, uvf = concat_mesh_arrays(parts)
     return scene_from_numpy(
-        verts, faces, fmat, materials, light, uvs, uvf, dtype=dtype
+        verts, faces, fmat, materials, light, uvs, uvf, dtype=dtype,
+        extra_lights=extra_lights,
     )
 
 
@@ -238,7 +251,8 @@ def scene_numpy_arrays(cfg: SceneConfig):
 def build_scene(cfg: SceneConfig, dtype=jnp.float32) -> Scene:
     verts, faces, fmat, uvs, uvf = scene_numpy_arrays(cfg)
     return scene_from_numpy(
-        verts, faces, fmat, cfg.materials, cfg.light, uvs, uvf, dtype=dtype
+        verts, faces, fmat, cfg.materials, cfg.light, uvs, uvf, dtype=dtype,
+        extra_lights=cfg.extra_lights,
     )
 
 

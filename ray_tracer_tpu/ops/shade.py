@@ -30,7 +30,7 @@ from ray_tracer_tpu.core import vecmath as vm
 from ray_tracer_tpu.models.materials import MaterialTable
 
 
-def _apply_shadow(color: jnp.ndarray, shadow, scale: float) -> jnp.ndarray:
+def apply_shadow(color: jnp.ndarray, shadow, scale: float) -> jnp.ndarray:
     """Shadow attenuation.  A BOOL mask takes the reference's exact
     branch (color * scale when shadowed — bitwise-faithful); a FLOAT
     factor f in [0,1] (soft visibility) blends continuously:
@@ -128,14 +128,15 @@ def hit_geometry_parallel(orig, dirn, t, tv0, tv1, tv2) -> HitGeometry:
     return HitGeometry(poi=poi, normal=normal, view_dir=vm.normalize(-dirn))
 
 
-def shade_serial(
+def shade_direct_serial(
     geom: HitGeometry,
     mat: MaterialTable,  # gathered per-ray
     light_pos: jnp.ndarray,
     light_intensity: jnp.ndarray,
-    in_shadow: jnp.ndarray,
-    shadow_scale: float,
 ) -> jnp.ndarray:
+    """ONE light's diffuse+specular term, serial-variant conventions
+    (no ambient — that is counted once by the caller).  The multi-light
+    building block: shade_serial == apply_shadow(this) + ambient."""
     base = mat.base_color
     l = vm.normalize(light_pos - geom.poi)
     h = geom.view_dir + l  # NOT normalized (raytracer.cpp:95)
@@ -145,20 +146,31 @@ def shade_serial(
     n_dot_h = jnp.maximum(0.0, vm.dot(n, h))
     diffuse = base * (mat.kd * n_dot_l)[:, None] * light_intensity
     specular = base * (mat.ks * _pow_safe(n_dot_h, mat.spec_alpha))[:, None] * light_intensity
-    ambient = base * mat.ka[:, None]
-
-    color = specular + diffuse
-    color = _apply_shadow(color, in_shadow, shadow_scale)
-    return color + ambient
+    return specular + diffuse
 
 
-def shade_parallel(
+def shade_serial(
     geom: HitGeometry,
-    mat: MaterialTable,
+    mat: MaterialTable,  # gathered per-ray
     light_pos: jnp.ndarray,
+    light_intensity: jnp.ndarray,
     in_shadow: jnp.ndarray,
     shadow_scale: float,
 ) -> jnp.ndarray:
+    color = shade_direct_serial(geom, mat, light_pos, light_intensity)
+    color = apply_shadow(color, in_shadow, shadow_scale)
+    return color + mat.base_color * mat.ka[:, None]
+
+
+def shade_direct_parallel(
+    geom: HitGeometry,
+    mat: MaterialTable,
+    light_pos: jnp.ndarray,
+) -> jnp.ndarray:
+    """ONE light's diffuse+specular term, parallel-variant conventions
+    (no ambient).  The CUDA reference has no light-intensity scalar —
+    multi-light callers scale this by their own intensity (1.0 = the
+    reference's implicit intensity)."""
     base = mat.base_color
     l = vm.normalize(light_pos - geom.poi)
     h = vm.normalize(geom.view_dir + l)  # normalized (raytracer.cu:478)
@@ -168,7 +180,16 @@ def shade_parallel(
     n_dot_h = jnp.maximum(0.0, vm.dot(n, h))
     diffuse = base * n_dot_l[:, None] * mat.kd[:, None]
     specular = base * _pow_safe(n_dot_h, mat.spec_alpha)[:, None] * mat.ks[:, None]
-    ambient = base * mat.ka[:, None]
+    return diffuse + specular
 
-    color = diffuse + specular + ambient
-    return _apply_shadow(color, in_shadow, shadow_scale)
+
+def shade_parallel(
+    geom: HitGeometry,
+    mat: MaterialTable,
+    light_pos: jnp.ndarray,
+    in_shadow: jnp.ndarray,
+    shadow_scale: float,
+) -> jnp.ndarray:
+    color = (shade_direct_parallel(geom, mat, light_pos)
+             + mat.base_color * mat.ka[:, None])
+    return apply_shadow(color, in_shadow, shadow_scale)

@@ -49,6 +49,9 @@ class SceneParams(NamedTuple):
     # None when the scene has no image texture (None is an empty pytree
     # node, so checkpoints and optimizer states are unaffected).
     texture_image: Optional[jnp.ndarray] = None
+    # None when the scene has no extra lights (same empty-pytree rule).
+    extra_light_pos: Optional[jnp.ndarray] = None
+    extra_light_intensity: Optional[jnp.ndarray] = None
 
 
 def split_scene(scene: Scene) -> SceneParams:
@@ -59,6 +62,8 @@ def split_scene(scene: Scene) -> SceneParams:
         spec_alpha=m.spec_alpha, ka=m.ka, km=m.km,
         light_pos=scene.light_pos, light_intensity=scene.light_intensity,
         texture_image=scene.texture_image,
+        extra_light_pos=scene.extra_light_pos,
+        extra_light_intensity=scene.extra_light_intensity,
     )
 
 
@@ -77,6 +82,8 @@ def merge_scene(params: SceneParams, scene: Scene) -> Scene:
         uvs=scene.uvs,
         uv_faces=scene.uv_faces,
         texture_image=params.texture_image,
+        extra_light_pos=params.extra_light_pos,
+        extra_light_intensity=params.extra_light_intensity,
     )
 
 

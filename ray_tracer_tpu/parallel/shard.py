@@ -544,6 +544,10 @@ def render_sharded_geometry(
         mesh = make_mesh()
     cfg = prep.cfg
     scene = prep.scene
+    if scene.extra_light_pos is not None:
+        raise NotImplementedError(
+            "ring renderer: extra lights not supported"
+        )
     v0, v1, v2 = scene.triangle_soa()
     n_tri_shards = mesh.shape[tris_axis]
     v0, v1, v2, fmat, fp = _pad_tris(

@@ -116,8 +116,12 @@ def trace_pixel(prep, x: int, y: int) -> Dict[str, Any]:
         "poi": poi.tolist(),
         "normal": normal.tolist(),
         "material_index": mat_idx,
+        # shadow_dir/in_shadow describe the PRIMARY light's shadow ray;
+        # extra_lights counts additional lights the render also shades
         "shadow_dir": sdir.tolist(),
         "in_shadow": in_shadow,
+        "extra_lights": (0 if prep.scene.extra_light_pos is None
+                         else int(prep.scene.extra_light_pos.shape[0])),
         "triangle": tv.tolist(),
     })
     return out

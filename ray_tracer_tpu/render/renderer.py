@@ -36,10 +36,13 @@ from ray_tracer_tpu.models.scenes import Scene
 from ray_tracer_tpu.ops.camera import camera_rays
 from ray_tracer_tpu.ops.intersect import cramer_bg_safe, cramer_t_safe, intersect_brute
 from ray_tracer_tpu.ops.shade import (
+    apply_shadow,
     hit_geometry_parallel,
     hit_geometry_serial,
     interpolate_normal,
     light_sample_offsets,
+    shade_direct_parallel,
+    shade_direct_serial,
     shade_parallel,
     shade_serial,
     vertex_normals,
@@ -89,7 +92,7 @@ def prepare(cfg: SceneConfig, scene: Scene = None) -> Prepared:
         verts_np, faces_np, fmat_np, uvs_np, uvf_np = scene_numpy_arrays(cfg)
         scene = scene_from_numpy(
             verts_np, faces_np, fmat_np, cfg.materials, cfg.light,
-            uvs_np, uvf_np,
+            uvs_np, uvf_np, extra_lights=cfg.extra_lights,
         )
     else:
         from ray_tracer_tpu.models.scenes import host_geometry
@@ -455,6 +458,28 @@ def render_rays(
             color = shade_parallel(
                 geom, mat, scene.light_pos, in_shadow, rcfg.shadow_scale
             )
+
+        if scene.extra_light_pos is not None:
+            # Additional point lights (SceneConfig.extra_lights): each
+            # adds its own shadow-tested diffuse+specular term; ambient
+            # already rode the primary term above, exactly once.  The
+            # loop is static (L is a shape), one standalone shadow
+            # trace per light; shadow direction/mint follow the same
+            # shared policy as the primary light's shadow.
+            for i in range(scene.extra_light_pos.shape[0]):
+                lp = scene.extra_light_pos[i]
+                li = scene.extra_light_intensity[i]
+                srays_i = shadow_rays_toward(lp)
+                sres_i = trav(srays_i, t_gate=eps, stop_on_first_hit=early,
+                              **skw)
+                occ_i = soften(srays_i, rcfg.accepted_hit(sres_i) & hit,
+                               sres_i.tri_id, sres_i.hit)
+                if serial:
+                    direct = shade_direct_serial(geom, mat, lp, li)
+                else:
+                    direct = shade_direct_parallel(geom, mat, lp) * li
+                color = color + apply_shadow(direct, occ_i,
+                                              rcfg.shadow_scale)
 
         if rcfg.soft_primary > 0.0:
             # Primary-silhouette softening (SURVEY §7.9): recompute the
