@@ -253,6 +253,12 @@ def cmd_aov(args) -> None:
     cfg, scene = _build_cfg(args)
     prep = prepare(cfg, scene=scene)
     aovs = {k: np.asarray(v) for k, v in render_aovs(prep).items()}
+    if getattr(args, "ao_samples", 0):
+        from ray_tracer_tpu.render.aov import render_ao
+
+        aovs["ao"] = np.asarray(render_ao(
+            prep, samples=args.ao_samples, radius=args.ao_radius
+        ))
     np.savez(args.out, **aovs)
     print(f"wrote {args.out}: " + ", ".join(
         f"{k}{list(v.shape)}" for k, v in aovs.items()), file=sys.stderr)
@@ -366,6 +372,10 @@ def main(argv=None) -> None:
     av.add_argument("--width", type=int, default=256)
     av.add_argument("--height", type=int, default=0)
     av.add_argument("--out", default="aovs.npz")
+    av.add_argument("--ao-samples", type=int, default=0,
+                    help="add an 'ao' buffer (N hemisphere rays/pixel)")
+    av.add_argument("--ao-radius", type=float, default=1.0,
+                    help="ambient-occlusion ray length")
     av.add_argument("--fast", action="store_true")
     av.set_defaults(fn=cmd_aov)
 

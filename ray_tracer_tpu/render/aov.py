@@ -12,11 +12,29 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ray_tracer_tpu.core import vecmath as vm
+from ray_tracer_tpu.core.rays import RayBatch
 from ray_tracer_tpu.ops.camera import camera_rays
 from ray_tracer_tpu.ops.traverse import traverse_grid
 from ray_tracer_tpu.ops.traverse_packed import traverse_packed
+
+
+def _trace(prep, rays, stop_on_first_hit=False):
+    """The one primary/occlusion trace dispatch AOV buffers share."""
+    rcfg = prep.cfg.render
+    gate = 0.0 if rcfg.shading == "serial" else rcfg.shadow_eps
+    if rcfg.traversal == "packed":
+        return traverse_packed(
+            rays, prep.packed.arrays, prep.packed.meta, t_gate=gate,
+            stop_on_first_hit=stop_on_first_hit,
+        )
+    v0, v1, v2 = prep.scene.triangle_soa()
+    return traverse_grid(
+        rays, prep.grid.arrays, prep.grid.meta, v0, v1, v2,
+        t_gate=gate, early_exit=True, det_dtype=rcfg.det_dtype,
+    )
 
 
 def render_aovs(prep) -> Dict[str, jnp.ndarray]:
@@ -28,18 +46,7 @@ def render_aovs(prep) -> Dict[str, jnp.ndarray]:
     h, w = cfg.camera.height, cfg.camera.width
     rays = camera_rays(cfg.camera)
     serial = rcfg.shading == "serial"
-    gate = 0.0 if serial else rcfg.shadow_eps
-
-    if rcfg.traversal == "packed":
-        res = traverse_packed(
-            rays, prep.packed.arrays, prep.packed.meta, t_gate=gate
-        )
-    else:
-        v0, v1, v2 = prep.scene.triangle_soa()
-        res = traverse_grid(
-            rays, prep.grid.arrays, prep.grid.meta, v0, v1, v2,
-            t_gate=gate, early_exit=True, det_dtype=rcfg.det_dtype,
-        )
+    res = _trace(prep, rays)
 
     tri = jnp.maximum(res.tri_id, 0)
     v0, v1, v2 = prep.scene.triangle_soa()
@@ -67,3 +74,69 @@ def render_aovs(prep) -> Dict[str, jnp.ndarray]:
         "normal": img(jnp.where(hit3, n, 0.0), 3),
         "position": img(pos, 3),
     }
+
+
+def hemisphere_dirs(n: int) -> np.ndarray:
+    """Deterministic Fibonacci point set on the +z unit hemisphere ->
+    (n,3) numpy, area-uniform (z = (i+0.5)/n, golden-angle azimuth).
+    Fixed pattern = reproducible AO on any topology (banding, not
+    noise, at low n — same trade as shade.light_sample_offsets)."""
+    i = np.arange(n, dtype=np.float64) + 0.5
+    z = i / n
+    r = np.sqrt(1.0 - z * z)
+    th = np.pi * (3.0 - np.sqrt(5.0)) * i
+    return np.stack([r * np.cos(th), r * np.sin(th), z], axis=1).astype(
+        np.float32
+    )
+
+
+def render_ao(prep, samples: int = 16, radius: float = 1.0) -> jnp.ndarray:
+    """Ambient-occlusion map -> (H, W) f32 in [0, 1].
+
+    For each primary hit, `samples` occlusion rays over a deterministic
+    Fibonacci hemisphere oriented by the geometric normal; ao = the
+    unoccluded fraction within `radius` (1 = fully open; miss pixels =
+    1).  Occlusion is a hit with t <= radius (the grid walk is bounded
+    by maxt = radius, so a triangle in the final voxel can be tested
+    slightly past the radius — the explicit t gate makes the cutoff
+    exact).  Production/diagnostic buffer; no reference counterpart.
+    """
+    cfg = prep.cfg
+    rcfg = cfg.render
+    h, w = cfg.camera.height, cfg.camera.width
+    eps = rcfg.shadow_eps
+    rays = camera_rays(cfg.camera)
+    res = _trace(prep, rays)
+    hit = res.hit
+
+    tri = jnp.maximum(res.tri_id, 0)
+    v0, v1, v2 = prep.scene.triangle_soa()
+    tv0, tv1, tv2 = v0[tri], v1[tri], v2[tri]
+    if rcfg.shading == "serial":
+        n = vm.normalize(vm.cross(tv0 - tv1, tv2 - tv0))
+    else:
+        n = vm.normalize(vm.cross(tv2 - tv1, tv0 - tv1))
+    # face the eye, like any two-sided AO: flip normals pointing away
+    n = jnp.where(vm.dot(n, rays.dirn)[:, None] > 0, -n, n)
+
+    t_safe = jnp.where(hit, res.t, 0.0)
+    poi = rays.at(t_safe)
+    orig = jnp.where(hit[:, None], poi, jnp.inf)  # dead lanes retire on entry
+
+    # tangent frame per hit (helper axis chosen away from n)
+    a = jnp.where(
+        (jnp.abs(n[:, 0]) < 0.9)[:, None],
+        jnp.asarray([1.0, 0.0, 0.0], n.dtype),
+        jnp.asarray([0.0, 1.0, 0.0], n.dtype),
+    )
+    t1 = vm.normalize(vm.cross(a, n))
+    t2 = vm.cross(n, t1)
+
+    occ = jnp.zeros((rays.count,), jnp.float32)
+    for d in hemisphere_dirs(samples):
+        dirn = d[0] * t1 + d[1] * t2 + d[2] * n
+        srays = RayBatch.make(orig, dirn, mint=eps, maxt=radius)
+        sres = _trace(prep, srays, stop_on_first_hit=True)
+        occ = occ + (sres.hit & (sres.t <= radius) & hit).astype(jnp.float32)
+    ao = jnp.where(hit, 1.0 - occ / samples, 1.0)
+    return ao.reshape(h, w)

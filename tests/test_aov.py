@@ -42,3 +42,49 @@ def test_aov_packed_matches_csr(tiny_prep):
     np.testing.assert_array_equal(
         np.asarray(a["tri_id"])[h], np.asarray(b["tri_id"])[h]
     )
+
+
+def test_hemisphere_dirs():
+    from ray_tracer_tpu.render.aov import hemisphere_dirs
+
+    d = hemisphere_dirs(32)
+    assert d.shape == (32, 3)
+    np.testing.assert_allclose(np.linalg.norm(d, axis=1), 1.0, rtol=1e-5)
+    assert (d[:, 2] > 0).all()  # upper hemisphere
+    # spread in azimuth: xy mean near the axis
+    assert np.linalg.norm(d[:, :2].mean(axis=0)) < 0.15
+
+
+def test_render_ao(tiny_prep):
+    """AO darkens the plane near the sphere contact and stays 1 where
+    there is no close-by geometry (and on sky pixels)."""
+    from ray_tracer_tpu.render.aov import render_ao, render_aovs
+
+    ao = np.asarray(render_ao(tiny_prep, samples=8, radius=1.0))
+    assert ao.shape == (16, 16)
+    assert (ao >= 0).all() and (ao <= 1).all()
+    hit = np.asarray(render_aovs(tiny_prep)["hit"])
+    np.testing.assert_array_equal(ao[~hit], 1.0)  # sky = fully open
+    assert (ao[hit] < 0.95).any(), "no occluded region found"
+    assert (ao[hit] > 0.95).any(), "no open region found"
+    # deterministic sample set
+    again = np.asarray(render_ao(tiny_prep, samples=8, radius=1.0))
+    np.testing.assert_array_equal(ao, again)
+
+
+def test_render_ao_packed_matches_csr(tiny_prep):
+    import dataclasses
+
+    from ray_tracer_tpu.render.aov import render_ao
+    from ray_tracer_tpu.render.renderer import prepare
+
+    cfg = dataclasses.replace(
+        tiny_prep.cfg,
+        render=dataclasses.replace(tiny_prep.cfg.render, traversal="packed"),
+    )
+    prep_p = prepare(cfg, scene=tiny_prep.scene)
+    a = np.asarray(render_ao(tiny_prep, samples=8, radius=1.0))
+    b = np.asarray(render_ao(prep_p, samples=8, radius=1.0))
+    # same hemisphere set, same geometry; traversals may disagree only
+    # on razor-thin t<=radius boundary cases
+    assert (a != b).mean() < 0.02
