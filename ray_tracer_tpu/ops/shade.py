@@ -96,12 +96,15 @@ def light_sample_offsets(n: int, radius: float) -> np.ndarray:
 
 def interpolate_normal(vn: jnp.ndarray, faces: jnp.ndarray, tri: jnp.ndarray,
                        beta: jnp.ndarray, gamma: jnp.ndarray) -> jnp.ndarray:
-    """Barycentric (Phong) normal interpolation at hits, normalized.
+    """Barycentric (Phong) normal interpolation at hits -> UNIT normals.
 
-    The reference variants shade with UNNORMALIZED facet normals (their
-    magnitude encodes facet area — Serial/raytracer.cpp:95 uses
-    getNormalMod raw); that magnitude has no meaning for an
-    interpolated normal, so smooth mode normalizes."""
+    Callers that feed the reference shading variants should rescale by
+    the facet normal's own magnitude: the variants shade with
+    UNNORMALIZED normals whose length encodes facet area
+    (Serial/raytracer.cpp:95 uses getNormalMod raw), and their shading
+    constants are tuned to those magnitudes (serial ks = 5e11!) —
+    smooth mode smooths the DIRECTION and keeps the magnitude, so
+    brightness matches face mode."""
     f = faces[tri]  # (R,3)
     alpha = 1.0 - beta - gamma
     n = (alpha[:, None] * vn[f[:, 0]]

@@ -384,10 +384,15 @@ def render_rays(
         if smooth:
             # Phong normal interpolation on the stop-gradient hit
             # topology; shading AND the reflection bounce below follow
-            # the smooth normal
-            geom = geom._replace(normal=interpolate_normal(
+            # the smooth DIRECTION, rescaled to the facet normal's own
+            # magnitude (the variants' shading constants are tuned to
+            # area-scaled normals — see interpolate_normal)
+            unit = interpolate_normal(
                 vn, scene.faces, tri, hb.astype(v0.dtype), hg.astype(v0.dtype)
-            ))
+            )
+            geom = geom._replace(
+                normal=unit * vm.length(geom.normal)[:, None]
+            )
 
         # Shadow rays (direction quirk + mint from the shared policy).
         smint = rcfg.shadow_mint()
