@@ -79,7 +79,10 @@ def _build_cfg(args):
     for spec in getattr(args, "extra_light", None) or ():
         from ray_tracer_tpu.config import LightConfig
 
-        parts = [float(x) for x in spec.split(",")]
+        try:
+            parts = [float(x) for x in spec.split(",")]
+        except ValueError:
+            parts = []
         if len(parts) not in (3, 4):
             raise SystemExit(
                 f"--extra-light wants x,y,z[,intensity], got {spec!r}"
@@ -89,9 +92,6 @@ def _build_cfg(args):
         cfg = dataclasses.replace(cfg, extra_lights=cfg.extra_lights + (lc,))
     ap = getattr(args, "aperture", 0.0)
     if ap:
-        if getattr(args, "spp", 1) <= 1:
-            raise SystemExit("--aperture needs --spp > 1 (one lens point "
-                             "per subsample)")
         cfg = dataclasses.replace(
             cfg,
             camera=dataclasses.replace(
@@ -99,6 +99,12 @@ def _build_cfg(args):
                 focus_distance=getattr(args, "focus_distance", 0.0) or 0.0,
             ),
         )
+    if cfg.camera.aperture > 0 and cfg.render.spp <= 1 and hasattr(args, "spp"):
+        # checks the EFFECTIVE spp (a config file may set either side);
+        # only color-rendering subcommands carry --spp — aov/stats/debug
+        # intentionally trace pinhole pixel centers
+        raise SystemExit("depth of field needs render.spp > 1 "
+                         "(one lens point per subsample)")
     ss = getattr(args, "shadow_samples", 0)
     lr = getattr(args, "light_radius", 0.0)
     if ss and not lr:
@@ -178,11 +184,13 @@ def cmd_render(args) -> None:
     else:
         write_ppm(args.out, np.asarray(img))
     spp2 = cfg.render.spp * cfg.render.spp
-    # shadow fan: 1 point-light ray, or shadow_samples area-light rays
+    # shadow fan per light: 1 point-light ray, or shadow_samples
+    # area-light rays; every extra light traces the same fan
     sfan = (cfg.render.shadow_samples
             if cfg.render.shadow_samples > 1 and cfg.render.light_radius > 0
             else 1)
-    rays = cfg.camera.width * cfg.camera.height * spp2 * (1 + sfan)
+    n_lights = 1 + len(cfg.extra_lights)
+    rays = cfg.camera.width * cfg.camera.height * spp2 * (1 + sfan * n_lights)
     print(f"wrote {args.out} ({cfg.camera.width}x{cfg.camera.height}"
           f"{f', spp={cfg.render.spp}' if spp2 > 1 else ''}) "
           f"in {dt:.2f}s = {rays / dt / 1e6:.2f} Mrays/s "

@@ -21,19 +21,26 @@ from ray_tracer_tpu.ops.traverse import traverse_grid
 from ray_tracer_tpu.ops.traverse_packed import traverse_packed
 
 
-def _trace(prep, rays, stop_on_first_hit=False):
-    """The one primary/occlusion trace dispatch AOV buffers share."""
+def _trace(prep, rays, stop_on_first_hit=False, gate=None, soa=None):
+    """The one primary/occlusion trace dispatch AOV buffers share.
+
+    gate=None uses the primary-hit policy (serial accepts t > 0);
+    occlusion queries pass an explicit eps gate so a ray starting ON
+    its own triangle cannot re-accept it at t ~ 1e-7.  soa: the
+    (v0, v1, v2) gathers, hoistable by callers that trace many times."""
     rcfg = prep.cfg.render
-    gate = 0.0 if rcfg.shading == "serial" else rcfg.shadow_eps
+    if gate is None:
+        gate = 0.0 if rcfg.shading == "serial" else rcfg.shadow_eps
     if rcfg.traversal == "packed":
         return traverse_packed(
             rays, prep.packed.arrays, prep.packed.meta, t_gate=gate,
             stop_on_first_hit=stop_on_first_hit,
         )
-    v0, v1, v2 = prep.scene.triangle_soa()
+    v0, v1, v2 = prep.scene.triangle_soa() if soa is None else soa
     return traverse_grid(
         rays, prep.grid.arrays, prep.grid.meta, v0, v1, v2,
         t_gate=gate, early_exit=True, det_dtype=rcfg.det_dtype,
+        stop_on_first_hit=stop_on_first_hit,
     )
 
 
@@ -132,11 +139,16 @@ def render_ao(prep, samples: int = 16, radius: float = 1.0) -> jnp.ndarray:
     t1 = vm.normalize(vm.cross(a, n))
     t2 = vm.cross(n, t1)
 
+    # occlusion rays start ON their own triangle: gate t > eps like the
+    # renderer's shadow traces (the serial primary gate of 0 would
+    # re-accept the origin triangle at t ~ 1e-7 and read AO ~ 0.5
+    # everywhere); any-hit is enough, and the soa gathers are hoisted
+    soa = prep.scene.triangle_soa()
     occ = jnp.zeros((rays.count,), jnp.float32)
     for d in hemisphere_dirs(samples):
         dirn = d[0] * t1 + d[1] * t2 + d[2] * n
         srays = RayBatch.make(orig, dirn, mint=eps, maxt=radius)
-        sres = _trace(prep, srays, stop_on_first_hit=True)
+        sres = _trace(prep, srays, stop_on_first_hit=True, gate=eps, soa=soa)
         occ = occ + (sres.hit & (sres.t <= radius) & hit).astype(jnp.float32)
     ao = jnp.where(hit, 1.0 - occ / samples, 1.0)
     return ao.reshape(h, w)

@@ -98,6 +98,19 @@ def prepare(cfg: SceneConfig, scene: Scene = None) -> Prepared:
         from ray_tracer_tpu.models.scenes import host_geometry
 
         verts_np, faces_np = host_geometry(scene)
+        if cfg.extra_lights and scene.extra_light_pos is None:
+            # cfg.extra_lights applies to provided scenes too (the CLI
+            # scene-object path); a scene that already carries extra
+            # lights wins over the config
+            dt = scene.verts.dtype
+            scene = scene._replace(
+                extra_light_pos=jnp.asarray(
+                    [l.position for l in cfg.extra_lights], dt
+                ),
+                extra_light_intensity=jnp.asarray(
+                    [l.intensity for l in cfg.extra_lights], dt
+                ),
+            )
     grid = build_grid(
         verts_np,
         faces_np,
@@ -431,28 +444,37 @@ def render_rays(
             f = jax.nn.sigmoid(margin / rcfg.soft_visibility)
             return jnp.where(occ, f, 0.0)
 
+        def occlusion_toward(lp):
+            """[0,1] occlusion factor toward light position lp: one
+            hard shadow ray, or — with area-light soft shadows on —
+            the mean over the fixed Fibonacci sample set (a float
+            penumbra factor apply_shadow blends continuously).  Used
+            by the primary light's standalone path AND every extra
+            light, so the penumbra treatment cannot diverge between
+            them."""
+            if soft_shadows:
+                occ = jnp.zeros((r,), jnp.float32)
+                for off in light_sample_offsets(rcfg.shadow_samples,
+                                                rcfg.light_radius):
+                    srays = shadow_rays_toward(lp + jnp.asarray(off, v0.dtype))
+                    sres = trav(srays, t_gate=eps, stop_on_first_hit=early,
+                                **skw)
+                    occ = occ + soften(
+                        srays, rcfg.accepted_hit(sres) & hit,
+                        sres.tri_id, sres.hit,
+                    ).astype(jnp.float32)
+                return occ / rcfg.shadow_samples
+            srays = shadow_rays_toward(lp)
+            sres = trav(srays, t_gate=eps, stop_on_first_hit=early, **skw)
+            return soften(srays, rcfg.accepted_hit(sres) & hit,
+                          sres.tri_id, sres.hit)
+
         if fres is not None:
             in_shadow = soften(shadow_rays_toward(scene.light_pos),
                                fres.in_shadow & hit,
                                fres.shadow_tri_id, fres.in_shadow)
-        elif soft_shadows:
-            # Area light: mean occlusion over the fixed sample set —
-            # a float penumbra factor _apply_shadow blends continuously
-            occ = jnp.zeros((r,), jnp.float32)
-            for off in light_sample_offsets(rcfg.shadow_samples,
-                                            rcfg.light_radius):
-                srays = shadow_rays_toward(
-                    scene.light_pos + jnp.asarray(off, v0.dtype)
-                )
-                sres = trav(srays, t_gate=eps, stop_on_first_hit=early, **skw)
-                occ = occ + soften(srays, rcfg.accepted_hit(sres) & hit,
-                                   sres.tri_id, sres.hit).astype(jnp.float32)
-            in_shadow = occ / rcfg.shadow_samples
         else:
-            srays = shadow_rays_toward(scene.light_pos)
-            sres = trav(srays, t_gate=eps, stop_on_first_hit=early, **skw)
-            in_shadow = soften(srays, rcfg.accepted_hit(sres) & hit,
-                               sres.tri_id, sres.hit)
+            in_shadow = occlusion_toward(scene.light_pos)
 
         if serial:
             color = shade_serial(
@@ -468,17 +490,13 @@ def render_rays(
             # Additional point lights (SceneConfig.extra_lights): each
             # adds its own shadow-tested diffuse+specular term; ambient
             # already rode the primary term above, exactly once.  The
-            # loop is static (L is a shape), one standalone shadow
-            # trace per light; shadow direction/mint follow the same
-            # shared policy as the primary light's shadow.
+            # loop is static (L is a shape); shadow direction/mint and
+            # the soft-shadow/penumbra treatment follow the SAME shared
+            # policy as the primary light's shadow (occlusion_toward).
             for i in range(scene.extra_light_pos.shape[0]):
                 lp = scene.extra_light_pos[i]
                 li = scene.extra_light_intensity[i]
-                srays_i = shadow_rays_toward(lp)
-                sres_i = trav(srays_i, t_gate=eps, stop_on_first_hit=early,
-                              **skw)
-                occ_i = soften(srays_i, rcfg.accepted_hit(sres_i) & hit,
-                               sres_i.tri_id, sres_i.hit)
+                occ_i = occlusion_toward(lp)
                 if serial:
                     direct = shade_direct_serial(geom, mat, lp, li)
                 else:

@@ -88,3 +88,24 @@ def test_render_ao_packed_matches_csr(tiny_prep):
     # same hemisphere set, same geometry; traversals may disagree only
     # on razor-thin t<=radius boundary cases
     assert (a != b).mean() < 0.02
+
+
+def test_render_ao_serial_no_self_occlusion():
+    """Serial shading's primary gate is 0, but AO occlusion rays must
+    gate t > eps — otherwise every hemisphere ray re-accepts its own
+    origin triangle and AO reads ~0.5 on all surfaces."""
+    import dataclasses
+
+    from ray_tracer_tpu.models.scenes import gradcheck_scene
+    from ray_tracer_tpu.render.aov import render_ao
+    from ray_tracer_tpu.render.renderer import prepare
+
+    scene, cfg = gradcheck_scene(16, 16)
+    cfg = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, shading="serial",
+                                        faithful=False, ray_tile=64)
+    )
+    ao = np.asarray(render_ao(prepare(cfg, scene=scene), samples=8,
+                              radius=1.0))
+    # open plane regions far from the spheres must be fully unoccluded
+    assert (ao > 0.99).any(), f"max ao {ao.max()} — self-occlusion?"

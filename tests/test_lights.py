@@ -150,3 +150,32 @@ def test_extra_lights_rejected_by_ring_renderer(eight_device_mesh):
     prep = _prep(extra=[LightConfig((-4.0, 6.0, -2.0), 1.0)])
     with pytest.raises(NotImplementedError, match="extra lights"):
         render_sharded_geometry(prep, mesh=eight_device_mesh)
+
+
+def test_prepare_attaches_cfg_extra_lights_to_provided_scene():
+    """cfg.extra_lights reaches scene-OBJECT scenes too (the CLI path
+    for gradcheck/nefertiti): prepare() attaches them when the scene
+    does not already carry extra lights."""
+    scene, cfg = gradcheck_scene(16, 16)
+    cfg = dataclasses.replace(
+        cfg,
+        extra_lights=(LightConfig((-4.0, 6.0, -2.0), 1.0),),
+        render=dataclasses.replace(cfg.render, ray_tile=64),
+    )
+    prep = prepare(cfg, scene=scene)
+    assert prep.scene.extra_light_pos is not None
+    lit = np.asarray(render(prep))
+    base = np.asarray(render(_prep()))
+    assert (lit > base + 1e-3).any(), "extra light had no effect"
+
+
+def test_extra_light_gets_soft_shadows_too():
+    """Area-light sampling applies to EVERY light, not just the
+    primary (one occlusion_toward policy)."""
+    hard = np.asarray(render(_prep(extra=[LightConfig((-4.0, 6.0, -2.0), 1.0)])))
+    soft = np.asarray(render(_prep(
+        extra=[LightConfig((-4.0, 6.0, -2.0), 1.0)],
+        light_radius=0.8, shadow_samples=4,
+    )))
+    assert np.isfinite(soft).all()
+    assert not np.array_equal(hard, soft)
