@@ -146,6 +146,24 @@ def _build_cfg(args):
             scene = scene_from_numpy(v, f, fm, cfg.materials, cfg.light, uv,
                                      uvf, extra_lights=cfg.extra_lights)
         scene = scene._replace(texture_image=tex)
+    if getattr(args, "env_file", None):
+        # Lat-long environment map for miss lanes, in color units
+        # (u8 values pass through: 255 tonemaps to full white).
+        import jax.numpy as jnp
+
+        from ray_tracer_tpu.io.png import read_png
+        from ray_tracer_tpu.io.ppm import read_ppm
+
+        rd = read_png if args.env_file.lower().endswith(".png") else read_ppm
+        env = jnp.asarray(rd(args.env_file), jnp.float32)
+        if scene is None:
+            from ray_tracer_tpu.models.scenes import build_scene
+
+            scene = build_scene(cfg)
+        scene = scene._replace(env_image=env)
+        cfg = dataclasses.replace(
+            cfg, render=dataclasses.replace(cfg.render, faithful=False)
+        )
     return cfg, scene
 
 
@@ -314,6 +332,8 @@ def main(argv=None) -> None:
                    help="checker cells / image repeats per uv unit")
     r.add_argument("--spp", type=int, default=1,
                    help="anti-aliasing: spp x spp subpixel samples per pixel")
+    r.add_argument("--env-file", default=None,
+                   help="lat-long environment map (PPM/PNG) for miss rays")
     r.add_argument("--extra-light", action="append", default=None,
                    metavar="X,Y,Z[,I]",
                    help="additional point light (repeatable)")

@@ -97,6 +97,12 @@ class Scene(NamedTuple):
     # None = the reference's single light.
     extra_light_pos: Optional[jnp.ndarray] = None  # (L,3)
     extra_light_intensity: Optional[jnp.ndarray] = None  # (L,)
+    # Optional (Eh,Ew,3) f32 lat-long environment map in COLOR units
+    # (0..255 linear, like material base colors): miss lanes sample it
+    # by ray direction instead of the constant rcfg.background, at
+    # every bounce depth.  A differentiable leaf (fit can recover it).
+    # None = constant background (reference-exact).
+    env_image: Optional[jnp.ndarray] = None
 
     def sample_texture(self, uv: jnp.ndarray) -> jnp.ndarray:
         """Bilinear wrap-mode sample: (R,2) uv -> (R,3) rgb in [0,1].
@@ -119,6 +125,36 @@ class Scene(NamedTuple):
         iv1 = jnp.mod(iv0 + 1, th)
         c00, c01 = tex[iv0, iu0], tex[iv0, iu1]
         c10, c11 = tex[iv1, iu0], tex[iv1, iu1]
+        top = c00 + (c01 - c00) * fu[:, None]
+        bot = c10 + (c11 - c10) * fu[:, None]
+        return top + (bot - top) * fv[:, None]
+
+    def sample_env(self, dirn: jnp.ndarray) -> jnp.ndarray:
+        """Lat-long (equirectangular) environment lookup: (R,3) unit
+        directions -> (R,3) color.  u = azimuth around +y (wraps),
+        v = polar angle from +y (clamped at the pole rows).  Bilinear;
+        differentiable in the texel grid (through the gathers) and in
+        the direction (through the weights).  A CONSTANT map returns
+        that constant exactly (all bilinear deltas are zero), so it
+        degenerates to the constant-background path bitwise."""
+        env = self.env_image
+        if env is None:
+            raise ValueError("scene has no env_image")
+        th, tw = env.shape[0], env.shape[1]
+        u = jnp.arctan2(dirn[:, 2], dirn[:, 0]) / (2.0 * jnp.pi) + 0.5
+        v = jnp.arccos(jnp.clip(dirn[:, 1], -1.0, 1.0)) / jnp.pi
+        uu = u * tw - 0.5
+        # polar coordinate clamps at the pole texel CENTERS so the
+        # exact poles sample their row fully (no blend past the edge)
+        vv = jnp.clip(v * th - 0.5, 0.0, th - 1.0)
+        u0f, v0f = jnp.floor(uu), jnp.floor(vv)
+        fu, fv = uu - u0f, vv - v0f
+        iu0 = jnp.mod(u0f.astype(jnp.int32), tw)
+        iu1 = jnp.mod(iu0 + 1, tw)
+        iv0 = jnp.clip(v0f.astype(jnp.int32), 0, th - 1)
+        iv1 = jnp.clip(iv0 + 1, 0, th - 1)
+        c00, c01 = env[iv0, iu0], env[iv0, iu1]
+        c10, c11 = env[iv1, iu0], env[iv1, iu1]
         top = c00 + (c01 - c00) * fu[:, None]
         bot = c10 + (c11 - c10) * fu[:, None]
         return top + (bot - top) * fv[:, None]

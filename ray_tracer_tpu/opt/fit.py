@@ -52,6 +52,8 @@ class SceneParams(NamedTuple):
     # None when the scene has no extra lights (same empty-pytree rule).
     extra_light_pos: Optional[jnp.ndarray] = None
     extra_light_intensity: Optional[jnp.ndarray] = None
+    # None when the scene has no environment map.
+    env_image: Optional[jnp.ndarray] = None
 
 
 def split_scene(scene: Scene) -> SceneParams:
@@ -64,6 +66,7 @@ def split_scene(scene: Scene) -> SceneParams:
         texture_image=scene.texture_image,
         extra_light_pos=scene.extra_light_pos,
         extra_light_intensity=scene.extra_light_intensity,
+        env_image=scene.env_image,
     )
 
 
@@ -84,6 +87,7 @@ def merge_scene(params: SceneParams, scene: Scene) -> Scene:
         texture_image=params.texture_image,
         extra_light_pos=params.extra_light_pos,
         extra_light_intensity=params.extra_light_intensity,
+        env_image=params.env_image,
     )
 
 

@@ -548,6 +548,10 @@ def render_sharded_geometry(
         raise NotImplementedError(
             "ring renderer: extra lights not supported"
         )
+    if scene.env_image is not None:
+        raise NotImplementedError(
+            "ring renderer: environment maps not supported"
+        )
     v0, v1, v2 = scene.triangle_soa()
     n_tri_shards = mesh.shape[tris_axis]
     v0, v1, v2, fmat, fp = _pad_tris(

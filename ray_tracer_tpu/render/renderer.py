@@ -167,9 +167,11 @@ def render_rays(
     eps = rcfg.shadow_eps
     smooth = rcfg.normal_mode == "smooth"
     soft_shadows = rcfg.shadow_samples > 1 and rcfg.light_radius > 0.0
-    if faithful and (smooth or soft_shadows):
+    if faithful and (smooth or soft_shadows
+                     or scene.env_image is not None):
         raise ValueError(
-            "smooth normals / area-light soft shadows require faithful=False"
+            "smooth normals / area-light soft shadows / environment "
+            "maps require faithful=False"
         )
     v0, v1, v2 = scene.triangle_soa()
     background = jnp.asarray(rcfg.background, v0.dtype)
@@ -504,6 +506,14 @@ def render_rays(
                 color = color + apply_shadow(direct, occ_i,
                                               rcfg.shadow_scale)
 
+        if scene.env_image is not None:
+            # miss lanes look up the lat-long environment by THIS
+            # depth's ray direction (bounce misses see the reflected
+            # sky); dead lanes have finite dirs, the lookup is safe
+            bg = scene.sample_env(vm.normalize(cur.dirn)).astype(color.dtype)
+        else:
+            bg = background
+
         if rcfg.soft_primary > 0.0:
             # Primary-silhouette softening (SURVEY §7.9): recompute the
             # hit's barycentric margin from the DIFFERENTIABLE vertices
@@ -526,7 +536,7 @@ def render_rays(
                 0.0,
             ).astype(color.dtype)
             fh = jnp.tanh(hmargin / rcfg.soft_primary)[:, None]
-            color = fh * color + (1.0 - fh) * background
+            color = fh * color + (1.0 - fh) * bg
 
         reflecting = hit & mat.reflective & (depth < rcfg.max_bounces)
         # Reflective surfaces blend their local color with the bounced
@@ -534,7 +544,7 @@ def render_rays(
         local = jnp.where(
             reflecting[:, None],
             color * mat.base_color * (1.0 - mat.km)[:, None],
-            jnp.where(hit[:, None], color, background),
+            jnp.where(hit[:, None], color, bg),
         )
         locals_.append((local, jnp.where(reflecting, mat.km, 0.0)[:, None]))
         if depth == rcfg.max_bounces:
