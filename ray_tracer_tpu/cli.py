@@ -365,6 +365,13 @@ def main(argv=None) -> None:
                    help="PPM sampled bilinearly when --texture image "
                         "(also the init for --trainable texture_image)")
     f.add_argument("--texture-scale", type=float, default=None)
+    f.add_argument("--smooth-normals", action="store_true",
+                   help="Phong-interpolated vertex normals")
+    f.add_argument("--env-file", default=None,
+                   help="lat-long environment map (PPM/PNG; also the "
+                        "init for --trainable env_image)")
+    f.add_argument("--extra-light", action="append", default=None,
+                   metavar="X,Y,Z[,I]", help="additional point light")
     f.add_argument("--trainable", default="base_color,kd,ks,ka,light_pos",
                    help="comma-separated SceneParams fields")
     f.add_argument("--out-dir", default=None, help="checkpoint directory")

@@ -104,3 +104,15 @@ def test_aov_command(tmp_path):
     data = np.load(out)
     assert data["depth"].shape == (16, 16)
     assert data["normal"].shape == (16, 16, 3)
+
+
+def test_fit_command_with_feature_flags(tmp_path):
+    """fit accepts the production shading flags (smooth normals, extra
+    lights, env file) through the shared _build_cfg plumbing."""
+    from ray_tracer_tpu.io.ppm import write_ppm
+
+    env = str(tmp_path / "env.ppm")
+    write_ppm(env, np.full((4, 8, 3), 40, np.uint8), already_u8=True)
+    cli.main(["fit", "--scene", "gradcheck", "--width", "8", "--steps", "2",
+              "--fast", "--smooth-normals", "--extra-light", "0,8,0,0.5",
+              "--env-file", env, "--trainable", "base_color"])
