@@ -40,11 +40,13 @@ import jax.numpy as jnp
 
 from ray_tracer_tpu.accel.packed import PackedGridArrays, PackedGridMeta
 from ray_tracer_tpu.core.rays import RayBatch
+from ray_tracer_tpu.ops.camera import camera_ray_at
 from ray_tracer_tpu.ops.traverse_packed import (
     FusedTraceResult,
     _default_max_steps,
     _fused_retire_rearm,
     _march_step,
+    _primary_exhausted,
     _slab_entry,
 )
 
@@ -171,8 +173,6 @@ def persistent_trace(
         # the "rays only supplies the count" contract holds for compact
         # too (the caller's placeholder rows are never read).
         if camera is not None:
-            from ray_tracer_tpu.ops.camera import camera_ray_at
-
             _gen = camera_ray_at(
                 camera, jnp.arange(r, dtype=jnp.int32), spp=spp
             )
@@ -201,17 +201,11 @@ def persistent_trace(
     # Under shard_map every while_loop carry leaf must have one uniform
     # varying-axes type; fresh constants (queue cursor, output buffers,
     # per-round latch resets) enter unvarying while ray-derived leaves
-    # vary over the mesh axes.  _vary pcasts a leaf up to the union of
-    # the inputs' axes (identity outside shard_map, where vma is empty).
-    _want = frozenset().union(
-        *(jax.typeof(x).vma for x in jax.tree.leaves((rays, grid, light)))
-    )
+    # vary over the mesh axes (identity outside shard_map).
+    from ray_tracer_tpu.parallel.collectives import pcast_varying, vma_union
 
-    def _vary(x):
-        missing = tuple(_want - jax.typeof(x).vma)
-        return jax.lax.pcast(x, missing, to="varying") if missing else x
-
-    zf = _vary(jnp.zeros((w,), jnp.float32))
+    _want = vma_union((rays, grid, light))
+    zf = pcast_varying(jnp.zeros((w,), jnp.float32), _want)
     zi = zf.astype(jnp.int32)
     zb = zi != 0
 
@@ -222,14 +216,15 @@ def persistent_trace(
         maxt=zf,
         gate=zf,
         ray_id=jnp.full((w,), r, jnp.int32),  # r = the pad row (no ray)
-        phase=zb,  # False = primary, True = shadow
         # march state (see traverse_packed._march_step)
         alive=zb, testing=zb,
         t_cur=zf, t_exit_cell=zf,
         first_blk=zi, n_blk=zi, cursor=zi,
         best_t=zf + inf, best_blk=zi, best_slot=zi,
-        # the fused rearm parks the primary record here
-        p_best_t=zf + inf, p_best_blk=zi, p_best_slot=zi,
+        # fused-only state: the shadow phase flag and the parked primary
+        # record exist only when the rearm can happen
+        **({"phase": zb, "p_best_t": zf + inf, "p_best_blk": zi,
+            "p_best_slot": zi} if fuse_shadow else {}),
         lane_steps=zi,
         # per-lane emit latch: a lane that finishes mid-round parks its
         # record here; the round's ONE scatter flushes all latches
@@ -272,8 +267,6 @@ def persistent_trace(
             new_id = work_ids[jnp.clip(new_id, 0, r - 1)]
         rid = jnp.where(got, new_id, jnp.where(idle, r, s["ray_id"]))
         if camera is not None:
-            from ray_tracer_tpu.ops.camera import camera_ray_at
-
             gen = camera_ray_at(camera, jnp.clip(rid, 0, r - 1), spp=spp)
             new_o, new_d = gen.orig, gen.dirn
             mint, maxt_new = gen.mint, gen.maxt
@@ -291,7 +284,6 @@ def persistent_trace(
             maxt=jnp.where(got, maxt_new, s["maxt"]),
             gate=jnp.where(got, jnp.float32(t_gate), s["gate"]),
             ray_id=rid,
-            phase=jnp.where(got, False, s["phase"]),
             alive=jnp.where(idle, live, s["alive"]),
             testing=jnp.where(got, False, s["testing"]),
             t_cur=jnp.where(got, t0, s["t_cur"]),
@@ -299,7 +291,9 @@ def persistent_trace(
             best_t=jnp.where(got, inf, s["best_t"]),
             best_blk=jnp.where(got, 0, s["best_blk"]),
             best_slot=jnp.where(got, 0, s["best_slot"]),
-            p_best_t=jnp.where(got, inf, s["p_best_t"]),
+            **({"phase": jnp.where(got, False, s["phase"]),
+                "p_best_t": jnp.where(got, inf, s["p_best_t"])}
+               if fuse_shadow else {}),
             lane_steps=jnp.where(got, 0, s["lane_steps"]),
             next=jnp.minimum(s["next"] + order[-1], n_work),
         )
@@ -317,7 +311,8 @@ def persistent_trace(
         """March + retire (+ fused rearm) for every lane, latching
         finished-ray records per-lane; no scatter, no refill."""
         pre_alive = s["alive"]
-        maxt_lane = jnp.where(s["phase"], inf, s["maxt"])
+        maxt_lane = (jnp.where(s["phase"], inf, s["maxt"]) if fuse_shadow
+                     else s["maxt"])
         s = _march_step(
             s, o=s["o"], d=s["d"], invd=1.0 / s["d"], gate=s["gate"],
             maxt=maxt_lane, grid=grid, meta=meta,
@@ -343,15 +338,12 @@ def persistent_trace(
             sh_blk, sh_slot = s["best_blk"], s["best_slot"]
         else:
             walked_out = pre_alive & ~s["alive"]
-            phase, best_t, testing, t_cur = (
-                s["phase"], s["best_t"], s["testing"], s["t_cur"],
-            )
+            best_t = s["best_t"]
             hit_now = jnp.isfinite(best_t)
             limit = jnp.minimum(maxt_lane, best_t)
             early = s["alive"] & hit_now if stop_on_first_hit else zb
-            done = ~phase & (
-                (s["alive"] & ~testing & (t_cur > limit)) | walked_out | early
-            )
+            # the ONE primary-retirement predicate (traverse_packed)
+            done = _primary_exhausted(s, limit, walked_out) | early
             final_t, final_blk, final_slot = best_t, s["best_blk"], s["best_slot"]
             in_shadow = zb
             sh_blk, sh_slot = zi, zi
@@ -413,9 +405,9 @@ def persistent_trace(
 
     # Remaining unvarying carry leaves (queue cursor, miss-initialized
     # output buffers) are pcast up to the inputs' vma union — same
-    # _vary as the zf/zi/zb round constants above.
+    # treatment as the zf/zi/zb round constants above.
     if _want:
-        state = jax.tree.map(_vary, state)
+        state = pcast_varying(state, _want)
 
     out = jax.lax.while_loop(cond, body, state)
     code = out["out_code"][:r]

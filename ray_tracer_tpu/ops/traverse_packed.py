@@ -104,7 +104,17 @@ def _slab_entry(grid, o, d, mint, maxt):
     )
     t0 = jnp.maximum(jnp.max(lo, axis=-1), mint)
     t1 = jnp.minimum(jnp.min(hi, axis=-1), maxt)
-    return t0, (t0 <= t1) & jnp.isfinite(t0)
+    # The NaN remap above is justified ONLY for the 0*inf boundary-plane
+    # case (finite o, axis-parallel d); it must not admit rays that are
+    # degenerate outright.  A NaN/inf component, or a zero DIRECTION
+    # (e.g. a shadow ray whose hit point coincides with the light),
+    # yields a lane that never progresses — the march would spin it at
+    # cell 0 until the iteration bound (an immortal lane), and the
+    # persistent wave would never flush its latched record.  Such rays
+    # simply never enter.
+    well_formed = (jnp.all(jnp.isfinite(o) & jnp.isfinite(d), axis=-1)
+                   & jnp.any(d != 0.0, axis=-1))
+    return t0, (t0 <= t1) & jnp.isfinite(t0) & well_formed
 
 
 def _march_step(s, *, o, d, invd, gate, maxt, grid, meta):
@@ -207,6 +217,15 @@ def _march_step(s, *, o, d, invd, gate, maxt, grid, meta):
     )
 
 
+def _primary_exhausted(s, limit, walked_out):
+    """A primary lane is done when it walks past min(maxt, best_t)
+    between cells (not mid-row: `testing` lanes finish their block row
+    first) or walks off the grid — the ONE retirement predicate shared
+    by the tiled body, the fused retire/rearm layer and the persistent
+    scheduler's non-fused path."""
+    return (s["alive"] & ~s["testing"] & (s["t_cur"] > limit)) | walked_out
+
+
 def _fused_retire_rearm(s, *, pre_alive, maxt_primary, light, serial_quirk,
                         shadow_gate, shadow_mint, grid):
     """The ONE retire/rearm layer shared by both fused marches
@@ -237,9 +256,7 @@ def _fused_retire_rearm(s, *, pre_alive, maxt_primary, light, serial_quirk,
     walked_out = pre_alive & ~s["alive"]
     hit_now = jnp.isfinite(best_t)
     limit = jnp.minimum(maxt_primary, best_t)
-    retire_primary = ~phase & (
-        (s["alive"] & ~testing & (t_cur > limit)) | walked_out
-    )
+    retire_primary = ~phase & _primary_exhausted(s, limit, walked_out)
     retire_shadow = phase & ((s["alive"] & hit_now) | walked_out)
 
     # lanes whose primary just finished with a hit REARM as their shadow

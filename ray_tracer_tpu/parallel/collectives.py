@@ -16,6 +16,30 @@ import jax
 import jax.numpy as jnp
 
 
+def vma_union(*trees: Any, extra=()) -> frozenset:
+    """Union of the varying-axes (vma) types over all leaves of the
+    given pytrees, plus `extra` axis names — the target type for
+    while_loop/scan carry leaves under shard_map (every carry leaf must
+    enter with one uniform vma; fresh constants enter unvarying)."""
+    ax = frozenset(extra)
+    for t in trees:
+        for x in jax.tree.leaves(t):
+            ax |= jax.typeof(x).vma
+    return ax
+
+
+def pcast_varying(tree: Any, want: frozenset) -> Any:
+    """pcast every leaf of `tree` up to the `want` varying-axes set.
+    Identity outside shard_map, where vma is empty.  The ONE
+    shard_map-compat helper shared by the persistent wave and the ring
+    orbit, so a vma/pcast API change cannot leave one stale."""
+    def one(x):
+        missing = tuple(want - jax.typeof(x).vma)
+        return jax.lax.pcast(x, missing, to="varying") if missing else x
+
+    return jax.tree.map(one, tree)
+
+
 def allreduce_gradients(grads: Any, axis: str = "rays") -> Any:
     """Sum parameter gradients over the mesh axis (psum over ICI/DCN).
     Call inside a shard_map body after a local backward pass; XLA's

@@ -275,7 +275,9 @@ def _ring_orbit(rays, local_best, tris_axis, t_dtype=jnp.float32,
     the payload dict {t, tid, mat, tv0, tv1, tv2} — ONE merge + orbit
     implementation serves every ring variant so the tie-break cannot
     diverge between them."""
-    from ray_tracer_tpu.parallel.collectives import ring_shift
+    from ray_tracer_tpu.parallel.collectives import (
+        pcast_varying, ring_shift, vma_union,
+    )
 
     nt = jax.lax.axis_size(tris_axis)
     # The hop output varies over every axis the ray bundle's most-
@@ -283,15 +285,7 @@ def _ring_orbit(rays, local_best, tris_axis, t_dtype=jnp.float32,
     # leaves), so every carry leaf must enter the loop with that same
     # varying-axes type.  Shadow rays built with constant mint/maxt
     # would otherwise enter unvarying and fail scan's type check.
-    want = frozenset().union(
-        *(jax.typeof(x).vma for x in jax.tree.leaves(rays))
-    ) | {tris_axis}
-
-    def _vary(x):
-        missing = tuple(want - jax.typeof(x).vma)
-        return jax.lax.pcast(x, missing, to="varying") if missing else x
-
-    rays = jax.tree.map(_vary, rays)
+    rays = pcast_varying(rays, vma_union(rays, extra=(tris_axis,)))
     zf = (rays.mint * 0.0).astype(jnp.float32)
     zi = zf.astype(jnp.int32)
     z3 = (rays.orig * 0.0).astype(jnp.float32)

@@ -167,3 +167,69 @@ def test_point_light_defaults_unchanged(tiny_prep):
     cfg_r = _with(tiny_prep.cfg, light_radius=0.8)  # samples stays 1
     r = np.asarray(render(prepare(cfg_r, scene=tiny_prep.scene)))
     np.testing.assert_array_equal(base, r)
+
+
+def test_light_on_surface_terminates():
+    """A light placed exactly ON a visible surface makes that hit's
+    shadow ray zero-direction; _slab_entry must reject it (the lane
+    would otherwise spin to the iteration bound and, under the
+    persistent wave, never flush its primary record)."""
+    import jax.numpy as jnp
+
+    from ray_tracer_tpu.config import (
+        CameraConfig, LightConfig, MaterialConfig, RenderConfig, SceneConfig,
+    )
+    from ray_tracer_tpu.io.obj import MeshArrays
+    from ray_tracer_tpu.models.scenes import scene_from_meshes
+
+    # camera looks straight down at a big floor triangle; light sits ON
+    # the triangle so the pixel under it has to_light == 0
+    tri = MeshArrays(
+        verts=np.array([[-8, 0, -8], [8, 0, -8], [0, 0, 8]], np.float32),
+        faces=np.array([[0, 1, 2]], np.int32),
+        uvs=np.zeros((1, 2), np.float32),
+        uv_faces=np.zeros((1, 3), np.int32),
+    )
+    mat = MaterialConfig(base_color=(200.0, 100.0, 50.0), kd=2.0, ks=1.0,
+                         spec_alpha=4.0, ka=0.2)
+    light = LightConfig(position=(0.0, 0.0, 0.0), intensity=1.0)
+    scene = scene_from_meshes([(tri, 0)], [mat], light)
+    for scheduler in ("tiled", "persistent"):
+        cfg = SceneConfig(
+            materials=(mat,),
+            camera=CameraConfig(position=(0, 4, 0), target=(0, 0, 0),
+                                up=(0, 0, 1), fov_degrees=60.0,
+                                width=5, height=5),
+            light=light,
+            render=RenderConfig(shading="parallel", faithful=False,
+                                traversal="packed", scheduler=scheduler,
+                                wave=32, ray_tile=32, shadow_eps=1e-3),
+        )
+        prep = prepare(cfg, scene=scene)
+        img = np.asarray(render(prep))
+        assert np.isfinite(img).all(), scheduler
+        # the floor is visible (hits recorded, lanes flushed)
+        assert (img > 0).any(), scheduler
+
+
+def test_slab_entry_rejects_degenerate_rays():
+    import jax.numpy as jnp
+
+    from ray_tracer_tpu.ops.traverse_packed import _slab_entry
+
+    class G:
+        lower = jnp.zeros((3,), jnp.float32)
+        upper = jnp.ones((3,), jnp.float32)
+
+    o = jnp.asarray([[0.5, 0.5, 0.5], [0.5, 0.5, 0.5], [np.nan, 0.5, 0.5],
+                     [0.5, 0.5, 0.5]], jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, 0.0],      # zero direction
+                     [1.0, 0.0, 0.0],      # fine
+                     [1.0, 0.0, 0.0],      # NaN origin
+                     [np.nan, 1.0, 0.0]],  # NaN direction
+                    jnp.float32)
+    mint = jnp.zeros((4,), jnp.float32)
+    maxt = jnp.full((4,), jnp.inf, jnp.float32)
+    _, entered = _slab_entry(G, o, d, mint, maxt)
+    np.testing.assert_array_equal(np.asarray(entered),
+                                  [False, True, False, False])
