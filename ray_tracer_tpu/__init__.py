@@ -33,12 +33,19 @@ __all__ = [
     "__version__",
     "SceneConfig",
     "RenderConfig",
+    "CameraConfig",
+    "LightConfig",
+    "MaterialConfig",
     "prepare",
     "render",
     "render_sharded",
+    "render_aovs",
+    "fit",
     "serial_scene_config",
     "parallel_scene_config",
+    "gradcheck_scene",
     "write_ppm",
+    "write_png",
 ]
 
 
@@ -49,12 +56,11 @@ def __getattr__(name):
         prep = rt.prepare(rt.serial_scene_config(256, 256))
         rt.write_ppm("out.ppm", rt.render(prep))
     """
-    from ray_tracer_tpu.config import RenderConfig, SceneConfig
+    if name in ("SceneConfig", "RenderConfig", "CameraConfig",
+                "LightConfig", "MaterialConfig"):
+        from ray_tracer_tpu import config as _c
 
-    lazy = {
-        "SceneConfig": lambda: SceneConfig,
-        "RenderConfig": lambda: RenderConfig,
-    }
+        return getattr(_c, name)
     if name in ("prepare", "render"):
         from ray_tracer_tpu.render import renderer
 
@@ -63,7 +69,16 @@ def __getattr__(name):
         from ray_tracer_tpu.parallel.shard import render_sharded
 
         return render_sharded
-    if name in ("serial_scene_config", "parallel_scene_config"):
+    if name == "render_aovs":
+        from ray_tracer_tpu.render.aov import render_aovs
+
+        return render_aovs
+    if name == "fit":
+        from ray_tracer_tpu.opt.fit import fit
+
+        return fit
+    if name in ("serial_scene_config", "parallel_scene_config",
+                "gradcheck_scene"):
         from ray_tracer_tpu.models import scenes
 
         return getattr(scenes, name)
@@ -71,6 +86,8 @@ def __getattr__(name):
         from ray_tracer_tpu.io.ppm import write_ppm
 
         return write_ppm
-    if name in lazy:
-        return lazy[name]()
+    if name == "write_png":
+        from ray_tracer_tpu.io.png import write_png
+
+        return write_png
     raise AttributeError(name)
