@@ -233,3 +233,34 @@ def test_slab_entry_rejects_degenerate_rays():
     _, entered = _slab_entry(G, o, d, mint, maxt)
     np.testing.assert_array_equal(np.asarray(entered),
                                   [False, True, False, False])
+
+
+def test_smooth_normals_with_bounces():
+    """Reflection directions follow the smooth normal: a reflective
+    sphere scene renders finite with bounces + smooth normals across
+    schedulers, and differs from face-normal bounces."""
+    import dataclasses
+
+    from ray_tracer_tpu.models.scenes import gradcheck_scene
+    from ray_tracer_tpu.models.materials import MaterialTable
+
+    scene, cfg = gradcheck_scene(16, 16)
+    mats = (dataclasses.replace(cfg.materials[0], reflective=True, km=0.5),
+            cfg.materials[1])
+    scene = scene._replace(materials=MaterialTable.from_configs(mats))
+    base = dataclasses.replace(cfg, materials=mats)
+
+    def img(**kw):
+        c = dataclasses.replace(
+            base, render=dataclasses.replace(base.render, ray_tile=64,
+                                             max_bounces=2, **kw)
+        )
+        return np.asarray(render(prepare(c, scene=scene)))
+
+    face = img()
+    smooth = img(normal_mode="smooth")
+    assert np.isfinite(smooth).all()
+    assert not np.array_equal(face, smooth)
+    pers = img(normal_mode="smooth", traversal="packed",
+               scheduler="persistent", wave=256)
+    np.testing.assert_allclose(smooth, pers, rtol=1e-4, atol=5e-2)
