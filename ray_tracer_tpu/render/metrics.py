@@ -14,11 +14,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ray_tracer_tpu.core import vecmath as vm
-from ray_tracer_tpu.core.rays import RayBatch
 from ray_tracer_tpu.ops.camera import camera_rays
 from ray_tracer_tpu.ops.traverse import traverse_grid
 from ray_tracer_tpu.ops.traverse_packed import traverse_packed
+from ray_tracer_tpu.render.renderer import _pad_to, pad_rays, shadow_rays_for
 
 
 def _summary(res, prefix: str, out: Dict[str, float]) -> None:
@@ -38,12 +37,16 @@ def collect_render_metrics(prep) -> Dict[str, float]:
     cfg = prep.cfg
     rcfg = cfg.render
     # smooth normals are shading-only (every metric here is traversal
-    # statistics, unaffected), but area-light sampling changes the
-    # actual shadow rays — refuse rather than report the wrong fan
+    # statistics, unaffected), but area-light sampling and spp change
+    # the actual ray fan — refuse rather than report the wrong one
     if rcfg.shadow_samples > 1 and rcfg.light_radius > 0:
         raise NotImplementedError(
             "collect_render_metrics reports a single point-light "
             "shadow ray only"
+        )
+    if rcfg.spp != 1:
+        raise NotImplementedError(
+            "collect_render_metrics reports the pixel-center fan only"
         )
     packed = rcfg.traversal == "packed"
     rays = camera_rays(cfg.camera)
@@ -52,11 +55,17 @@ def collect_render_metrics(prep) -> Dict[str, float]:
         arrays, meta = prep.packed.arrays, prep.packed.meta
 
         def trace(rb, gate, stop):
-            return traverse_packed(rb, arrays, meta, t_gate=gate, stop_on_first_hit=stop)
+            return traverse_packed(
+                rb, arrays, meta,
+                t_gate=0.0 if gate is None else gate,
+                stop_on_first_hit=stop,
+            )
     else:
         v0, v1, v2 = prep.scene.triangle_soa()
 
         def trace(rb, gate, stop):
+            # gate=None IS the faithful-serial policy (unrestricted t,
+            # Serial/geometry.h:164-171) — traverse_grid takes it as-is
             return traverse_grid(
                 rays=rb, grid=prep.grid.arrays, meta=prep.grid.meta,
                 v0=v0, v1=v1, v2=v2, t_gate=gate,
@@ -64,28 +73,41 @@ def collect_render_metrics(prep) -> Dict[str, float]:
                 det_dtype=rcfg.det_dtype,
             )
 
-    pg = rcfg.primary_gate()
-    prim = trace(rays, 0.0 if pg is None else pg, False)
+    def trace_tiled(rb, gate, stop):
+        # the same ray_tile chunking render_rays_tiled uses — one
+        # untiled trace would materialize (R, max_per_voxel) buffers
+        # for the whole frame and OOM on configs render() handles fine
+        tile = min(rcfg.ray_tile, rb.count)
+        padded = _pad_to(rb.count, tile)
+        rbp = pad_rays(rb, padded)
+        tiled = jax.tree.map(
+            lambda x: x.reshape((padded // tile, tile) + x.shape[1:]), rbp
+        )
+        res = jax.lax.map(lambda t: trace(t, gate, stop), tiled)
+        return jax.tree.map(
+            lambda x: x.reshape((padded,) + x.shape[2:])[:rb.count], res
+        )
 
-    # Shadow rays from primary hit points.  Miss lanes are sanitized at
-    # the INPUT (t = 0, not +inf) so their direction math stays finite —
-    # inf origins would make sdir NaN and the slab test would march dead
-    # lanes to max_steps, inflating the step statistics.  Their origin
-    # is then set to +inf so the traversal retires them on entry, same
-    # as render_rays does.
+    # Gates, acceptance and the shadow stop flag follow the SAME shared
+    # policy the renderer consumes (RenderConfig methods +
+    # shadow_rays_for) so these statistics describe the trace render()
+    # actually performs — including the faithful-serial any_pass
+    # acceptance and its non-early-exit shadow march.
+    prim = trace_tiled(rays, rcfg.primary_gate(), False)
+    p_acc = rcfg.accepted_hit(prim)
+
+    # Miss lanes are sanitized at the INPUT (t = 0, not +inf) so their
+    # direction math stays finite; shadow_rays_for then retires them
+    # with +inf origins, same as render_rays.
     poi = rays.at(jnp.where(prim.hit, prim.t, 0.0))
-    light = prep.scene.light_pos
-    to_light = light - poi
-    nsd = vm.normalize(to_light)
-    sdir = -nsd if rcfg.shadow_dir_away_from_light() else nsd
-    sorig = jnp.where(prim.hit[:, None], poi, jnp.inf)
-    srays = RayBatch.make(sorig, sdir, mint=rcfg.shadow_mint())
-    shad = trace(srays, rcfg.shadow_eps, True)
+    srays = shadow_rays_for(rcfg, prep.scene.light_pos, poi, p_acc)
+    shad = trace_tiled(srays, rcfg.shadow_eps, not rcfg.faithful)
+    s_acc = rcfg.accepted_hit(shad) & p_acc
 
     # single device pull
     dev = {
-        "p_steps": prim.steps, "p_hit": prim.hit,
-        "s_steps": shad.steps, "s_hit": shad.hit,
+        "p_steps": prim.steps, "p_hit": p_acc,
+        "s_steps": shad.steps, "s_hit": s_acc,
     }
     host = jax.device_get(dev)
 

@@ -61,6 +61,18 @@ from ray_tracer_tpu.ops.traverse_packed import (
 )
 
 
+def shadow_rays_for(rcfg: RenderConfig, light_pos, poi, hit) -> RayBatch:
+    """Shadow-ray batch toward light_pos from hit points `poi`, per the
+    shared policy (direction quirk, mint); non-hit lanes get +inf
+    origins so the traversal retires them on entry.  The ONE builder
+    used by the renderer and render/metrics — deriving this in more
+    than one place has produced parity drift before."""
+    nsd = vm.normalize(light_pos - poi)
+    sdir = -nsd if rcfg.shadow_dir_away_from_light() else nsd
+    sorig = jnp.where(hit[:, None], poi, jnp.full_like(poi, jnp.inf))
+    return RayBatch.make(sorig, sdir, mint=rcfg.shadow_mint())
+
+
 def _persistent_as_packed(res) -> PackedTraceResult:
     """Adapt a persistent-wave trace result to the tiled march's result
     type (the production convention: any_pass == hit).  The ONE
@@ -410,7 +422,6 @@ def render_rays(
             )
 
         # Shadow rays (direction quirk + mint from the shared policy).
-        smint = rcfg.shadow_mint()
         skw = {}
         if rcfg.scheduler == "persistent" and rcfg.traversal == "packed":
             # bounce-depth shadow batches are mostly dead (only
@@ -419,11 +430,11 @@ def render_rays(
             skw["compact"] = depth > 0
 
         def shadow_rays_toward(light_point):
-            nsd = vm.normalize(light_point - geom.poi)
-            sdir = -nsd if rcfg.shadow_dir_away_from_light() else nsd
-            sorig = jnp.where(hit[:, None], geom.poi, inf3)
-            return RayBatch.make(jax.lax.stop_gradient(sorig),
-                                 jax.lax.stop_gradient(sdir), mint=smint)
+            # detached: the traversal is a stop-gradient island
+            return jax.tree.map(
+                jax.lax.stop_gradient,
+                shadow_rays_for(rcfg, light_point, geom.poi, hit),
+            )
 
         def soften(srays, occ, shadow_tri, shadow_hit_rec):
             """SURVEY hard part #2: hard occlusion has zero-measure

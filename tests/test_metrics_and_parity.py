@@ -152,3 +152,19 @@ def test_choose_fused_shadow_policy():
     dense = prepare(wcfg, scene=wall)
     assert estimate_coverage(dense) > 0.9
     assert choose_fused_shadow(dense) is False
+
+
+def test_metrics_match_render_under_faithful_serial():
+    """Metrics follow the SAME hit/shadow policy as the renderer
+    (primary_gate=None, any_pass acceptance, non-early shadow march):
+    primary_hits equals the rendered image's lit-pixel count (every
+    accepted lane gets at least its ambient term; background is 0)."""
+    from ray_tracer_tpu.models.scenes import serial_scene_config
+
+    cfg = serial_scene_config(32, 32)
+    prep = prepare(cfg)
+    m = collect_render_metrics(prep)
+    img = np.asarray(render(prep))
+    lit = int(((img > 0).any(axis=-1)).sum())
+    assert m["primary_hits"] == lit, (m["primary_hits"], lit)
+    assert m["shadow_hits"] <= m["primary_hits"]
