@@ -99,24 +99,32 @@ def _build_cfg(args):
                 focus_distance=getattr(args, "focus_distance", 0.0) or 0.0,
             ),
         )
-    if cfg.camera.aperture > 0 and cfg.render.spp <= 1 and hasattr(args, "spp"):
+    if (cfg.camera.aperture > 0 and cfg.render.spp <= 1
+            and getattr(args, "renders_color", False)):
         # checks the EFFECTIVE spp (a config file may set either side);
-        # only color-rendering subcommands carry --spp — aov/stats/debug
+        # guards the color-rendering subcommands (render AND fit, which
+        # honors cfg.render.spp in image_loss) — aov/stats/debug
         # intentionally trace pinhole pixel centers
         raise SystemExit("depth of field needs render.spp > 1 "
                          "(one lens point per subsample)")
     ss = getattr(args, "shadow_samples", 0)
     lr = getattr(args, "light_radius", 0.0)
-    if ss and not lr:
-        raise SystemExit("--shadow-samples requires --light-radius")
-    if lr:
+    if ss or lr:
+        # the EFFECTIVE radius: a config file may supply it while the
+        # CLI only bumps the sample count (same rule as the DoF check)
+        eff_lr = lr or cfg.render.light_radius
+        if ss and not eff_lr:
+            raise SystemExit("--shadow-samples requires --light-radius "
+                             "(or render.light_radius in the config)")
         if ss == 1:
             raise SystemExit("--shadow-samples must be > 1 for a penumbra")
+        eff_ss = ss or (cfg.render.shadow_samples
+                        if cfg.render.shadow_samples > 1 else 16)
         cfg = dataclasses.replace(
             cfg,
             render=dataclasses.replace(
                 cfg.render, faithful=False,
-                light_radius=lr, shadow_samples=ss or 16,
+                light_radius=eff_lr, shadow_samples=eff_ss,
             ),
         )
     if getattr(args, "texture", None):
@@ -174,27 +182,24 @@ def cmd_render(args) -> None:
     from ray_tracer_tpu.io.ppm import write_ppm
     from ray_tracer_tpu.render.renderer import prepare, render
 
+    from ray_tracer_tpu.utils.timing import profile_trace
+
     cfg, scene = _build_cfg(args)
     prep = prepare(cfg, scene=scene)
-    profile_ctx = None
-    if getattr(args, "profile", None):
-        import jax as _jax
-
-        profile_ctx = _jax.profiler.trace(args.profile)
-        profile_ctx.__enter__()
+    logdir = getattr(args, "profile", None)
     t0 = time.perf_counter()
-    if args.devices and args.devices > 1:
-        from ray_tracer_tpu.parallel.mesh import make_mesh
-        from ray_tracer_tpu.parallel.shard import render_sharded
+    with profile_trace(logdir):  # None-safe; flushes even when we raise
+        if args.devices and args.devices > 1:
+            from ray_tracer_tpu.parallel.mesh import make_mesh
+            from ray_tracer_tpu.parallel.shard import render_sharded
 
-        img = render_sharded(prep, mesh=make_mesh(args.devices))
-    else:
-        img = render(prep)
-    jax.block_until_ready(img)
+            img = render_sharded(prep, mesh=make_mesh(args.devices))
+        else:
+            img = render(prep)
+        jax.block_until_ready(img)
     dt = time.perf_counter() - t0
-    if profile_ctx is not None:
-        profile_ctx.__exit__(None, None, None)
-        print(f"profiler trace written to {args.profile}", file=sys.stderr)
+    if logdir:
+        print(f"profiler trace written to {logdir}", file=sys.stderr)
     if args.out.lower().endswith(".png"):
         from ray_tracer_tpu.io.png import write_png
 
@@ -348,7 +353,7 @@ def main(argv=None) -> None:
     r.add_argument("--shadow-samples", type=int, default=0,
                    help="shadow rays per pixel for --light-radius "
                         "(default 16)")
-    r.set_defaults(fn=cmd_render)
+    r.set_defaults(fn=cmd_render, renders_color=True)
 
     f = sub.add_parser("fit", help="inverse-rendering optimization demo")
     f.add_argument("--scene", default="gradcheck",
@@ -376,7 +381,7 @@ def main(argv=None) -> None:
                    help="comma-separated SceneParams fields")
     f.add_argument("--out-dir", default=None, help="checkpoint directory")
     f.add_argument("--fast", action="store_true")
-    f.set_defaults(fn=cmd_fit)
+    f.set_defaults(fn=cmd_fit, renders_color=True)
 
     b = sub.add_parser("bench", help="run the primary benchmark")
     b.add_argument("--width", type=int, default=0)

@@ -39,8 +39,9 @@ def initialize(
     jax.process_count(), any computation) — backend init pins the
     process group to single-process.
     """
+    explicit = coordinator_address is not None or num_processes is not None
     try:
-        if coordinator_address is None and num_processes is None:
+        if not explicit:
             jax.distributed.initialize()
         else:
             jax.distributed.initialize(
@@ -51,8 +52,16 @@ def initialize(
     except RuntimeError as e:
         if "already initialized" in str(e).lower():
             return
+        if explicit:
+            # the caller ASKED for a process group; degrading to
+            # single-process would have every process render the whole
+            # frame and race on the host-0 output path
+            raise
         get_logger(__name__).info("single-process mode (%s)", e)
-    except Exception as e:  # single-host runs reach here; that's fine
+    except Exception as e:
+        if explicit:
+            raise
+        # auto-detect on a single host reaches here; that's fine
         get_logger(__name__).info("single-process mode (%s)", e)
 
 
@@ -72,13 +81,21 @@ def global_mesh(axis_names: Tuple[str, ...] = ("rays",),
 
 
 def host_tile_bounds(total_rays: int) -> Tuple[int, int]:
-    """This host's contiguous slice of the flat ray index space —
-    for host-local framebuffer assembly / PPM writing on host 0."""
-    p = jax.process_count()
-    i = jax.process_index()
-    per = -(-total_rays // p)
-    lo = min(i * per, total_rays)
-    hi = min(lo + per, total_rays)
+    """This host's contiguous slice of the flat ray index space — for
+    host-local framebuffer assembly / PPM writing on host 0.
+
+    Mirrors the shard layer's actual layout: rays are padded to a
+    multiple of the DEVICE count (renderer.pad_rays over the "rays"
+    axis) and dealt in equal per-device chunks; a host owns its local
+    devices' chunks.  A plain ceil-div over processes would misattribute
+    rays whenever total_rays is not divisible.  Describes the
+    balance=False (unpermuted) layout — render_sharded's round-robin
+    balancing interleaves pixels across shards."""
+    n_dev = jax.device_count()
+    ld = jax.local_device_count()
+    chunk = (-(-total_rays // n_dev))
+    lo = min(jax.process_index() * ld * chunk, total_rays)
+    hi = min(lo + ld * chunk, total_rays)
     return lo, hi
 
 

@@ -37,7 +37,7 @@ def render_banded(
     (band_rays) -> (rows*W, 3) defaults to the stock tiled renderer and
     is injectable for testing fault paths.  Returns (H, W, 3) float32.
     """
-    from ray_tracer_tpu.ops.camera import camera_rays
+    from ray_tracer_tpu.ops.camera import camera_rays_subsample
     from ray_tracer_tpu.render.renderer import render_rays_tiled
 
     log = get_logger(__name__)
@@ -49,7 +49,6 @@ def render_banded(
 
     import jax.numpy as jnp
 
-    rays = camera_rays(cfg.camera, dtype=jnp.dtype(rcfg.dtype), spp=rcfg.spp)
     if rcfg.traversal == "packed":
         garr, meta = prep.packed.arrays, prep.packed.meta
     else:
@@ -60,9 +59,12 @@ def render_banded(
             colors = render_rays_tiled(band_rays, prep.scene, garr, meta, rcfg)
             return np.asarray(jax.device_get(colors))
 
-    # Supersampling: rays are subsample-major (s*H*W + y*W + x), so a
-    # band of rows is rendered once per subsample and averaged — each
-    # (subsample, band) slice stays an independently retryable dispatch.
+    # Supersampling: each band of rows is rendered once per subsample
+    # and averaged — each (subsample, band) slice stays an independently
+    # retryable dispatch.  One subsample batch is generated at a time
+    # (camera_rays_subsample is bitwise-equal to the corresponding
+    # camera_rays slice) — O(H*W) ray memory instead of materializing
+    # all spp^2 batches, same as renderer.accumulate_spp.
     n_sub = rcfg.spp * rcfg.spp
     out = np.zeros((h * w, 3), np.float32)
     for b in range(bands):
@@ -71,8 +73,10 @@ def render_banded(
             continue
         acc = np.zeros((hi - lo, 3), np.float32)
         for s in range(n_sub):
-            off = s * h * w
-            band = jax.tree.map(lambda x: x[off + lo:off + hi], rays)
+            sub = camera_rays_subsample(
+                cfg.camera, s, rcfg.spp, dtype=jnp.dtype(rcfg.dtype)
+            )
+            band = jax.tree.map(lambda x: x[lo:hi], sub)
             for attempt in range(retries + 1):
                 try:
                     acc += band_fn(band)

@@ -35,9 +35,20 @@ class Timer:
 def hard_sync(x) -> None:
     """Force a REAL device sync.  block_until_ready can return before the
     device finishes on relay-tunneled backends; materializing one element
-    to the host cannot."""
-    leaf = jax.tree.leaves(x)[0]
-    jax.device_get(leaf.reshape(-1)[0] if hasattr(leaf, "reshape") else leaf)
+    to the host cannot.  Fences EVERY leaf and every addressable shard —
+    pulling one element of the first leaf would fence only the device
+    holding it, letting multi-device timings stop early.  An empty
+    pytree (fn returned None) has nothing to fence."""
+    for leaf in jax.tree.leaves(x):
+        if not hasattr(leaf, "reshape"):
+            continue  # python scalar
+        shards = getattr(leaf, "addressable_shards", None)
+        if shards:
+            for sh in shards:
+                d = sh.data
+                jax.device_get(d.reshape(-1)[:1] if d.size else d)
+        else:
+            jax.device_get(leaf.reshape(-1)[:1] if leaf.size else leaf)
 
 
 def time_fn(fn: Callable, *args, warmup: int = 1, iters: int = 3) -> float:

@@ -188,3 +188,39 @@ def test_fit_persistent_camera_refill_matches_tiled(tiny_prep):
     _, losses = fit(prep_fit, target, steps=6, lr=5e-2, trainable=("kd",),
                     log_every=0)
     assert losses[-1] < losses[0]
+
+
+def test_incomplete_checkpoint_skipped_on_resume(tmp_path):
+    """A step_N directory without meta.json (a pre-atomic-save crash or
+    a foreign dir) must not be selected by latest_step — resume falls
+    back to the newest COMPLETE checkpoint instead of crashing."""
+    import os
+
+    from ray_tracer_tpu.opt.checkpoint import (
+        latest_step, restore_checkpoint, save_checkpoint,
+    )
+
+    params = {"w": np.arange(4.0, dtype=np.float32)}
+    d = str(tmp_path / "ck")
+    save_checkpoint(d, params, step_num=10)
+    os.makedirs(os.path.join(d, "step_20"))  # interrupted save: no meta
+    assert latest_step(d) == 10
+    got, _ = restore_checkpoint(d, {"params": params}, step_num=latest_step(d))
+    np.testing.assert_array_equal(got["w"], params["w"])
+
+
+def test_checkpoint_save_is_atomic(tmp_path):
+    """save_checkpoint commits via os.replace: no .tmp staging dir
+    survives, and an existing checkpoint is replaced whole."""
+    import os
+
+    from ray_tracer_tpu.opt.checkpoint import restore_checkpoint, save_checkpoint
+
+    d = str(tmp_path / "ck")
+    a = {"w": np.zeros(3, np.float32)}
+    b = {"w": np.ones(3, np.float32)}
+    save_checkpoint(d, a, step_num=1)
+    save_checkpoint(d, b, step_num=1)  # overwrite same step
+    assert not any(n.endswith(".tmp") for n in os.listdir(d))
+    got, _ = restore_checkpoint(d, {"params": a}, step_num=1)
+    np.testing.assert_array_equal(got["w"], b["w"])
