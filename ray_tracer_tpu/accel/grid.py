@@ -128,7 +128,13 @@ def build_grid(
     """force_resolution overrides the 3∛N heuristic with a fixed
     (nx, ny, nz) — needed when several grids must share one static
     meta (the ring-pass sharded-geometry build stacks per-shard grids
-    under a common jit)."""
+    under a common jit).
+
+    Binning is FLOAT32 (the reference's vertex precision, and the
+    native builder's ABI): cell lists are conservative for f32 scenes;
+    a float64 scene is binned by its f32 rounding, so f64 geometry is
+    not a supported bitwise surface (the oracle-parity mode uses f32
+    verts with f64 determinants, not f64 verts)."""
     verts = np.asarray(verts, dtype=np.float32)
     faces = np.asarray(faces, dtype=np.int32)
     num_tris = faces.shape[0]

@@ -42,8 +42,12 @@ import weakref
 _HOST_GEOMETRY: dict = {}
 
 
-def _register_host_geometry(device_verts, verts_np, faces_np) -> None:
-    key = id(device_verts)
+def _register_host_geometry(device_verts, device_faces, verts_np,
+                            faces_np) -> None:
+    # keyed by BOTH arrays: a scene._replace(faces=...) keeps the verts
+    # object, and a verts-only key would serve the stale face list to
+    # the grid builder (deleted triangles still rendering)
+    key = (id(device_verts), id(device_faces))
     _HOST_GEOMETRY[key] = (verts_np, faces_np)
     try:
         weakref.finalize(device_verts, _HOST_GEOMETRY.pop, key, None)
@@ -57,8 +61,9 @@ def _register_host_geometry(device_verts, verts_np, faces_np) -> None:
 
 def host_geometry(scene: "Scene"):
     """-> (verts_np, faces_np) host mirror, pulling from device only if
-    the scene was built outside this module."""
-    cached = _HOST_GEOMETRY.get(id(scene.verts))
+    the scene was built outside this module (or its topology was
+    replaced since)."""
+    cached = _HOST_GEOMETRY.get((id(scene.verts), id(scene.faces)))
     if cached is not None:
         return cached
     return np.asarray(scene.verts), np.asarray(scene.faces)
@@ -191,6 +196,13 @@ def concat_mesh_arrays(
     Kept in numpy so host consumers (grid build, packing) never round-trip
     through the device (device->host pulls are slow on tunneled TPUs).
     """
+    if not parts:
+        raise ValueError(
+            "no meshes to concatenate: this SceneConfig is not "
+            "self-describing (procedural scenes like gradcheck/nefertiti "
+            "carry their geometry in the Scene object — pass scene= to "
+            "prepare())"
+        )
     all_verts = []
     all_faces = []
     all_fmat = []
@@ -253,7 +265,11 @@ def scene_from_numpy(
     )
     _register_host_geometry(
         scene.verts,
-        np.asarray(verts, dtype=np.float32),
+        scene.faces,
+        # the mirror matches the DEVICE dtype: an f32 mirror for an f64
+        # scene would bin triangles into cells that may not cover their
+        # true (device) extent
+        np.asarray(verts, dtype=np.dtype(dtype)),
         np.asarray(faces, dtype=np.int32),
     )
     return scene

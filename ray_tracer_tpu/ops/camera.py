@@ -43,9 +43,8 @@ def _subpixel_offset(s: int, spp: int) -> "tuple[float, float]":
     float64 constants narrowed at use: an on-device f32 divide is not
     correctly rounded on all backends ((s+0.5)/spp drifts by 1 ulp for
     non-power-of-two spp), which would break the bitwise equality
-    between the three ray sources below."""
-    if spp == 1:
-        return 0.5, 0.5
+    between the three ray sources below.  (spp == 1 falls out of the
+    general formula: (0 + 0.5) / 1 == 0.5 exactly.)"""
     sx, sy = s % spp, s // spp
     return (sx + 0.5) / spp, (sy + 0.5) / spp
 
@@ -159,6 +158,7 @@ def camera_ray_at(cfg: CameraConfig, idx: jnp.ndarray, dtype=jnp.float32,
     p = idx % hw
     yi = (p // width).astype(dtype)
     xi = (p % width).astype(dtype)
+    s = jnp.clip(idx // hw, 0, spp * spp - 1)  # per-lane subsample index
     if spp == 1:
         ox = oy = jnp.asarray(0.5, dtype)
     else:
@@ -166,26 +166,23 @@ def camera_ray_at(cfg: CameraConfig, idx: jnp.ndarray, dtype=jnp.float32,
         # Python-float constants camera_rays bakes in — computing
         # (s+0.5)/spp on device drifts by 1 ulp for non-power-of-two
         # spp (the f32 divide is not correctly rounded on this backend)
-        offs = [_subpixel_offset(s, spp) for s in range(spp * spp)]
+        offs = [_subpixel_offset(si, spp) for si in range(spp * spp)]
         ox_tab = jnp.asarray([o for o, _ in offs], dtype)
         oy_tab = jnp.asarray([o for _, o in offs], dtype)
-        s = jnp.clip(idx // hw, 0, spp * spp - 1)
         ox = ox_tab[s]
         oy = oy_tab[s]
     xw = aspect * (xi - width / 2.0 + ox) / width
     yw = (yi - height / 2.0 + oy) / height
     dirs = -w * fd + u * xw[:, None] + v * yw[:, None]
     dirs = vm.normalize(dirs)
-    lens0 = _lens_offset(cfg, 0, spp)
-    if lens0 is None:
+    lens = [_lens_offset(cfg, si, spp) for si in range(spp * spp)]
+    if lens[0] is None:
         orig = jnp.broadcast_to(pos, dirs.shape)
         return RayBatch.make(orig, dirs, mint=0.0, maxt=jnp.inf)
     # thin lens: per-lane aperture point from the same Python-float
     # table the batch generators bake in (see ox_tab above for why)
-    lens = [_lens_offset(cfg, si, spp) for si in range(spp * spp)]
     lx_tab = jnp.asarray([l[0] for l in lens], dtype)
     ly_tab = jnp.asarray([l[1] for l in lens], dtype)
-    s = jnp.clip(idx // hw, 0, spp * spp - 1)
     orig, dirs = _lens_rays(pos, u, v, w, dirs,
                             lx_tab[s][:, None], ly_tab[s][:, None],
                             _focus_distance(cfg))

@@ -72,10 +72,10 @@ def vertex_normals(verts: jnp.ndarray, faces: jnp.ndarray,
         fn = vm.cross(fv0 - fv1, fv2 - fv0)  # getNormalMod convention
     else:
         fn = vm.cross(fv2 - fv1, fv0 - fv1)  # geometry.cuh:160 convention
-    vn = jnp.zeros_like(verts)
-    for k in range(3):
-        vn = vn.at[faces[:, k]].add(fn)
-    return vn
+    # one batched scatter-add: faces (F,3) indexes axis 0, each face's
+    # normal broadcast to its three corners (duplicates accumulate)
+    upd = jnp.broadcast_to(fn[:, None, :], fn.shape[:1] + (3, 3))
+    return jnp.zeros_like(verts).at[faces].add(upd)
 
 
 def light_sample_offsets(n: int, radius: float) -> np.ndarray:
@@ -83,7 +83,12 @@ def light_sample_offsets(n: int, radius: float) -> np.ndarray:
     (n,3) numpy offsets around the light center (a spherical area
     light for soft shadows).  The FIXED pattern is shared by every
     pixel: no RNG in the render path, so renders stay reproducible on
-    any topology (the cost is banding instead of noise at low n)."""
+    any topology (the cost is banding instead of noise at low n).
+    n == 1 returns the light CENTER (the hard-shadow limit), not a
+    point on the sphere surface, so a one-sample 'area' light cannot
+    displace every shadow sideways by the radius."""
+    if n == 1:
+        return np.zeros((1, 3), np.float32)
     i = np.arange(n, dtype=np.float64) + 0.5
     phi = np.arccos(1.0 - 2.0 * i / n)
     theta = np.pi * (3.0 - np.sqrt(5.0)) * i  # golden-angle spiral

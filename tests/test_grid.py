@@ -105,3 +105,22 @@ def test_build_grid_fully_degenerate_mesh():
         g = build_grid(verts, faces, use_native=use_native)
         assert g.meta.n_voxels == (1, 1, 1), use_native
         assert g.meta.nnz == 1
+
+
+def test_host_geometry_cache_invalidates_on_faces_replace():
+    """scene._replace(faces=...) keeps the verts object; the host
+    mirror must not serve the stale face list to the grid builder."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ray_tracer_tpu.models.scenes import gradcheck_scene, host_geometry
+
+    scene, _ = gradcheck_scene(8, 8)
+    v0, f0 = host_geometry(scene)
+    culled = scene._replace(
+        faces=scene.faces[: scene.num_faces // 2],
+        face_material=scene.face_material[: scene.num_faces // 2],
+    )
+    v1, f1 = host_geometry(culled)
+    assert f1.shape[0] == culled.num_faces != f0.shape[0]
+    np.testing.assert_array_equal(v1, np.asarray(culled.verts))
