@@ -110,6 +110,16 @@ def _bench_grad(prep, args, size: int) -> None:
 
 
 def main() -> None:
+    # honor an env-requested platform before any backend use (the axon
+    # sitecustomize would otherwise re-register the TPU backend)
+    want_platform = os.environ.get("JAX_PLATFORMS")
+    if want_platform:
+        import jax as _jax
+
+        try:
+            _jax.config.update("jax_platforms", want_platform)
+        except Exception:
+            pass
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=1024)
     ap.add_argument("--oracle-size", type=int, default=None,
@@ -149,7 +159,49 @@ def main() -> None:
                     help="grid resolution multiplier (cells ~ rm * 3*cbrt(N))")
     ap.add_argument("--max-res", type=int, default=None,
                     help="per-axis grid resolution clamp (reference: 64)")
+    ap.add_argument("--probe-timeout", type=float,
+                    default=float(os.environ.get("BENCH_PROBE_TIMEOUT", 600)),
+                    help="seconds to wait for device-backend init in a "
+                         "subprocess probe before failing fast (0 = skip); "
+                         "the axon relay has been seen hanging init for "
+                         "40+ minutes when the TPU is unreachable")
     args = ap.parse_args()
+
+    # Fail FAST with a diagnostic line instead of hanging the driver
+    # when the tunneled backend is down: probe device init in a child
+    # process under a timeout, before this process touches jax.
+    # the axon sitecustomize overrides JAX_PLATFORMS after env parsing;
+    # re-assert the env-requested platform (same as dryrun_multichip)
+    # so CPU runs are possible — probe and bench must agree on backend
+    _probe_src = (
+        "import os\n"
+        "os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',"
+        "'/root/jaxcache')\n"
+        "import jax\n"
+        "w = os.environ.get('JAX_PLATFORMS')\n"
+        "if w:\n"
+        "    jax.config.update('jax_platforms', w)\n"
+        "jax.devices()\n"
+    )
+    if args.probe_timeout > 0:
+        try:
+            subprocess.run(
+                [sys.executable, "-c", _probe_src],
+                check=True, timeout=args.probe_timeout,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+            log(f"device backend probe failed: {type(e).__name__}")
+            print(json.dumps({
+                "metric": "mrays_per_s",
+                "value": 0.0,
+                "unit": "Mrays/s (primary+shadow)",
+                "vs_baseline": 0.0,
+                "error": "device backend unavailable "
+                         f"(init probe {type(e).__name__} after "
+                         f"{args.probe_timeout:.0f}s)",
+            }))
+            sys.exit(1)
 
     # Per-scene tuned defaults (sweep-measured on v5e; docs/PERFORMANCE.md):
     # sparse spot wants narrow 14-tri rows and a fine unclamped grid;
