@@ -73,7 +73,10 @@ RtpuMesh* rtpu_obj_load(const char* path) {
         long vt = 0;
         if (*p == '/') {
           ++p;
-          if (*p != '/' && *p != ' ' && *p != '\n') vt = std::strtol(p, &p, 10);
+          // parse ONLY when a number follows: strtol would skip any
+          // whitespace (tab, CR) and consume the NEXT corner's token
+          if (*p == '-' || (*p >= '0' && *p <= '9'))
+            vt = std::strtol(p, &p, 10);
           if (*p == '/') {
             ++p;
             std::strtol(p, &p, 10);  // normal index, ignored
@@ -133,8 +136,9 @@ static inline int rtpu_iclamp(int v, int lo, int hi) {
   return v < lo ? lo : (v > hi ? hi : v);
 }
 
-RtpuGrid* rtpu_grid_build(const float* verts, long nv, const int32_t* faces,
-                          long nf, float res_mult, int max_res) {
+static RtpuGrid* rtpu_grid_build_impl(const float* verts, long nv,
+                                      const int32_t* faces, long nf,
+                                      float res_mult, int max_res) {
   auto* g = new RtpuGrid();
   if (nf <= 0 || nv <= 0) {  // callers gate on nf > 0; stay defined anyway
     for (int k = 0; k < 3; ++k) {
@@ -220,6 +224,18 @@ RtpuGrid* rtpu_grid_build(const float* verts, long nv, const int32_t* faces,
         for (int z = vmin[3 * i + 2]; z <= vmax[3 * i + 2]; ++z)
           g->tri_ids[cursor[z * nxy + int64_t(y) * g->n[0] + x]++] = int32_t(i);
   return g;
+}
+
+RtpuGrid* rtpu_grid_build(const float* verts, long nv, const int32_t* faces,
+                          long nf, float res_mult, int max_res) {
+  // bad_alloc across the C ABI would std::terminate the host process;
+  // return null instead (callers fall back to the numpy builder) —
+  // same hardening as the OBJ loader above
+  try {
+    return rtpu_grid_build_impl(verts, nv, faces, nf, res_mult, max_res);
+  } catch (...) {
+    return nullptr;
+  }
 }
 
 void rtpu_grid_dims(RtpuGrid* g, int32_t* n3, float* lower3, float* upper3,

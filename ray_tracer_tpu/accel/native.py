@@ -35,7 +35,12 @@ _c_int64_p = ctypes.POINTER(ctypes.c_int64)
 
 def ensure_built(timeout: int = 300) -> bool:
     """Build the native library if missing. Returns True if available."""
+    global _lib_failed
     if os.path.exists(_LIB_PATH):
+        # an explicit ensure_built is a request to (re)try: clear any
+        # latched probe failure from before the library existed
+        with _lock:
+            _lib_failed = False
         return True
     try:
         subprocess.run(
@@ -46,7 +51,13 @@ def ensure_built(timeout: int = 300) -> bool:
         )
     except Exception:
         return False
-    return os.path.exists(_LIB_PATH)
+    ok = os.path.exists(_LIB_PATH)
+    if ok:
+        # a probe before the build latched "failed"; the library exists
+        # now, so let the next _load() try again
+        with _lock:
+            _lib_failed = False
+    return ok
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -57,7 +68,13 @@ def _load() -> Optional[ctypes.CDLL]:
         if not os.path.exists(_LIB_PATH):
             _lib_failed = True
             return None
-        lib = ctypes.CDLL(_LIB_PATH)
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            # corrupt / wrong-arch build: report "unavailable" (callers
+            # fall back to numpy) instead of raising on every probe
+            _lib_failed = True
+            return None
         lib.rtpu_obj_load.restype = ctypes.c_void_p
         lib.rtpu_obj_load.argtypes = [ctypes.c_char_p]
         lib.rtpu_obj_num_verts.restype = ctypes.c_long
@@ -141,6 +158,8 @@ def build_grid_native(
         ctypes.c_float(resolution_multiplier),
         ctypes.c_int(max_resolution),
     )
+    if not handle:  # allocation failure inside the builder
+        return None
     try:
         n3 = np.empty(3, dtype=np.int32)
         lower = np.empty(3, dtype=np.float32)

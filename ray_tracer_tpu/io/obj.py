@@ -49,6 +49,7 @@ def _parse_obj_numpy(path: str) -> MeshArrays:
                 parts = line.split()[1:4]
                 vi = []
                 ti = []
+                uv_ok = True
                 for p in parts:
                     comps = p.split("/")
                     iv = int(comps[0])
@@ -58,19 +59,29 @@ def _parse_obj_numpy(path: str) -> MeshArrays:
                     vi.append(iv if iv > 0 else len(verts) + iv + 1)
                     if len(comps) > 1 and comps[1]:
                         it = int(comps[1])
-                        ti.append(it if it > 0 else len(uvs) + it + 1)
+                        if it == 0:
+                            # an explicit vt index of 0 is invalid OBJ:
+                            # treat the face as untextured (the native
+                            # loader maps vt==0 to -1) instead of
+                            # pointing one past the uv table
+                            uv_ok = False
+                        else:
+                            ti.append(it if it > 0 else len(uvs) + it + 1)
                 faces.append(vi)
                 # one row PER face so uv_faces stays index-aligned with
                 # faces (0 here -> -1 after the 1-based shift below ->
                 # "no uv", matching the native loader's -1-if-absent)
-                uv_faces.append(ti if len(ti) == 3 else [0, 0, 0])
+                uv_faces.append(ti if (uv_ok and len(ti) == 3) else [0, 0, 0])
     v = np.asarray(verts, dtype=np.float64).reshape(-1, 3)
     f = np.asarray(faces, dtype=np.int32).reshape(-1, 3) - 1
     vt = np.asarray(uvs, dtype=np.float32).reshape(-1, 2)
     fvt = np.asarray(uv_faces, dtype=np.int32).reshape(-1, 3) - 1
-    if fvt.size and (fvt < 0).all():  # untextured mesh: drop the table
-        fvt = np.zeros((0, 3), dtype=np.int32)  # (matches accel/native.py)
-    return MeshArrays(v.astype(np.float64), f, vt, fvt)
+    if fvt.size == 0 or (fvt < 0).all():
+        # untextured mesh (or no faces at all): drop BOTH tables, like
+        # accel/native.py — consumers branch on uvs.size/uv_faces.size
+        vt = np.zeros((0, 2), dtype=np.float32)
+        fvt = np.zeros((0, 3), dtype=np.int32)
+    return MeshArrays(v, f, vt, fvt)
 
 
 def load_obj(

@@ -110,6 +110,17 @@ def traverse_grid(
         max_steps = nx + ny + nz + 2
 
     r = rays.count
+    if v0.shape[0] == 0:
+        # empty mesh: build_grid supports it ("a valid empty grid, not a
+        # crash") — so must the trace; the v0[tri] gathers below would
+        # fail on a zero-length axis
+        zb = jnp.zeros((r,), bool)
+        return TraceResult(
+            any_pass=zb, hit=zb,
+            t=jnp.full((r,), jnp.inf, jnp.float32),
+            tri_id=jnp.full((r,), -1, jnp.int32),
+            steps=jnp.zeros((r,), jnp.int32),
+        )
     alive0, pos0, next_crossing0, delta, step, out = _dda_setup(rays, grid, meta.n_voxels)
 
     tri_ids = grid.tri_ids if meta.nnz > 0 else jnp.zeros((1,), jnp.int32)

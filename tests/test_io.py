@@ -209,3 +209,69 @@ def test_relative_obj_indices(tmp_path):
         np.testing.assert_array_equal(
             m.faces, [[0, 1, 2], [0, 1, 3]], err_msg=str(use_native)
         )
+
+
+def test_tab_separated_face_parses_like_numpy(tmp_path):
+    """strtol must not skip whitespace into the NEXT corner's token:
+    tab-separated corners with trailing slashes parse identically in
+    the native and numpy loaders."""
+    p = str(tmp_path / "tabs.obj")
+    with open(p, "w") as fh:
+        fh.write("v 0 0 0\nv 1 0 0\nv 0 1 0\n")
+        fh.write("f 1/\t2/\t3/\n")
+    a = load_obj(p, use_native=False)
+    np.testing.assert_array_equal(a.faces, [[0, 1, 2]])
+    from ray_tracer_tpu.accel import native
+
+    if native.available():
+        b = load_obj(p, use_native=True)
+        np.testing.assert_array_equal(b.faces, a.faces)
+        np.testing.assert_array_equal(b.uv_faces, a.uv_faces)
+
+
+def test_vt_index_zero_is_untextured(tmp_path):
+    """An explicit vt index of 0 is invalid OBJ: both parsers treat the
+    face as untextured instead of pointing past the uv table."""
+    p = str(tmp_path / "vt0.obj")
+    with open(p, "w") as fh:
+        fh.write("v 0 0 0\nv 1 0 0\nv 0 1 0\nvt 0 0\n")
+        fh.write("f 1/0 2/0 3/0\n")
+    a = load_obj(p, use_native=False)
+    assert a.uv_faces.size == 0 and a.uvs.size == 0  # dropped as untextured
+    from ray_tracer_tpu.accel import native
+
+    if native.available():
+        b = load_obj(p, use_native=True)
+        assert b.uv_faces.size == 0 and b.uvs.size == 0
+
+
+def test_untextured_mesh_drops_both_uv_tables(tmp_path):
+    """vt lines with no textured faces: both parsers return EMPTY uvs
+    AND uv_faces (consumers branch on .size)."""
+    p = str(tmp_path / "unused_vt.obj")
+    with open(p, "w") as fh:
+        fh.write("v 0 0 0\nv 1 0 0\nv 0 1 0\nvt 0.5 0.5\n")
+        fh.write("f 1 2 3\n")
+    a = load_obj(p, use_native=False)
+    assert a.uvs.shape == (0, 2) and a.uv_faces.shape == (0, 3)
+    from ray_tracer_tpu.accel import native
+
+    if native.available():
+        b = load_obj(p, use_native=True)
+        assert b.uvs.shape == (0, 2) and b.uv_faces.shape == (0, 3)
+
+
+def test_native_available_survives_prebuild_probe(tmp_path, monkeypatch):
+    """ensure_built() clears the failed-probe latch so the library
+    becomes usable in-process once it exists."""
+    from ray_tracer_tpu.accel import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library not built")
+    # simulate a probe that latched failure before the build
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_lib_failed", True)
+    assert native.ensure_built() is True
+    assert native.available() is True

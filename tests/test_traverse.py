@@ -81,3 +81,20 @@ def test_stop_on_first_hit_agrees_on_hit_bit(tiny_prep):
         rays, prep.grid.arrays, prep.grid.meta, v0, v1, v2, t_gate=1e-4,
     )
     np.testing.assert_array_equal(np.asarray(fast.hit), np.asarray(full.hit))
+
+
+def test_traverse_empty_mesh_is_all_miss():
+    """build_grid supports 0 faces; the trace must too (the gathers
+    would otherwise fail on a zero-length axis)."""
+    import jax.numpy as jnp
+
+    from ray_tracer_tpu.accel.grid import build_grid
+    from ray_tracer_tpu.core.rays import RayBatch
+
+    g = build_grid(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
+    rays = RayBatch.make(jnp.zeros((4, 3)), jnp.ones((4, 3)))
+    e = jnp.zeros((0, 3), jnp.float32)
+    res = traverse_grid(rays, g.arrays, g.meta, e, e, e, t_gate=None)
+    assert not np.asarray(res.hit).any()
+    assert not np.asarray(res.any_pass).any()
+    np.testing.assert_array_equal(np.asarray(res.tri_id), -1)
