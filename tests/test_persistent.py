@@ -352,3 +352,66 @@ def test_persistent_compact_with_camera_refill(packed_prep):
         np.testing.assert_array_equal(
             np.asarray(getattr(a, f)), np.asarray(getattr(b, f)), err_msg=f
         )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_random_soup_cross_scheduler_shading_fuzz(seed):
+    """Fuzz the FULL shaded render (primary + shadow, incl. the fused
+    rearm) across every scheduler/fusion combination on random soups:
+    fused and two-pass shadows must be bitwise-identical within a
+    scheduler (same hits, same occlusion), and the two schedulers must
+    agree to last-ulp (they share _march_step and the retire/rearm
+    layer, but the tiled path shades in ray_tile batches while the
+    persistent path shades the full batch — different XLA fusion
+    shapes FMA-contract the shading arithmetic differently)."""
+    import dataclasses
+
+    import numpy as onp
+
+    from ray_tracer_tpu.config import (
+        CameraConfig, LightConfig, MaterialConfig, RenderConfig, SceneConfig,
+    )
+    from ray_tracer_tpu.io.obj import MeshArrays
+    from ray_tracer_tpu.models.scenes import scene_from_meshes
+    from ray_tracer_tpu.render.renderer import prepare, render
+
+    rng = onp.random.default_rng(100 + seed)
+    nt = 60
+    centers = rng.uniform(-2, 2, (nt, 1, 3))
+    tris = (centers + rng.normal(0, 0.4, (nt, 3, 3))).astype(onp.float32)
+    mesh = MeshArrays(
+        verts=tris.reshape(-1, 3),
+        faces=onp.arange(3 * nt, dtype=onp.int32).reshape(-1, 3),
+        uvs=onp.zeros((1, 2), onp.float32),
+        uv_faces=onp.zeros((nt, 3), onp.int32),
+    )
+    mat = MaterialConfig(base_color=(180.0, 120.0, 60.0), kd=2.0, ks=2.0,
+                         spec_alpha=4.0, ka=0.2)
+    light = LightConfig(position=tuple(rng.uniform(-5, 5, 3)), intensity=1.0)
+    scene = scene_from_meshes([(mesh, 0)], [mat], light)
+
+    imgs = {}
+    for sched, fused in (("tiled", True), ("tiled", False),
+                         ("persistent", True), ("persistent", False)):
+        cfg = SceneConfig(
+            materials=(mat,),
+            camera=CameraConfig(position=(4.0, 3.0, 4.0), target=(0, 0, 0),
+                                up=(0, 1, 0), fov_degrees=50.0,
+                                width=24, height=24),
+            light=light,
+            render=RenderConfig(shading="parallel", faithful=False,
+                                traversal="packed", scheduler=sched,
+                                fused_shadow=fused, wave=128, pump=2,
+                                ray_tile=64, shadow_eps=1e-3),
+        )
+        imgs[(sched, fused)] = onp.asarray(render(prepare(cfg, scene=scene)))
+
+    # within a scheduler: fused == two-pass, bitwise
+    onp.testing.assert_array_equal(imgs[("tiled", True)],
+                                   imgs[("tiled", False)])
+    onp.testing.assert_array_equal(imgs[("persistent", True)],
+                                   imgs[("persistent", False)])
+    # across schedulers: last-ulp shading drift only
+    onp.testing.assert_allclose(imgs[("tiled", True)],
+                                imgs[("persistent", True)],
+                                rtol=1e-5, atol=1e-3)
