@@ -56,6 +56,19 @@ class SceneParams(NamedTuple):
     env_image: Optional[jnp.ndarray] = None
 
 
+def _grow_packed(m):
+    """~30% packed-layout headroom so rebuilds over moved vertices pad
+    back to one static meta instead of re-jitting (the ONE growth rule,
+    used by the initial reserve and the in-loop regrow)."""
+    return m._replace(n_blocks=int(m.n_blocks * 1.3) + 8,
+                      max_blocks=m.max_blocks + 2)
+
+
+def _grow_csr(m):
+    return m._replace(nnz=int(m.nnz * 1.3) + 8,
+                      max_per_voxel=m.max_per_voxel + 2)
+
+
 def split_scene(scene: Scene) -> SceneParams:
     m = scene.materials
     return SceneParams(
@@ -154,8 +167,14 @@ def _train_step_fn(meta: GridMeta, cfg: SceneConfig, optimizer_name: str,
         if spp > 1:
             # average the spp^2 subsamples per pixel, matching render()
             colors = colors.reshape(spp * spp, -1, 3).mean(axis=0)
-        # padding rays render as background on BOTH sides => zero residual
         d = (colors - target_flat.astype(colors.dtype)) / 255.0
+        if padded != r:
+            # Padding lanes are masked out EXPLICITLY (identifiable by
+            # their inf origins, shard-locally): with an env map a
+            # padding miss lane renders an environment lookup, not the
+            # background the target was padded with, so relying on the
+            # residual cancelling would leak spurious env gradients.
+            d = jnp.where(jnp.isfinite(rays.orig[:, :1]), d, 0.0)
         return jnp.sum(d * d)
 
     if mesh is None:
@@ -190,14 +209,9 @@ def _train_step_fn(meta: GridMeta, cfg: SceneConfig, optimizer_name: str,
                 jnp.asarray(cfg.render.background, tgt.dtype), (padded - r, 3)
             )
             tgt = jnp.concatenate([tgt, bg])
+        # frozen fields were stop_gradient'ed inside local_loss, so
+        # their grads are already exact zeros — no post-zeroing needed
         loss, grads = jax.value_and_grad(loss_fn)(params, scene, grid, rays, tgt)
-        if trainable is not None:
-            frozen = {
-                f: jnp.zeros_like(getattr(grads, f))
-                for f in SceneParams._fields
-                if f not in trainable and getattr(grads, f) is not None
-            }
-            grads = grads._replace(**frozen)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -247,6 +261,7 @@ def fit(
     lr: float = 1e-2,
     optimizer: str = "adam",
     mesh: Optional[Mesh] = None,
+    axis: str = "rays",
     trainable: Optional[Tuple[str, ...]] = None,
     rebuild_grid_every: int = 0,
     checkpoint_dir: Optional[str] = None,
@@ -255,6 +270,11 @@ def fit(
     log_every: int = 10,
 ) -> Tuple[SceneParams, list]:
     """Run the optimization loop; returns (final params, loss history).
+
+    `steps` is the TOTAL step budget: resuming a run checkpointed at
+    step k executes steps k..steps-1 (a preempted job relaunched with
+    identical arguments terminates at the planned total instead of
+    overrunning by another `steps`).
 
     When optimizing `verts`, pass rebuild_grid_every=k (k>0) to re-run the
     host-side grid build every k steps so moved geometry stays indexed.
@@ -284,10 +304,7 @@ def fit(
         # grid ~30% so rebuilt grids (whose entry counts jitter as
         # vertices move) pad back to this meta instead of re-jitting.
         if packed_mode:
-            head = meta._replace(
-                n_blocks=int(meta.n_blocks * 1.3) + 8,
-                max_blocks=meta.max_blocks + 2,
-            )
+            head = _grow_packed(meta)
             extra = head.n_blocks - meta.n_blocks
             grid = grid._replace(
                 blocks=jnp.concatenate([
@@ -300,10 +317,7 @@ def fit(
                 ]),
             )
         else:
-            head = meta._replace(
-                nnz=int(meta.nnz * 1.3) + 8,
-                max_per_voxel=meta.max_per_voxel + 2,
-            )
+            head = _grow_csr(meta)
             grid = grid._replace(
                 tri_ids=jnp.concatenate([
                     grid.tri_ids,
@@ -313,7 +327,8 @@ def fit(
         meta = head
     params = split_scene(scene)
     step, init = make_train_step(
-        meta, cfg, optimizer=optimizer, lr=lr, mesh=mesh, trainable=trainable
+        meta, cfg, optimizer=optimizer, lr=lr, mesh=mesh, axis=axis,
+        trainable=trainable,
     )
     opt_state = init(params)
     start_step = 0
@@ -334,62 +349,72 @@ def fit(
             start_step = last  # continue numbering: a later resume must
             # find THIS run's newest checkpoint, not the restored one
             log.info("resumed from step %s", last)
-    losses = []
-    for i in range(steps):
-        params, opt_state, loss = step(params, opt_state, scene, grid, target)
-        losses.append(float(loss))
-        if log_every and i % log_every == 0:
-            log.info("step %d loss %.6g", i, losses[-1])
-        if rebuild_grid_every and (i + 1) % rebuild_grid_every == 0:
-            verts_np = np.asarray(params.verts)
-            faces_np = np.asarray(scene.faces)
-            built = build_grid(
-                verts_np, faces_np,
-                resolution_multiplier=cfg.render.grid.resolution_multiplier,
-                max_resolution=cfg.render.grid.max_resolution,
-            )
-            if packed_mode:
-                from ray_tracer_tpu.accel.packed import pack_grid
 
-                # pad up to the compiled step's meta so the rebuild does
-                # NOT re-jit; when the moved geometry outgrows it, grow
-                # once with ~30% headroom so later rebuilds fit again
-                # meta.block_tris is the RESOLVED row width (the config
-                # value may be 0 = auto, resolved once by prepare())
+    def rebuild(cur_params):
+        nonlocal grid, meta, step
+        verts_np = np.asarray(cur_params.verts)
+        faces_np = np.asarray(scene.faces)
+        built = build_grid(
+            verts_np, faces_np,
+            resolution_multiplier=cfg.render.grid.resolution_multiplier,
+            max_resolution=cfg.render.grid.max_resolution,
+        )
+        if packed_mode:
+            from ray_tracer_tpu.accel.packed import pack_grid
+
+            # pad up to the compiled step's meta so the rebuild does
+            # NOT re-jit; when the moved geometry outgrows it, grow
+            # once with ~30% headroom so later rebuilds fit again
+            # meta.block_tris is the RESOLVED row width (the config
+            # value may be 0 = auto, resolved once by prepare())
+            repacked = pack_grid(
+                built, verts_np, faces_np,
+                block_tris=meta.block_tris, pad_meta=meta,
+            )
+            if repacked.meta != meta:
+                head = _grow_packed(repacked.meta)
                 repacked = pack_grid(
                     built, verts_np, faces_np,
-                    block_tris=meta.block_tris, pad_meta=meta,
+                    block_tris=meta.block_tris,
+                    pad_meta=head,
                 )
-                if repacked.meta != meta:
-                    head = repacked.meta._replace(
-                        n_blocks=int(repacked.meta.n_blocks * 1.3) + 8,
-                        max_blocks=repacked.meta.max_blocks + 2,
-                    )
-                    repacked = pack_grid(
-                        built, verts_np, faces_np,
-                        block_tris=meta.block_tris,
-                        pad_meta=head,
-                    )
-                grid, new_meta = repacked.arrays, repacked.meta
-            else:
-                from ray_tracer_tpu.accel.grid import pad_grid_like
+            grid, new_meta = repacked.arrays, repacked.meta
+        else:
+            from ray_tracer_tpu.accel.grid import pad_grid_like
 
-                padded = pad_grid_like(built, meta)
-                if padded is None:
-                    head = built.meta._replace(
-                        nnz=int(built.meta.nnz * 1.3) + 8,
-                        max_per_voxel=built.meta.max_per_voxel + 2,
-                    )
-                    padded = pad_grid_like(built, head) or built
-                grid, new_meta = padded.arrays, padded.meta
-            if new_meta != meta:
-                meta = new_meta
-                step, _ = make_train_step(
-                    meta, cfg, optimizer=optimizer, lr=lr, mesh=mesh,
-                    trainable=trainable,
-                )
-        if checkpoint_dir and (i + 1) % checkpoint_every == 0:
-            save_checkpoint(
-                checkpoint_dir, params, opt_state, step_num=start_step + i + 1
+            grid_pad = pad_grid_like(built, meta)
+            if grid_pad is None:
+                head = _grow_csr(built.meta)
+                grid_pad = pad_grid_like(built, head) or built
+            grid, new_meta = grid_pad.arrays, grid_pad.meta
+        if new_meta != meta:
+            meta = new_meta
+            step, _ = make_train_step(
+                meta, cfg, optimizer=optimizer, lr=lr, mesh=mesh, axis=axis,
+                trainable=trainable,
             )
-    return params, losses
+
+    if start_step and rebuild_grid_every:
+        # the restored verts may be far from the geometry prepare()
+        # indexed; rebuild once so the first resumed steps do not trace
+        # a stale acceleration structure
+        rebuild(params)
+
+    losses = []
+    for step_no in range(start_step, steps):
+        params, opt_state, loss = step(params, opt_state, scene, grid, target)
+        losses.append(loss)  # device scalar; materialized lazily below
+        if log_every and (step_no - start_step) % log_every == 0:
+            # step numbering continues across resumes, matching the
+            # checkpoint tags
+            log.info("step %d loss %.6g", step_no, float(loss))
+        if rebuild_grid_every and (step_no + 1) % rebuild_grid_every == 0:
+            rebuild(params)
+        if (checkpoint_dir and checkpoint_every
+                and (step_no + 1) % checkpoint_every == 0):
+            save_checkpoint(
+                checkpoint_dir, params, opt_state, step_num=step_no + 1
+            )
+    # one sync at the end instead of one per step (float(loss) would
+    # block async dispatch every iteration on the high-latency relay)
+    return params, [float(x) for x in losses]

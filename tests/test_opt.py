@@ -224,3 +224,51 @@ def test_checkpoint_save_is_atomic(tmp_path):
     assert not any(n.endswith(".tmp") for n in os.listdir(d))
     got, _ = restore_checkpoint(d, {"params": a}, step_num=1)
     np.testing.assert_array_equal(got["w"], b["w"])
+
+
+def test_sharded_fit_env_padding_zero_residual(tiny_prep, eight_device_mesh):
+    """With an env map, padding miss lanes render an env lookup, not
+    the background-padded target: the padding mask must keep a perfect
+    render at (near-)zero loss even when rays don't divide the shards."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from ray_tracer_tpu.models.scenes import gradcheck_scene
+    from ray_tracer_tpu.opt.fit import make_train_step, split_scene
+    from ray_tracer_tpu.render.renderer import prepare, render
+
+    scene, cfg = gradcheck_scene(5, 5)  # 25 rays: pads to 32 on 8 shards
+    scene = scene._replace(env_image=jnp.full((4, 8, 3), 90.0, jnp.float32))
+    cfg = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, ray_tile=32)
+    )
+    prep = prepare(cfg, scene=scene)
+    target = render(prep)
+    step, init = make_train_step(prep.grid.meta, prep.cfg,
+                                 mesh=eight_device_mesh, axis="rays")
+    params = split_scene(prep.scene)
+    _, _, loss = step(params, init(params), prep.scene, prep.grid.arrays,
+                      target)
+    assert float(loss) < 1e-10, float(loss)
+
+
+def test_fit_resume_respects_total_step_budget(tiny_prep, tmp_path):
+    """`steps` is the TOTAL budget: a run checkpointed at step k and
+    relaunched with identical arguments executes only steps k..steps-1."""
+    from ray_tracer_tpu.opt.fit import fit
+    from ray_tracer_tpu.render.renderer import render
+
+    target = render(tiny_prep)
+    d = str(tmp_path / "ck")
+    _, l1 = fit(tiny_prep, target, steps=2, lr=1e-3, checkpoint_dir=d,
+                checkpoint_every=1, log_every=0,
+                trainable=("base_color",))
+    assert len(l1) == 2
+    _, l2 = fit(tiny_prep, target, steps=3, lr=1e-3, checkpoint_dir=d,
+                checkpoint_every=1, resume=True, log_every=0,
+                trainable=("base_color",))
+    assert len(l2) == 1  # only step 2 remains of the 3-step budget
+    import os
+
+    assert os.path.isdir(os.path.join(d, "step_3"))
