@@ -208,7 +208,7 @@ def main() -> None:
     # the dense 261k-tri stand-in wants 28-tri rows and the stock cap
     # (finer grids overflow the packed-layout per-voxel bound).
     _tuned = {
-        "spot": dict(block_tris=14, rm=2.0, max_res=128, wave=8192),
+        "spot": dict(block_tris=14, rm=2.0, max_res=128, wave=12288),
         "nefertiti": dict(block_tris=28, rm=1.25, max_res=64, wave=8192),
         "parallel": dict(block_tris=56, rm=0.75, max_res=64, wave=8192),
     }[args.scene]
