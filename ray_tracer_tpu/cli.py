@@ -62,7 +62,7 @@ def _build_cfg(args):
             render=dataclasses.replace(
                 cfg.render, faithful=False, det_dtype="float32",
                 traversal="packed", scheduler="persistent",
-                wave=8192, pump=2,
+                wave=12288, pump=2,
             ),
         )
     if getattr(args, "spp", 1) > 1:

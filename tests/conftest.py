@@ -27,6 +27,14 @@ import pytest  # noqa: E402
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ORACLE = os.path.join(REPO, "native", "build", "oracle")
 
+# Build the native library BEFORE collection: the `skipif(not
+# native.available())` markers evaluate at collection time, so a fixture
+# build is too late — on a fresh clone those tests would silently skip
+# on the first run and only pass from the second run on.
+from ray_tracer_tpu.accel import native as _native  # noqa: E402
+
+_native.ensure_built()
+
 
 @pytest.fixture(scope="session")
 def oracle_bin():
