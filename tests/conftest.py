@@ -36,6 +36,16 @@ from ray_tracer_tpu.accel import native as _native  # noqa: E402
 _native.ensure_built()
 
 
+def pytest_configure(config):
+    # pytest-timeout is not installed in this image; the mark documents
+    # the intended bound (the driver applies its own process timeout).
+    # Registering it silences the unknown-mark warning.
+    config.addinivalue_line(
+        "markers",
+        "timeout(seconds): advisory per-test timeout (plugin not installed)",
+    )
+
+
 @pytest.fixture(scope="session")
 def oracle_bin():
     if not os.path.exists(ORACLE):
