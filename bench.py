@@ -155,6 +155,10 @@ def main() -> None:
                     help="triangles per packed block row")
     ap.add_argument("--fused", default="auto", choices=["auto", "on", "off"],
                     help="fuse the shadow pass into the primary march")
+    ap.add_argument("--layout", default="auto",
+                    choices=["auto", "inline", "blocks"],
+                    help="packed-grid memory layout (inline = one gather "
+                         "per march step; see config.RenderConfig)")
     ap.add_argument("--rm", type=float, default=None,
                     help="grid resolution multiplier (cells ~ rm * 3*cbrt(N))")
     ap.add_argument("--max-res", type=int, default=None,
@@ -250,6 +254,7 @@ def main() -> None:
             packed_block_tris=args.block_tris,
             fused_shadow=False,  # decided below (measured, or forced by --fused)
             scheduler=args.scheduler, wave=args.wave, pump=args.pump,
+            grid_layout=args.layout,
             # TPU-tuned per scene (see _tuned above): the persistent
             # wavefront + fused shadow + fine grid -> 20 Mrays/s on v5e
             # spot (9.7 at the round-1 tiled schedule, 7.0 at the

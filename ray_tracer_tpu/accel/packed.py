@@ -33,6 +33,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -56,6 +57,16 @@ class PackedGridMeta(NamedTuple):
     block_tris: int = BLOCK_TRIS  # triangles per block row
     row_lanes: int = 128  # block row width (multiple of 128)
     max_blocks: int = 1  # largest per-voxel block count (march bound)
+    # inline layout: the cell header (overflow row, row count, Chebyshev
+    # dist) lives IN the last two lanes of each cell's first block row,
+    # so a march step issues ONE gather instead of two (cell_info +
+    # block row).  The gather engine is issue-bound per index
+    # (tools/fused_row_bench.py: 27.2 ns/lane-step for the dependent
+    # pair vs 22.5 for one row), so folding the header in-row removes
+    # ~17% of the march's memory floor.  Costs a dense first-row per
+    # CELL (empty cells included): (n_cells + overflow) * row_lanes * 4
+    # bytes of HBM — prepare() auto-selects it when that fits.
+    inline: bool = False
 
     @property
     def total_voxels(self) -> int:
@@ -85,6 +96,20 @@ def decode_cell_info(info: jnp.ndarray):
     nblk = ((info >> _NBLK_SHIFT) & _NBLK_MASK).astype(jnp.int32)
     dist = (info >> _DIST_SHIFT).astype(jnp.int32)
     return first, nblk, dist
+
+
+def decode_inline_header(row: jnp.ndarray):
+    """Inline-layout row -> (overflow_first i32, n_rows i32, dist i32).
+
+    The header rides the last two lanes of every cell's first row as
+    bitcast int32: lane[-2] = absolute index of the cell's first
+    OVERFLOW row (rows 2..n are contiguous there), lane[-1] =
+    n_rows | dist << 16 (n_rows counts the inline row itself).
+    Overflow/padding rows carry zero headers — only probe lanes decode.
+    """
+    h0 = jax.lax.bitcast_convert_type(row[..., -2], jnp.int32)
+    h1 = jax.lax.bitcast_convert_type(row[..., -1], jnp.int32)
+    return h0, h1 & 0xFFFF, h1 >> 16
 
 
 def chebyshev_distance_field(occupied: np.ndarray, cap: int = DIST_CAP) -> np.ndarray:
@@ -123,6 +148,7 @@ def pack_grid(
     block_tris: int = BLOCK_TRIS,
     pad_meta: "PackedGridMeta | None" = None,
     as_numpy: bool = False,
+    inline: bool = False,
 ) -> PackedGrid:
     """Build the packed layout from the CSR grid (host-side numpy).
 
@@ -130,6 +156,15 @@ def pack_grid(
     rounded up to a multiple of 128 lanes (14 -> 128, 28 -> 256,
     56 -> 512).  Wider rows halve the iteration count for dense voxels
     at slightly higher per-gather cost — tune per scene density.
+
+    inline=True builds the one-gather-per-step layout (see
+    PackedGridMeta.inline): `blocks` row `lin` IS cell lin's first
+    triangle row with the header bitcast into its last two lanes
+    (decode_inline_header); rows past the first live contiguously in an
+    overflow region after the n_cells dense rows.  cell_info is a dummy
+    (1,) array — the march never gathers it.  Triangle order per cell
+    is IDENTICAL to the blocks layout, so hits (including ties) are
+    bit-identical between the two.
 
     pad_meta: a previous build's meta to pad up to, so a jitted
     consumer keyed on PackedGridMeta keeps its compiled step across
@@ -144,7 +179,8 @@ def pack_grid(
     upload (the ring-pass sharded-geometry build).  Requires a
     host-built grid (grid.host present).
     """
-    row_lanes = -(-(block_tris * 9) // 128) * 128
+    # inline rows reserve the last two lanes for the bitcast header
+    row_lanes = -(-(block_tris * 9 + (2 if inline else 0)) // 128) * 128
     nx, ny, nz = grid.meta.n_voxels
     n_cells = nx * ny * nz
     host = grid.host
@@ -159,28 +195,41 @@ def pack_grid(
     counts = np.diff(cell_start).astype(np.int64)
 
     nblk = (counts + block_tris - 1) // block_tris
-    if nblk.max(initial=0) > _NBLK_MASK:
+    if nblk.max(initial=0) > (0xFFFF if inline else _NBLK_MASK):
         raise ValueError(
             f"voxel with {counts.max()} triangles exceeds the packed-layout "
-            f"cap ({_NBLK_MASK * block_tris}); increase grid resolution"
+            f"cap; increase grid resolution"
         )
-    first = np.zeros(n_cells, np.int64)
-    np.cumsum(nblk[:-1], out=first[1:])
-    total_blocks = int(first[-1] + nblk[-1]) if n_cells else 0
-    total_blocks = max(total_blocks, 1)
-    if total_blocks > _FIRST_MASK:
-        raise ValueError(f"{total_blocks} blocks exceeds the 21-bit block index")
 
     # occupancy + distance field (z-major linear index -> (x,y,z) shaped
     # as [z,y,x] to match offset = z*nx*ny + y*nx + x, grid.h:73-75)
     occ = (counts > 0).reshape(nz, ny, nx)
     dist = chebyshev_distance_field(occ).reshape(-1)
 
-    info = (
-        first.astype(np.uint32)
-        | (nblk.astype(np.uint32) << _NBLK_SHIFT)
-        | (dist.astype(np.uint32) << _DIST_SHIFT)
-    )
+    if inline:
+        # cell c's first row IS row c; rows 2..n_rows live contiguously
+        # in the overflow region starting at n_cells
+        overflow = np.maximum(nblk - 1, 0)
+        ov_first = np.full(n_cells, n_cells, np.int64)
+        np.cumsum(overflow[:-1], out=ov_first[1:])
+        ov_first += n_cells
+        total_blocks = int(n_cells + overflow.sum())
+        total_blocks = max(total_blocks, 1)
+        info = np.zeros(1, np.uint32)  # unused by the inline march
+    else:
+        first = np.zeros(n_cells, np.int64)
+        np.cumsum(nblk[:-1], out=first[1:])
+        total_blocks = int(first[-1] + nblk[-1]) if n_cells else 0
+        total_blocks = max(total_blocks, 1)
+        if total_blocks > _FIRST_MASK:
+            raise ValueError(
+                f"{total_blocks} blocks exceeds the 21-bit block index"
+            )
+        info = (
+            first.astype(np.uint32)
+            | (nblk.astype(np.uint32) << _NBLK_SHIFT)
+            | (dist.astype(np.uint32) << _DIST_SHIFT)
+        )
 
     # scatter triangle data into block rows (vectorized)
     v = verts.astype(np.float32)[faces]  # (F, 3, 3)
@@ -189,13 +238,28 @@ def pack_grid(
     blocks = np.zeros((total_blocks, row_lanes), np.float32)
     slot_tri = np.full((total_blocks * block_tris,), -1, np.int32)
 
+    if inline and n_cells:
+        # headers into every cell row's last two lanes (empty cells too:
+        # the probe reads n_rows=0 + the leap distance from them)
+        hdr = blocks[:n_cells, row_lanes - 2:].view(np.int32)
+        hdr[:, 0] = ov_first.astype(np.int32)
+        hdr[:, 1] = nblk.astype(np.int32) | (dist.astype(np.int32) << 16)
+
     nnz = tri_ids.shape[0]
     if nnz:
         # CSR entry e belongs to cell c(e); its slot within the cell is
-        # e - cell_start[c]; its block row is first[c] + slot//block_tris.
+        # e - cell_start[c]; its block row is first[c] + slot//block_tris
+        # (blocks layout) or cell/overflow row (inline layout).
         entry_cell = np.repeat(np.arange(n_cells, dtype=np.int64), counts)
         within = np.arange(nnz, dtype=np.int64) - cell_start[entry_cell]
-        row = first[entry_cell] + within // block_tris
+        if inline:
+            row = np.where(
+                within < block_tris,
+                entry_cell,
+                ov_first[entry_cell] + within // block_tris - 1,
+            )
+        else:
+            row = first[entry_cell] + within // block_tris
         slot = within % block_tris
         blocks_flat = blocks.reshape(-1)
         lane0 = row * row_lanes + slot * 9
@@ -210,9 +274,11 @@ def pack_grid(
         block_tris=block_tris,
         row_lanes=row_lanes,
         max_blocks=int(nblk.max(initial=1)),
+        inline=inline,
     )
     if (
         pad_meta is not None
+        and pad_meta.inline == inline
         and pad_meta.n_voxels == meta.n_voxels
         and pad_meta.block_tris == block_tris
         and pad_meta.row_lanes == row_lanes

@@ -119,6 +119,13 @@ class RenderConfig:
     # nefertiti 24.8 -> 28, parallel scene 56.9 -> 56).
     packed_block_tris: int = 14
     packed_unroll: int = 1  # march steps per while_loop iteration
+    # Packed-grid memory layout.  "blocks": cell_info uint32 table +
+    # block rows (two gathers per march step).  "inline": each cell's
+    # first row carries its header in-row, one gather per step (~17%
+    # less march memory floor; costs a dense first-row per cell —
+    # accel/packed.PackedGridMeta.inline).  "auto": inline when the
+    # table fits the HBM budget, else blocks.
+    grid_layout: str = "auto"
     # Scheduler for the packed path.  "tiled": entry-sorted fixed tiles
     # via lax.map (one while_loop per tile).  "persistent": ONE
     # while_loop with a `wave`-lane persistent wavefront — retiring

@@ -3,14 +3,20 @@
 TPU-first redesign of the voxel walk (reference: Serial/grid.h:167-231).
 The CSR walk in ops/traverse.py is the faithful oracle-parity path; this
 one is built around the measured hardware constraint that a random HBM
-gather costs ~one row per ray regardless of width (128 lanes max), so
-each live ray pays exactly two gathered rows per step:
+gather costs ~one row per ray regardless of width (128 lanes max) and
+is issue-bound per INDEX (tools/gather_dedup_bench.py), so each live
+ray pays at most two gathered rows per step:
 
   1. `cell_info[cell]` — a packed uint32 with the voxel's block range
      and its Chebyshev distance to the nearest occupied voxel;
-  2. `blocks[row]` — one block row (meta.block_tris whole triangles,
-     56 in the tuned production config) tested in a single fused VPU
-     sweep.
+  2. `blocks[row]` — one block row (meta.block_tris whole triangles)
+     tested in a single fused VPU sweep.
+
+With the INLINE layout (meta.inline, the production default) the two
+collapse into ONE: the probed cell's row carries its header in-row
+(accel/packed.decode_inline_header), so a step issues a single gather
+— measured ~17% off the march's memory floor
+(tools/fused_row_bench.py).
 
 March structure (all lanes in lock-step, predicated):
 
@@ -50,6 +56,7 @@ from ray_tracer_tpu.accel.packed import (
     PackedGridArrays,
     PackedGridMeta,
     decode_cell_info,
+    decode_inline_header,
 )
 from ray_tracer_tpu.core.rays import RayBatch
 from ray_tracer_tpu.ops.intersect import cramer_tbg
@@ -152,7 +159,21 @@ def _march_step(s, *, o, d, invd, gate, maxt, grid, meta):
 
     cc = jnp.clip(cell, 0, nvox - 1)
     lin = cc[:, 2] * (nx * ny) + cc[:, 1] * nx + cc[:, 0]
-    first, nblk, dist = decode_cell_info(grid.cell_info[lin])  # GATHER 1
+    if meta.inline:
+        # THE one gather per step: probing lanes fetch the probed cell's
+        # inline row (header + its first block_tris triangles); mid-cell
+        # lanes fetch their next overflow row.  The same fetched row
+        # feeds both the header decode below and the triangle test —
+        # the cell_info gather of the blocks layout does not exist here.
+        gidx = jnp.where(
+            testing,
+            jnp.clip(s["first_blk"] + s["cursor"] - 1, 0, n_blocks - 1),
+            jnp.clip(lin, 0, n_blocks - 1),
+        )
+        row = grid.blocks[gidx]  # THE GATHER: (R, row_lanes) f32
+        first, nblk, dist = decode_inline_header(row)
+    else:
+        first, nblk, dist = decode_cell_info(grid.cell_info[lin])  # GATHER 1
     occupied = nblk > 0
 
     # safe-box exit: radius 1 for occupied cells, Chebyshev dist for empty
@@ -181,8 +202,14 @@ def _march_step(s, *, o, d, invd, gate, maxt, grid, meta):
     # FIRST row in the same iteration (`testing` already includes
     # start_test lanes, which run with cursor 0) — the probe step is
     # never a test-free iteration.
-    blk = jnp.clip(first_blk + cursor, 0, n_blocks - 1)
-    row = grid.blocks[blk]  # GATHER 2: (R, row_lanes) f32
+    if meta.inline:
+        # the row is already in hand: start_test lanes fetched their
+        # cell's inline row (gidx == lin), mid-cell lanes their overflow
+        # row — `blk` only records WHICH row for the best_* bookkeeping
+        blk = gidx
+    else:
+        blk = jnp.clip(first_blk + cursor, 0, n_blocks - 1)
+        row = grid.blocks[blk]  # GATHER 2: (R, row_lanes) f32
     tri = row[:, : bt * 9].reshape(r, bt, 9)
     t, beta, gamma = cramer_tbg(
         o[:, None, :], d[:, None, :],

@@ -370,6 +370,7 @@ def fit(
             repacked = pack_grid(
                 built, verts_np, faces_np,
                 block_tris=meta.block_tris, pad_meta=meta,
+                inline=meta.inline,
             )
             if repacked.meta != meta:
                 head = _grow_packed(repacked.meta)
@@ -377,6 +378,7 @@ def fit(
                     built, verts_np, faces_np,
                     block_tris=meta.block_tris,
                     pad_meta=head,
+                    inline=meta.inline,
                 )
             grid, new_meta = repacked.arrays, repacked.meta
         else:

@@ -136,8 +136,48 @@ def prepare(cfg: SceneConfig, scene: Scene = None) -> Prepared:
         bt = cfg.render.packed_block_tris
         if bt == 0:  # auto: measured density rule (see RenderConfig)
             bt = choose_block_tris(grid)
-        packed = pack_grid(grid, verts_np, faces_np, block_tris=bt)
+        layout = cfg.render.grid_layout
+        if layout not in ("auto", "inline", "blocks"):
+            raise ValueError(f"unknown grid_layout {layout!r}")
+        inline = (layout == "inline"
+                  or (layout == "auto" and choose_inline_layout(grid, bt)))
+        packed = pack_grid(grid, verts_np, faces_np, block_tris=bt,
+                           inline=inline)
     return Prepared(scene=scene, grid=grid, cfg=cfg, packed=packed)
+
+
+def choose_inline_layout(grid: UniformGrid, block_tris: int,
+                         budget_bytes: int = 1 << 31) -> bool:
+    """auto grid_layout rule (sweep-measured on v5e, docs/PERFORMANCE.md):
+
+    The inline (one-gather) layout wins where the march is PROBE-heavy
+    — sparse scenes whose lanes spend most steps entering cells and
+    leaping empties, each such step paying the cell_info gather the
+    inline row absorbs (spot 1024²: 21.3 -> 32.9 Mrays/s).  On dense
+    scenes the march is test-phase-heavy (mid-row lanes never needed
+    the second gather) and the inline table's dense first-row-per-cell
+    only hurts locality: nefertiti LOSES ~5% inline at every knob
+    tried, the reflective scene is a wash.  Proxy at prepare time: mean
+    triangles per occupied voxel <= 14 == "probe-heavy" (spot 8.5 ->
+    inline; nefertiti 24.8, parallel 56.9 -> blocks).
+
+    Also requires the table (blocks + slot_tri) to fit budget_bytes —
+    the inline layout spends a dense first-row on EVERY cell, empty
+    ones included."""
+    host = grid.host
+    if host is None:
+        return False  # density unknown; keep the compact layout
+    counts = np.diff(host.cell_start)
+    occ = int((counts > 0).sum())
+    if float(counts.sum()) / max(occ, 1) > 14.0:
+        return False
+    nx, ny, nz = grid.meta.n_voxels
+    n_cells = nx * ny * nz
+    row_lanes = -(-(block_tris * 9 + 2) // 128) * 128
+    rows = n_cells + int(
+        np.maximum((counts + block_tris - 1) // block_tris - 1, 0).sum()
+    )
+    return rows * (row_lanes + block_tris) * 4 <= budget_bytes
 
 
 def choose_block_tris(grid: UniformGrid) -> int:

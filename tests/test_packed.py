@@ -72,6 +72,118 @@ def test_pack_layout_matches_csr(tiny_prep, packed):
             )
 
 
+def test_inline_layout_matches_csr(tiny_prep):
+    """Inline-layout build invariants: row `lin` holds cell lin's first
+    block_tris triangles with a decodable header (overflow row, total
+    rows, Chebyshev dist) in its last two lanes; overflow rows continue
+    the cell's CSR order; slot_tri round-trips ids for both regions."""
+    from ray_tracer_tpu.accel.packed import decode_inline_header
+
+    grid = tiny_prep.grid
+    verts = np.asarray(tiny_prep.scene.verts)
+    faces = np.asarray(tiny_prep.scene.faces)
+    inl = pack_grid(grid, verts, faces, inline=True)
+    assert inl.meta.inline
+    assert inl.arrays.cell_info.shape == (1,)  # unused by the march
+    cs = np.asarray(grid.arrays.cell_start)
+    ids = np.asarray(grid.arrays.tri_ids)
+    tri9 = verts[faces].reshape(-1, 9).astype(np.float32)
+    blocks = np.asarray(inl.arrays.blocks)
+    slot_tri = np.asarray(inl.arrays.slot_tri)
+    n_cells = inl.meta.total_voxels
+
+    ref = pack_grid(grid, verts, faces)  # blocks layout for dist cross-check
+    _, ref_nblk, ref_dist = (
+        np.asarray(x) for x in decode_cell_info(jnp.asarray(ref.arrays.cell_info))
+    )
+    ovf, nrows, dist = (
+        np.asarray(x)
+        for x in decode_inline_header(jnp.asarray(blocks[:n_cells]))
+    )
+    np.testing.assert_array_equal(nrows, ref_nblk)
+    np.testing.assert_array_equal(dist, ref_dist)
+
+    rng = np.random.default_rng(1)
+    for c in rng.choice(n_cells, size=200, replace=False):
+        count = cs[c + 1] - cs[c]
+        for j in range(count):
+            row = c if j < BLOCK_TRIS else ovf[c] + j // BLOCK_TRIS - 1
+            slot = j % BLOCK_TRIS
+            tid = ids[cs[c] + j]
+            assert slot_tri[row * BLOCK_TRIS + slot] == tid
+            np.testing.assert_array_equal(
+                blocks[row, slot * 9:(slot + 1) * 9], tri9[tid]
+            )
+
+
+def test_inline_traversal_bitwise_equals_blocks(tiny_prep, packed):
+    """The inline (one-gather) march is bit-identical to the blocks
+    layout on every packed path: plain traversal, the fused
+    primary+shadow march, and the persistent wave (triangle order per
+    cell is identical by construction, so even ties agree)."""
+    from ray_tracer_tpu.ops.persistent import persistent_trace
+    from ray_tracer_tpu.ops.traverse_packed import traverse_packed_fused_shadow
+
+    prep = tiny_prep
+    inl = pack_grid(
+        prep.grid, np.asarray(prep.scene.verts), np.asarray(prep.scene.faces),
+        inline=True,
+    )
+    rays = camera_rays(prep.cfg.camera)
+    a = traverse_packed(rays, packed.arrays, packed.meta, t_gate=1e-4)
+    b = traverse_packed(rays, inl.arrays, inl.meta, t_gate=1e-4)
+    for f in ("hit", "t", "tri_id", "steps"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, f)), np.asarray(getattr(b, f)), err_msg=f
+        )
+
+    light = prep.scene.light_pos
+    kw = dict(primary_gate=1e-3, shadow_gate=1e-3, shadow_mint=1e-3 + 0.02,
+              serial_quirk=False)
+    fa = traverse_packed_fused_shadow(rays, packed.arrays, packed.meta, light, **kw)
+    fb = traverse_packed_fused_shadow(rays, inl.arrays, inl.meta, light, **kw)
+    for f in ("hit", "t", "tri_id", "in_shadow", "shadow_tri_id"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(fa, f)), np.asarray(getattr(fb, f)), err_msg=f
+        )
+
+    pkw = dict(wave=64, fuse_shadow=True, shadow_gate=1e-3,
+               shadow_mint=1e-3 + 0.02, t_gate=1e-3, pump=2,
+               need_shadow_tri=True)
+    pa = persistent_trace(rays, packed.arrays, packed.meta, light, **pkw)
+    pb = persistent_trace(rays, inl.arrays, inl.meta, light, **pkw)
+    for f in ("hit", "t", "tri_id", "in_shadow", "shadow_tri_id"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(pa, f)), np.asarray(getattr(pb, f)), err_msg=f
+        )
+
+
+def test_grid_layout_config(tiny_prep):
+    """grid_layout wiring: auto picks inline when the table fits, forced
+    blocks/inline both render, and the images are identical."""
+    from ray_tracer_tpu.render.renderer import prepare, render
+
+    def prep_with(layout):
+        cfg = dataclasses.replace(
+            tiny_prep.cfg,
+            render=dataclasses.replace(
+                tiny_prep.cfg.render, faithful=False, traversal="packed",
+                ray_tile=64, grid_layout=layout,
+            ),
+        )
+        return prepare(cfg, scene=tiny_prep.scene)
+
+    auto = prep_with("auto")
+    assert auto.packed.meta.inline  # tiny scene: inline always fits
+    blocks = prep_with("blocks")
+    assert not blocks.packed.meta.inline
+    np.testing.assert_array_equal(
+        np.asarray(render(auto)), np.asarray(render(blocks))
+    )
+    with pytest.raises(ValueError):
+        prep_with("bogus")
+
+
 def test_distance_field_property():
     occ = np.zeros((6, 5, 4), bool)
     occ[1, 2, 3] = True
