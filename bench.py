@@ -149,7 +149,7 @@ def main() -> None:
                     choices=["tiled", "persistent"])
     ap.add_argument("--wave", type=int, default=None,
                     help="persistent-scheduler lane count")
-    ap.add_argument("--pump", type=int, default=2,
+    ap.add_argument("--pump", type=int, default=None,
                     help="persistent march steps per scatter+refill round")
     ap.add_argument("--block-tris", type=int, default=None,
                     help="triangles per packed block row")
@@ -208,13 +208,17 @@ def main() -> None:
             sys.exit(1)
 
     # Per-scene tuned defaults (sweep-measured on v5e; docs/PERFORMANCE.md):
-    # sparse spot wants narrow 14-tri rows and a fine unclamped grid;
-    # the dense 261k-tri stand-in wants 28-tri rows and the stock cap
-    # (finer grids overflow the packed-layout per-voxel bound).
+    # sparse spot wants narrow 14-tri rows, a fine unclamped grid and
+    # pump 3 under the inline layout; the dense 261k-tri stand-in wants
+    # 28-tri rows and the stock cap (rm 1.0-1.5 is a wide plateau).
+    # grid_layout "auto" resolves to inline for spot (probe-heavy) and
+    # blocks for the dense/reflective scenes (renderer.choose_inline_layout).
     _tuned = {
-        "spot": dict(block_tris=14, rm=2.0, max_res=128, wave=12288),
-        "nefertiti": dict(block_tris=28, rm=1.25, max_res=64, wave=8192),
-        "parallel": dict(block_tris=56, rm=0.75, max_res=64, wave=8192),
+        "spot": dict(block_tris=14, rm=2.0, max_res=128, wave=12288, pump=3),
+        "nefertiti": dict(block_tris=28, rm=1.25, max_res=64, wave=8192,
+                          pump=2),
+        "parallel": dict(block_tris=56, rm=0.75, max_res=64, wave=8192,
+                         pump=2),
     }[args.scene]
     if args.block_tris is None:
         args.block_tris = _tuned["block_tris"]
@@ -224,6 +228,8 @@ def main() -> None:
         args.max_res = _tuned["max_res"]
     if args.wave is None:
         args.wave = _tuned["wave"]
+    if args.pump is None:
+        args.pump = _tuned["pump"]
 
     import dataclasses
 

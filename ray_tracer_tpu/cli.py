@@ -56,18 +56,19 @@ def _build_cfg(args):
     if getattr(args, "turbo", False):
         # the tuned production pipeline (what bench.py runs): packed
         # block rows + the persistent wavefront + measured shadow-fusion
-        # policy.  ~2x the --fast CSR walk on v5e.  Wave size follows
-        # bench.py's per-scene sweep (docs/PERFORMANCE.md): sparse
-        # scenes knee at 12,288 lanes; dense/reflective scenes (and the
-        # generic --config path) keep 8,192 — the bigger wave only
-        # lengthens their straggler walk.
-        turbo_wave = 12288 if getattr(args, "scene", None) == "serial" else 8192
+        # policy + auto grid layout.  Wave/pump follow bench.py's
+        # per-scene sweep (docs/PERFORMANCE.md): the sparse serial scene
+        # knees at 12,288 lanes / pump 3 under the inline layout;
+        # dense/reflective scenes (and the generic --config path) keep
+        # 8,192 / pump 2 — a bigger wave only lengthens their straggler
+        # walk.
+        sparse = getattr(args, "scene", None) == "serial"
         cfg = dataclasses.replace(
             cfg,
             render=dataclasses.replace(
                 cfg.render, faithful=False, det_dtype="float32",
                 traversal="packed", scheduler="persistent",
-                wave=turbo_wave, pump=2,
+                wave=12288 if sparse else 8192, pump=3 if sparse else 2,
             ),
         )
     if getattr(args, "spp", 1) > 1:
