@@ -75,6 +75,15 @@ def _build_cfg(args):
         cfg = dataclasses.replace(
             cfg, render=dataclasses.replace(cfg.render, spp=args.spp)
         )
+    if getattr(args, "gi_samples", 0) > 0:
+        cfg = dataclasses.replace(
+            cfg,
+            render=dataclasses.replace(
+                cfg.render, faithful=False,
+                gi_samples=args.gi_samples,
+                gi_depth=getattr(args, "gi_depth", 2),
+            ),
+        )
     if getattr(args, "smooth_normals", False):
         cfg = dataclasses.replace(
             cfg,
@@ -354,6 +363,11 @@ def main(argv=None) -> None:
                    help="focal-plane distance (default: distance to target)")
     r.add_argument("--smooth-normals", action="store_true",
                    help="Phong-interpolated vertex normals (production mode)")
+    r.add_argument("--gi-samples", type=int, default=0,
+                    help="path-traced GI: paths per pixel (0 = off; "
+                         "deterministic hash sampling, render/pathtrace.py)")
+    r.add_argument("--gi-depth", type=int, default=2,
+                    help="path-traced GI: max indirect bounces")
     r.add_argument("--light-radius", type=float, default=0.0,
                    help="spherical area light radius -> soft shadows")
     r.add_argument("--shadow-samples", type=int, default=0,

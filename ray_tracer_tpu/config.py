@@ -184,6 +184,20 @@ class RenderConfig:
     # physically-oriented penumbra is the parallel-shading one.
     shadow_samples: int = 1
     light_radius: float = 0.0
+    # Path-traced global illumination (render/pathtrace.py — a
+    # production feature far beyond the reference's Whitted-style
+    # pipeline, built on the same persistent-wave traversal).
+    # gi_samples > 0 switches render() to the path integrator:
+    # gi_samples paths per pixel, each bouncing up to gi_depth times
+    # off Lambertian surfaces (albedo = base_color/255) with
+    # cosine-weighted importance sampling, next-event estimation
+    # toward the point light(s), and the environment map (or
+    # `background`) as escape radiance.  Sampling is DETERMINISTIC
+    # (hash of pixel/sample/depth — no RNG state, same image on any
+    # topology/scheduler), matching the repo-wide no-RNG convention.
+    # Requires faithful=False.
+    gi_samples: int = 0
+    gi_depth: int = 2
     # Packed path: fuse the shadow pass into the primary march (lanes
     # rearm as their own shadow ray on primary retirement) — fewer
     # while-loop instances, shadow work overlaps the primary tail.

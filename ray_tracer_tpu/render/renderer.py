@@ -199,41 +199,16 @@ def choose_block_tris(grid: UniformGrid) -> int:
     return 56
 
 
-def render_rays(
-    rays: RayBatch,
-    scene: Scene,
-    grid: GridArrays,
-    meta: GridMeta,
-    rcfg: RenderConfig,
-    camera_cfg=None,
-) -> jnp.ndarray:
-    """Trace + shade one ray batch -> (R,3) linear color.
+def make_traversal(rcfg: RenderConfig, grid, meta, v0, v1, v2):
+    """The traversal-backend switch — the ONE place a renderer turns
+    RenderConfig.traversal/scheduler into a trace callable, shared by
+    render_rays and the path-tracing integrator (render/pathtrace.py).
 
-    Differentiable w.r.t. scene.verts / materials / light: the traversal
-    emits integer hit topology (a stop-gradient island by construction),
-    and t / normals / shading are recomputed from the gathered vertices
-    so gradients flow through the arithmetic, not the search.
-    """
-    serial = rcfg.serial_shading
+    Returns trav(rb, t_gate, stop_on_first_hit=False, **kw) -> a result
+    with .hit/.t/.tri_id fields; the persistent backend additionally
+    accepts camera= (zero-gather pixel-index refill) and compact=
+    (pre-filtered work queue for mostly-dead batches)."""
     faithful = rcfg.faithful
-    eps = rcfg.shadow_eps
-    smooth = rcfg.normal_mode == "smooth"
-    soft_shadows = rcfg.shadow_samples > 1 and rcfg.light_radius > 0.0
-    if faithful and (smooth or soft_shadows
-                     or scene.env_image is not None):
-        raise ValueError(
-            "smooth normals / area-light soft shadows / environment "
-            "maps require faithful=False"
-        )
-    v0, v1, v2 = scene.triangle_soa()
-    background = jnp.asarray(rcfg.background, v0.dtype)
-
-    # Hit/shadow policy comes from ONE place (RenderConfig.primary_gate
-    # and friends) so this renderer, render/debug.trace_pixel, and
-    # render/metrics can never disagree on gates or mints again.
-    primary_gate = rcfg.primary_gate()
-    early = not faithful
-
     if rcfg.traversal == "packed":
         assert not faithful, "packed traversal has production semantics only"
         if rcfg.scheduler == "persistent":
@@ -245,7 +220,7 @@ def render_rays(
                     rb, grid, meta, wave=rcfg.wave, pump=rcfg.pump,
                     t_gate=0.0 if t_gate is None else t_gate,
                     stop_on_first_hit=stop_on_first_hit,
-                    need_t=False,  # t is recomputed from tri_id below
+                    need_t=False,  # t is recomputed from tri_id by callers
                     camera=camera, spp=rcfg.spp if camera is not None else 1,
                     compact=compact,
                 )
@@ -300,8 +275,47 @@ def render_rays(
             v1=jax.lax.stop_gradient(v1),
             v2=jax.lax.stop_gradient(v2),
             det_dtype=rcfg.det_dtype,
-            early_exit=early,
+            early_exit=not faithful,
         )
+    return trav
+
+
+def render_rays(
+    rays: RayBatch,
+    scene: Scene,
+    grid: GridArrays,
+    meta: GridMeta,
+    rcfg: RenderConfig,
+    camera_cfg=None,
+) -> jnp.ndarray:
+    """Trace + shade one ray batch -> (R,3) linear color.
+
+    Differentiable w.r.t. scene.verts / materials / light: the traversal
+    emits integer hit topology (a stop-gradient island by construction),
+    and t / normals / shading are recomputed from the gathered vertices
+    so gradients flow through the arithmetic, not the search.
+    """
+    serial = rcfg.serial_shading
+    faithful = rcfg.faithful
+    eps = rcfg.shadow_eps
+    smooth = rcfg.normal_mode == "smooth"
+    soft_shadows = rcfg.shadow_samples > 1 and rcfg.light_radius > 0.0
+    if faithful and (smooth or soft_shadows
+                     or scene.env_image is not None):
+        raise ValueError(
+            "smooth normals / area-light soft shadows / environment "
+            "maps require faithful=False"
+        )
+    v0, v1, v2 = scene.triangle_soa()
+    background = jnp.asarray(rcfg.background, v0.dtype)
+
+    # Hit/shadow policy comes from ONE place (RenderConfig.primary_gate
+    # and friends) so this renderer, render/debug.trace_pixel, and
+    # render/metrics can never disagree on gates or mints again.
+    primary_gate = rcfg.primary_gate()
+    early = not faithful
+
+    trav = make_traversal(rcfg, grid, meta, v0, v1, v2)
 
     r = rays.count
     cur = rays
@@ -747,7 +761,14 @@ def _render_image(scene: Scene, grid, meta, cfg: SceneConfig):
 
 
 def render(prep: Prepared) -> jnp.ndarray:
-    """Render the prepared scene -> (H, W, 3) float32 linear color."""
+    """Render the prepared scene -> (H, W, 3) float32 linear color.
+
+    gi_samples > 0 switches to the path-traced global-illumination
+    integrator (render/pathtrace.py) over the same traversal backend."""
+    if prep.cfg.render.gi_samples > 0:
+        from ray_tracer_tpu.render.pathtrace import render_pt
+
+        return render_pt(prep)
     if prep.cfg.render.traversal == "packed":
         return _render_image(
             prep.scene, prep.packed.arrays, prep.packed.meta, prep.cfg

@@ -1,0 +1,186 @@
+"""Path-traced global illumination (render/pathtrace.py).
+
+The estimator's structure makes sharp tests possible without RNG
+tolerance games:
+
+  * cosine-weighted sampling under a CONSTANT environment is
+    zero-variance — every path carries exactly albedo^k * E — so the
+    furnace test asserts near-exact equality, not a statistical bound;
+  * sampling is a pure hash of (ray, sample, depth), so images are
+    bitwise deterministic and scheduler-independent.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ray_tracer_tpu.config import (
+    CameraConfig,
+    LightConfig,
+    MaterialConfig,
+    SceneConfig,
+)
+from ray_tracer_tpu.models import meshes as mesh_gen
+from ray_tracer_tpu.models.scenes import scene_from_meshes
+from ray_tracer_tpu.render.renderer import prepare, render
+
+E = 100.0  # constant environment radiance (0-255 units)
+RHO = 0.5  # plane albedo
+
+
+def _furnace_prep(scheduler="persistent", gi_depth=1, gi_samples=2,
+                  intensity=0.0, **render_kw):
+    """A lone ground plane under a constant environment: every bounce
+    ray escapes upward, so radiance is exactly direct + rho * E."""
+    plane = mesh_gen.make_plane(extent=8.0, y=-1.0, density=2)
+    mats = (MaterialConfig(base_color=(255.0 * RHO,) * 3),)
+    light = LightConfig(position=(0.0, 5.0, 0.0), intensity=intensity)
+    scene = scene_from_meshes([(plane, 0)], mats, light)
+    scene = scene._replace(
+        env_image=jnp.broadcast_to(
+            jnp.asarray([E, E, E], jnp.float32), (4, 8, 3)
+        )
+    )
+    cfg = SceneConfig(
+        materials=mats, light=light,
+        camera=CameraConfig(position=(0.0, 3.0, 0.0),
+                            target=(0.1, -1.0, 0.1), width=16, height=16),
+    )
+    cfg = dataclasses.replace(
+        cfg,
+        render=dataclasses.replace(
+            cfg.render, faithful=False, traversal="packed",
+            scheduler=scheduler, wave=128, ray_tile=64,
+            gi_samples=gi_samples, gi_depth=gi_depth, **render_kw,
+        ),
+    )
+    return prepare(cfg, scene=scene)
+
+
+@pytest.mark.parametrize("scheduler", ["persistent", "tiled"])
+def test_furnace_plane_exact(scheduler):
+    """rho * E on every pixel, to float tolerance: with a constant
+    environment the cosine-weighted estimator is zero-variance (the
+    BRDF x cos / pdf weight is albedo for EVERY sampled direction)."""
+    img = np.asarray(render(_furnace_prep(scheduler)))
+    np.testing.assert_allclose(img, RHO * E, rtol=1e-5)
+
+
+def test_furnace_two_bounces_still_exact():
+    """Extra depth adds nothing on an open plane (all bounce rays
+    escape on the first try) — pins that dead paths contribute zero."""
+    img = np.asarray(render(_furnace_prep(gi_depth=3)))
+    np.testing.assert_allclose(img, RHO * E, rtol=1e-5)
+
+
+def test_direct_term_matches_analytic():
+    """gi_depth=0 leaves only next-event estimation: an unoccluded
+    Lambertian plane under a point light must equal
+    rho/pi * I * cos / r^2 computed analytically per pixel."""
+    prep = _furnace_prep(gi_depth=0, gi_samples=1, intensity=300.0)
+    # kill the environment so only the NEE term remains
+    prep = prep._replace(scene=prep.scene._replace(env_image=None))
+    img = np.asarray(render(prep))
+
+    from ray_tracer_tpu.ops.camera import camera_rays
+
+    rays = camera_rays(prep.cfg.camera)
+    o = np.asarray(rays.orig)
+    d = np.asarray(rays.dirn)
+    t = (-1.0 - o[:, 1]) / d[:, 1]  # plane y = -1
+    poi = o + d * t[:, None]
+    lp = np.asarray([0.0, 5.0, 0.0])
+    to_l = lp - poi
+    r2 = (to_l ** 2).sum(-1)
+    cos_i = np.maximum(to_l[:, 1] / np.sqrt(r2), 0.0)  # n = +y
+    want = (RHO / np.pi * 300.0 * cos_i / r2)[:, None] * np.ones(3)
+    np.testing.assert_allclose(
+        img.reshape(-1, 3), want, rtol=1e-4, atol=1e-4
+    )
+
+
+def test_deterministic_and_scheduler_independent():
+    """Hash-driven sampling: identical images across runs AND across
+    schedulers (the persistent wave and the tiled march trace the same
+    paths) on a scene with real occlusion."""
+    from ray_tracer_tpu.models.scenes import gradcheck_scene
+
+    scene, cfg = gradcheck_scene(12, 12)
+    base = dataclasses.replace(
+        cfg,
+        render=dataclasses.replace(
+            cfg.render, faithful=False, traversal="packed", ray_tile=144,
+            wave=128, gi_samples=2, gi_depth=2,
+        ),
+    )
+    imgs = {}
+    for sched in ("persistent", "tiled"):
+        c = dataclasses.replace(
+            base, render=dataclasses.replace(base.render, scheduler=sched)
+        )
+        prep = prepare(c, scene=scene)
+        a = np.asarray(render(prep))
+        b = np.asarray(render(prep))
+        np.testing.assert_array_equal(a, b)  # run-to-run
+        imgs[sched] = a
+    np.testing.assert_array_equal(imgs["persistent"], imgs["tiled"])
+
+
+def test_indirect_light_reaches_shadowed_pixels():
+    """The point of GI: pixels whose direct term is fully occluded gain
+    energy from bounce light."""
+    from ray_tracer_tpu.models.scenes import gradcheck_scene
+
+    scene, cfg = gradcheck_scene(24, 24)
+    scene = scene._replace(light_intensity=jnp.asarray(3000.0, jnp.float32))
+
+    def img_at(depth):
+        c = dataclasses.replace(
+            cfg,
+            render=dataclasses.replace(
+                cfg.render, faithful=False, traversal="packed",
+                scheduler="persistent", wave=256, gi_samples=4,
+                gi_depth=depth,
+            ),
+        )
+        return np.asarray(render(prepare(c, scene=scene)))
+
+    direct = img_at(0)
+    gi = img_at(2)
+    # energy only increases (all terms are non-negative additions)
+    assert gi.sum() > direct.sum()
+    # some pixel that is BLACK under direct-only (hit but fully
+    # shadowed, and no environment) is lit by indirect light
+    dark = direct.max(axis=-1) < 1e-6
+    assert dark.any(), "scene should have fully-shadowed pixels"
+    assert gi.max(axis=-1)[dark].max() > 0.1
+
+
+def test_albedo_gradients_flow_through_bounces():
+    """d radiance / d base_color through the path integral: on the
+    furnace plane radiance = (bc/255) * E exactly, so the autodiff
+    gradient of the mean image must equal the analytic E/255 (per
+    channel, diagonal)."""
+    from ray_tracer_tpu.render.pathtrace import pathtrace_rays
+    from ray_tracer_tpu.ops.camera import camera_rays
+
+    prep = _furnace_prep(gi_depth=1, gi_samples=1)
+    rays = camera_rays(prep.cfg.camera)
+
+    def loss(bc):
+        scene = prep.scene._replace(
+            materials=prep.scene.materials._replace(base_color=bc)
+        )
+        out = pathtrace_rays(
+            rays, scene, prep.packed.arrays, prep.packed.meta, prep.cfg
+        )
+        return out.mean()
+
+    bc0 = prep.scene.materials.base_color
+    g = np.asarray(jax.grad(loss)(bc0))
+    # d mean / d bc[c] = E / 255 / 3 (each channel is bc[c]/255 * E,
+    # mean over 3 channels)
+    np.testing.assert_allclose(g, E / 255.0 / 3.0, rtol=1e-4)
