@@ -91,6 +91,13 @@ def _sharded_image_fn(meta: GridMeta, cfg: SceneConfig, mesh: Mesh, axis: str, b
     inv_perm = np.argsort(perm)
 
     def shard_body(scene: Scene, grid, rays: RayBatch) -> jnp.ndarray:
+        if rcfg.gi_samples > 0:
+            # path-traced GI shards like everything else: per-ray pure
+            # function, sample keys hash the ray itself (not its batch
+            # index), so sharded == single-device bitwise
+            from ray_tracer_tpu.render.pathtrace import pathtrace_rays
+
+            return pathtrace_rays(rays, scene, grid, meta, cfg)
         if rcfg.traversal == "packed":
             if rcfg.scheduler == "persistent":
                 # one persistent wave per shard — no sort, no tiles

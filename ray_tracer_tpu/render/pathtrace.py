@@ -126,7 +126,27 @@ def pathtrace_rays(
                 (scene.extra_light_pos[i], scene.extra_light_intensity[i])
             )
 
-    ray_ids = jnp.arange(r, dtype=jnp.uint32)
+    # The per-ray sample key hashes the RAY ITSELF (origin/direction
+    # bits), not its batch index: a ray keeps its sample sequence under
+    # any padding, permutation or sharding, so the sharded render is
+    # bitwise identical to the single-device one (the same convention
+    # every other feature holds — tests/test_sharding.py).  Primary
+    # rays have pairwise-distinct directions (distinct pixel centers),
+    # so keys are distinct within a frame.
+    def _bits(x):
+        return jax.lax.bitcast_convert_type(
+            jax.lax.stop_gradient(x.astype(jnp.float32)), jnp.uint32
+        )
+
+    ob, db = _bits(rays.orig), _bits(rays.dirn)
+    ray_ids = (
+        db[:, 0] * jnp.uint32(0x85EBCA6B)
+        ^ db[:, 1] * jnp.uint32(0xC2B2AE35)
+        ^ db[:, 2] * jnp.uint32(0x27D4EB2F)
+        ^ ob[:, 0] * jnp.uint32(0x165667B1)
+        ^ ob[:, 1] * jnp.uint32(0x9E3779B1)
+        ^ ob[:, 2] * jnp.uint32(0xFC0589B5)
+    )
 
     def one_sample(s: int) -> jnp.ndarray:
         radiance = jnp.zeros((r, 3), dt)
@@ -229,13 +249,22 @@ def pathtrace_rays(
 
 def render_pt(prep) -> jnp.ndarray:
     """Path-traced render of a Prepared scene -> (H, W, 3) linear color
-    (same units/shape contract as renderer.render)."""
+    (same units/shape contract as renderer.render).
+
+    The whole integrator runs under ONE jit (like the sharded image
+    fn), so single-device and sharded renders compile to the same
+    fused arithmetic and stay bitwise equal."""
     cfg = prep.cfg
     if cfg.render.traversal == "packed":
         grid, meta = prep.packed.arrays, prep.packed.meta
     else:
         grid, meta = prep.grid.arrays, prep.grid.meta
     cam = cfg.camera
-    rays = camera_rays(cam)
-    colors = pathtrace_rays(rays, prep.scene, grid, meta, cfg)
-    return colors.reshape(cam.height, cam.width, 3)
+
+    @jax.jit
+    def run(scene, grid):
+        rays = camera_rays(cam, dtype=jnp.dtype(cfg.render.dtype))
+        colors = pathtrace_rays(rays, scene, grid, meta, cfg)
+        return colors.reshape(cam.height, cam.width, 3)
+
+    return run(prep.scene, grid)

@@ -129,6 +129,27 @@ def test_deterministic_and_scheduler_independent():
     np.testing.assert_array_equal(imgs["persistent"], imgs["tiled"])
 
 
+def test_gi_sharded_equals_single(eight_device_mesh):
+    """GI shards over rays like every other feature, bitwise: the
+    sample key hashes the ray itself (not its batch index), so padding,
+    the balance permutation and sharding change nothing."""
+    from ray_tracer_tpu.models.scenes import gradcheck_scene
+    from ray_tracer_tpu.parallel.shard import render_sharded
+
+    scene, cfg = gradcheck_scene(12, 12)
+    cfg = dataclasses.replace(
+        cfg,
+        render=dataclasses.replace(
+            cfg.render, faithful=False, traversal="packed",
+            scheduler="persistent", wave=64, gi_samples=2, gi_depth=2,
+        ),
+    )
+    prep = prepare(cfg, scene=scene)
+    single = np.asarray(render(prep))
+    sharded = np.asarray(render_sharded(prep, mesh=eight_device_mesh))
+    np.testing.assert_array_equal(single, sharded)
+
+
 def test_indirect_light_reaches_shadowed_pixels():
     """The point of GI: pixels whose direct term is fully occluded gain
     energy from bounce light."""
