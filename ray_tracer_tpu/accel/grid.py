@@ -117,6 +117,56 @@ def pos_to_voxel(p: np.ndarray, lower: np.ndarray, inv_width: np.ndarray, n_voxe
     return np.clip(v, 0, n_voxels - 1)
 
 
+def tri_box_overlap(
+    v0: np.ndarray,
+    v1: np.ndarray,
+    v2: np.ndarray,
+    box_lo: np.ndarray,
+    box_hi: np.ndarray,
+    pad: np.ndarray,
+) -> np.ndarray:
+    """Vectorized SAT triangle/AABB overlap (Akenine-Möller 2001).
+
+    All inputs (P, 3) float64; `pad` inflates the box half-extents so
+    the test stays CONSERVATIVE against float32 rounding elsewhere
+    (grid binning, the traversal's probe-point cell assignment).  The
+    three box-normal axes are assumed already tested by the caller
+    (candidate pairs come from an AABB-overlap expansion), so this
+    runs the triangle-plane axis and the 9 edge-cross axes, with
+    inclusive comparisons (boundary touch counts as overlap).
+    Returns (P,) bool.
+    """
+    c = (box_lo + box_hi) * 0.5
+    h = (box_hi - box_lo) * 0.5 + pad
+    u0, u1, u2 = v0 - c, v1 - c, v2 - c
+
+    def sep(ax, ay, az):
+        """True where the axis (ax, ay, az) separates box and triangle."""
+        p0 = ax * u0[:, 0] + ay * u0[:, 1] + az * u0[:, 2]
+        p1 = ax * u1[:, 0] + ay * u1[:, 1] + az * u1[:, 2]
+        p2 = ax * u2[:, 0] + ay * u2[:, 1] + az * u2[:, 2]
+        r = (h[:, 0] * np.abs(ax) + h[:, 1] * np.abs(ay)
+             + h[:, 2] * np.abs(az))
+        lo = np.minimum(np.minimum(p0, p1), p2)
+        hi = np.maximum(np.maximum(p0, p1), p2)
+        return (lo > r) | (hi < -r)
+
+    e0, e1, e2 = u1 - u0, u2 - u1, u0 - u2
+    # triangle-plane axis
+    nx = e0[:, 1] * e1[:, 2] - e0[:, 2] * e1[:, 1]
+    ny = e0[:, 2] * e1[:, 0] - e0[:, 0] * e1[:, 2]
+    nz = e0[:, 0] * e1[:, 1] - e0[:, 1] * e1[:, 0]
+    separated = sep(nx, ny, nz)
+    # 9 edge-cross axes: cross(unit_j, edge) for j in {x, y, z}
+    for e in (e0, e1, e2):
+        ex, ey, ez = e[:, 0], e[:, 1], e[:, 2]
+        zero = np.zeros_like(ex)
+        separated |= sep(zero, -ez, ey)
+        separated |= sep(ez, zero, -ex)
+        separated |= sep(-ey, ex, zero)
+    return ~separated
+
+
 def build_grid(
     verts: np.ndarray,
     faces: np.ndarray,
@@ -124,6 +174,7 @@ def build_grid(
     max_resolution: int = 64,
     use_native: bool = True,
     force_resolution: "tuple[int, int, int] | None" = None,
+    exact_overlap: bool = False,
 ) -> UniformGrid:
     """force_resolution overrides the 3∛N heuristic with a fixed
     (nx, ny, nz) — needed when several grids must share one static
@@ -140,6 +191,8 @@ def build_grid(
     num_tris = faces.shape[0]
     if force_resolution is not None:
         use_native = False  # the native builder computes its own resolution
+    if exact_overlap:
+        use_native = False  # SAT filtering lives in the numpy build
 
     if use_native and num_tris > 0:
         try:
@@ -188,7 +241,8 @@ def build_grid(
     nx, ny, nz = (int(x) for x in n_voxels)
 
     cell_start, tri_ids = _build_csr_numpy(
-        tri_lo, tri_hi, lower, inv_width, n_voxels, nx, ny
+        tri_lo, tri_hi, lower, inv_width, n_voxels, nx, ny,
+        exact=(verts, faces, width) if exact_overlap and num_tris else None,
     )
     return _assemble_grid(
         nx, ny, nz, lower, upper, width, inv_width, cell_start, tri_ids
@@ -251,10 +305,16 @@ def pad_grid_like(grid: "UniformGrid", like: GridMeta) -> "UniformGrid | None":
     )
 
 
-def _build_csr_numpy(tri_lo, tri_hi, lower, inv_width, n_voxels, nx, ny):
+def _build_csr_numpy(tri_lo, tri_hi, lower, inv_width, n_voxels, nx, ny,
+                     exact=None):
     """Vectorized insertion: expand each triangle into its overlapped voxel
     range, then stable-sort by cell.  Equivalent to the reference's triple
-    loop (grid.h:135-148) including within-cell triangle ordering."""
+    loop (grid.h:135-148) including within-cell triangle ordering.
+
+    exact=(verts, faces, width): SAT-filter the candidate pairs so a
+    triangle only enters voxels it geometrically touches (GridConfig
+    .exact_overlap) — the within-cell triangle order of the survivors
+    is unchanged."""
     num_tris = tri_lo.shape[0]
     total = int(n_voxels[0]) * int(n_voxels[1]) * int(n_voxels[2])
     if num_tris == 0:
@@ -279,6 +339,30 @@ def _build_csr_numpy(tri_lo, tri_hi, lower, inv_width, n_voxels, nx, ny):
     x = vmin[tri_of, 0] + dx
     y = vmin[tri_of, 1] + dy
     z = vmin[tri_of, 2] + dz
+
+    if exact is not None:
+        verts, faces, width = exact
+        # cell box in f64 from the f32 grid frame; the pad absorbs (a)
+        # the f32 binning error of pos_to_voxel / the traversal's probe
+        # point (relative to coordinate magnitude, so ~1e-4 of a cell
+        # at 128 cells/axis) and (b) boundary-touching triangles, which
+        # must stay discoverable from either neighbor.
+        lo64 = lower.astype(np.float64)
+        w64 = width.astype(np.float64)
+        idx = np.stack([x, y, z], axis=1).astype(np.float64)
+        box_lo = lo64 + idx * w64
+        box_hi = lo64 + (idx + 1.0) * w64
+        pad = np.maximum(w64 * 1e-4, 1e-12)
+        pad = np.broadcast_to(pad, box_lo.shape)
+        f = faces[tri_of]
+        keep = tri_box_overlap(
+            verts[f[:, 0]].astype(np.float64),
+            verts[f[:, 1]].astype(np.float64),
+            verts[f[:, 2]].astype(np.float64),
+            box_lo, box_hi, pad,
+        )
+        tri_of, x, y, z = tri_of[keep], x[keep], y[keep], z[keep]
+
     cell = z * (nx * ny) + y * nx + x  # z-major (grid.h:73-75)
 
     order = np.argsort(cell, kind="stable")

@@ -88,6 +88,18 @@ class GridConfig:
 
     resolution_multiplier: float = 3.0
     max_resolution: int = 64
+    # Insertion policy.  False reproduces the reference: a triangle
+    # enters every voxel overlapped by its AABB (Serial/grid.h:118-150)
+    # — conservative, and false-positive-heavy for diagonal triangles
+    # on finely tessellated surfaces.  True filters each candidate
+    # (triangle, voxel) pair with an exact SAT triangle-box test
+    # (Akenine-Möller 2001, 13 axes; epsilon-inflated so it stays
+    # conservative against the build's float32 binning), shrinking
+    # per-voxel lists and turning grazed-but-not-touched cells empty
+    # (better Chebyshev leaps).  Nearest-hit results are unchanged:
+    # the cell containing any hit point always keeps its triangle.
+    # A production knob — the bit-faithful oracle configs leave it off.
+    exact_overlap: bool = False
 
 
 @dataclass(frozen=True)

@@ -358,6 +358,7 @@ def fit(
             verts_np, faces_np,
             resolution_multiplier=cfg.render.grid.resolution_multiplier,
             max_resolution=cfg.render.grid.max_resolution,
+            exact_overlap=cfg.render.grid.exact_overlap,
         )
         if packed_mode:
             from ray_tracer_tpu.accel.packed import pack_grid

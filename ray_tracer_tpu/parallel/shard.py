@@ -629,6 +629,7 @@ def build_ring_grids(prep: Prepared, n_shards: int):
             resolution_multiplier=rcfg.grid.resolution_multiplier,
             max_resolution=rcfg.grid.max_resolution,
             force_resolution=common_res,
+            exact_overlap=rcfg.grid.exact_overlap,
         )
         packs.append(pack_grid(g, verts_np, sl, block_tris=bt, as_numpy=True))
 

@@ -128,6 +128,7 @@ def prepare(cfg: SceneConfig, scene: Scene = None) -> Prepared:
         faces_np,
         resolution_multiplier=cfg.render.grid.resolution_multiplier,
         max_resolution=cfg.render.grid.max_resolution,
+        exact_overlap=cfg.render.grid.exact_overlap,
     )
     packed = None
     if cfg.render.traversal == "packed":
