@@ -247,24 +247,31 @@ def pathtrace_rays(
     return acc / rcfg.gi_samples
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("meta", "cfg"))
+def _render_pt_jit(scene, grid, meta, cfg):
+    cam = cfg.camera
+    rays = camera_rays(cam, dtype=jnp.dtype(cfg.render.dtype))
+    colors = pathtrace_rays(rays, scene, grid, meta, cfg)
+    return colors.reshape(cam.height, cam.width, 3)
+
+
 def render_pt(prep) -> jnp.ndarray:
     """Path-traced render of a Prepared scene -> (H, W, 3) linear color
     (same units/shape contract as renderer.render).
 
     The whole integrator runs under ONE jit (like the sharded image
     fn), so single-device and sharded renders compile to the same
-    fused arithmetic and stay bitwise equal."""
+    fused arithmetic and stay bitwise equal.  The jit wrapper is
+    module-level with static (meta, cfg) — an inner `@jax.jit def run`
+    closure would be a FRESH jit cache per call, re-tracing the whole
+    multi-traversal graph every frame (measured: ~6 s/frame re-trace
+    vs ~40 ms of device work at 512², gi_depth=0)."""
     cfg = prep.cfg
     if cfg.render.traversal == "packed":
         grid, meta = prep.packed.arrays, prep.packed.meta
     else:
         grid, meta = prep.grid.arrays, prep.grid.meta
-    cam = cfg.camera
-
-    @jax.jit
-    def run(scene, grid):
-        rays = camera_rays(cam, dtype=jnp.dtype(cfg.render.dtype))
-        colors = pathtrace_rays(rays, scene, grid, meta, cfg)
-        return colors.reshape(cam.height, cam.width, 3)
-
-    return run(prep.scene, grid)
+    return _render_pt_jit(prep.scene, grid, meta, cfg)
