@@ -109,6 +109,56 @@ def _bench_grad(prep, args, size: int) -> None:
     }))
 
 
+def _bench_gi(prep, args, size: int) -> None:
+    """Path-traced GI throughput (render/pathtrace.py) — a beyond-
+    reference feature, so vs_baseline is 0.  Counted as all dispatched
+    ray segments: per sample and per path vertex, one path segment plus
+    one NEE shadow segment (dead/compacted lanes included, so this is
+    the same generous convention as the reflective-scene count)."""
+    import dataclasses as _dc
+    import time as _time
+
+    import jax
+
+    from ray_tracer_tpu.render.renderer import render
+
+    cfg = _dc.replace(
+        prep.cfg,
+        render=_dc.replace(
+            prep.cfg.render, gi_samples=args.gi, gi_depth=args.gi_depth,
+        ),
+    )
+    prep = prep._replace(cfg=cfg)
+
+    def sync(x):
+        return float(jax.device_get(x[0, 0, 0]))
+
+    t0 = _time.perf_counter()
+    sync(render(prep))
+    log(f"first GI render (incl compile): {_time.perf_counter() - t0:.1f}s")
+    n = max(args.repeat, 2)
+    sec = float("inf")
+    for _ in range(max(args.rounds, 1)):
+        t0 = _time.perf_counter()
+        img = None
+        for _ in range(n):
+            img = render(prep)
+        sync(img)
+        sec = min(sec, (_time.perf_counter() - t0) / n)
+    segments = size * size * args.gi * 2 * (args.gi_depth + 1)
+    print(json.dumps({
+        "metric": f"gi_mrays_per_s_{args.scene}",
+        "value": round(segments / sec / 1e6, 4),
+        "unit": "Mrays/s (path+NEE segments)",
+        "vs_baseline": 0.0,  # the reference has no GI integrator
+        "seconds_per_frame": round(sec, 4),
+        "size": size,
+        "gi_samples": args.gi,
+        "gi_depth": args.gi_depth,
+        "paths_per_s_m": round(size * size * args.gi / sec / 1e6, 4),
+    }))
+
+
 def main() -> None:
     # honor an env-requested platform before any backend use (the axon
     # sitecustomize would otherwise re-register the TPU backend)
@@ -139,6 +189,11 @@ def main() -> None:
                          "parallel = CUDA-variant reflective scene")
     ap.add_argument("--grad", action="store_true",
                     help="benchmark one fwd+bwd train step instead of forward")
+    ap.add_argument("--gi", type=int, default=0, metavar="SAMPLES",
+                    help="benchmark the path-traced GI integrator at this "
+                         "many samples/pixel instead of the Whitted forward")
+    ap.add_argument("--gi-depth", type=int, default=2,
+                    help="GI bounce depth (with --gi)")
     ap.add_argument("--trainable",
                     default="base_color,kd,ks,ka,light_pos",
                     help="comma list of SceneParams fields to differentiate "
@@ -163,6 +218,10 @@ def main() -> None:
                     help="grid resolution multiplier (cells ~ rm * 3*cbrt(N))")
     ap.add_argument("--max-res", type=int, default=None,
                     help="per-axis grid resolution clamp (reference: 64)")
+    ap.add_argument("--exact", default=None, choices=["on", "off"],
+                    help="SAT exact triangle-box grid insertion "
+                         "(GridConfig.exact_overlap); default: the "
+                         "per-scene tuned value (on — measured +2-3%%)")
     ap.add_argument("--probe-timeout", type=float,
                     default=float(os.environ.get("BENCH_PROBE_TIMEOUT", 600)),
                     help="seconds to wait for device-backend init in a "
@@ -207,19 +266,17 @@ def main() -> None:
             }))
             sys.exit(1)
 
-    # Per-scene tuned defaults (sweep-measured on v5e; docs/PERFORMANCE.md):
-    # sparse spot wants narrow 14-tri rows, a fine unclamped grid and
-    # pump 3 under the inline layout; the dense 261k-tri stand-in wants
-    # 28-tri rows and the stock cap (rm 1.0-1.5 is a wide plateau).
-    # grid_layout "auto" resolves to inline for spot (probe-heavy) and
-    # blocks for the dense/reflective scenes (renderer.choose_inline_layout).
-    _tuned = {
-        "spot": dict(block_tris=14, rm=2.0, max_res=128, wave=12288, pump=3),
-        "nefertiti": dict(block_tris=28, rm=1.25, max_res=64, wave=8192,
-                          pump=2),
-        "parallel": dict(block_tris=56, rm=0.75, max_res=64, wave=8192,
-                         pump=2),
-    }[args.scene]
+    # Per-scene tuned defaults from the ONE shared knob table
+    # (ray_tracer_tpu.config.TUNED_KNOBS, also behind the CLI's --turbo;
+    # sweep-measured on v5e, docs/PERFORMANCE.md): sparse spot wants
+    # narrow 14-tri rows, a fine unclamped grid and pump 3 under the
+    # inline layout; the dense 261k-tri stand-in wants 28-tri rows and
+    # the stock cap (rm 1.0-1.5 is a wide plateau).  grid_layout "auto"
+    # resolves to inline for spot (probe-heavy) and blocks for the
+    # dense/reflective scenes (renderer.choose_inline_layout).
+    from ray_tracer_tpu.config import TUNED_KNOBS
+
+    _tuned = TUNED_KNOBS[{"spot": "serial"}.get(args.scene, args.scene)]
     if args.block_tris is None:
         args.block_tris = _tuned["block_tris"]
     if args.rm is None:
@@ -230,6 +287,7 @@ def main() -> None:
         args.wave = _tuned["wave"]
     if args.pump is None:
         args.pump = _tuned["pump"]
+    exact = (_tuned["exact"] if args.exact is None else args.exact == "on")
 
     import dataclasses
 
@@ -266,7 +324,8 @@ def main() -> None:
             # spot (9.7 at the round-1 tiled schedule, 7.0 at the
             # first-cut 14-tri/128-lane two-pass defaults).
             grid=GridConfig(resolution_multiplier=args.rm,
-                            max_resolution=args.max_res),
+                            max_resolution=args.max_res,
+                            exact_overlap=exact),
         ),
     )
     t0 = time.perf_counter()
@@ -293,6 +352,10 @@ def main() -> None:
 
     if args.grad:
         _bench_grad(prep, args, size)
+        return
+
+    if args.gi > 0:
+        _bench_gi(prep, args, size)
         return
 
     def sync(x):

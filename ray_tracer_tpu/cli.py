@@ -54,23 +54,18 @@ def _build_cfg(args):
             cfg, render=dataclasses.replace(cfg.render, faithful=False)
         )
     if getattr(args, "turbo", False):
-        # the tuned production pipeline (what bench.py runs): packed
-        # block rows + the persistent wavefront + measured shadow-fusion
-        # policy + auto grid layout.  Wave/pump follow bench.py's
-        # per-scene sweep (docs/PERFORMANCE.md): the sparse serial scene
-        # knees at 12,288 lanes / pump 3 under the inline layout;
-        # dense/reflective scenes (and the generic --config path) keep
-        # 8,192 / pump 2 — a bigger wave only lengthens their straggler
-        # walk.
-        sparse = getattr(args, "scene", None) == "serial"
-        cfg = dataclasses.replace(
-            cfg,
-            render=dataclasses.replace(
-                cfg.render, faithful=False, det_dtype="float32",
-                traversal="packed", scheduler="persistent",
-                wave=12288 if sparse else 8192, pump=3 if sparse else 2,
-            ),
-        )
+        # the tuned production pipeline (what bench.py runs), from the
+        # ONE shared per-scene knob table (config.TUNED_KNOBS): packed
+        # block rows + the persistent wavefront + auto grid layout +
+        # SAT-exact grid insertion, with the sweep-measured wave/pump/
+        # row-width/grid knobs per scene family (docs/PERFORMANCE.md).
+        from ray_tracer_tpu.config import apply_turbo
+
+        family = {
+            "serial": "serial", "parallel": "parallel",
+            "nefertiti": "nefertiti", "nefertiti_spot": "nefertiti",
+        }.get(getattr(args, "scene", None))
+        cfg = apply_turbo(cfg, family)
     if getattr(args, "spp", 1) > 1:
         cfg = dataclasses.replace(
             cfg, render=dataclasses.replace(cfg.render, spp=args.spp)

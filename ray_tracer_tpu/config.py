@@ -289,6 +289,55 @@ class SceneConfig:
 
 
 # ---------------------------------------------------------------------------
+# Tuned production knobs (sweep-measured on TPU v5e; docs/PERFORMANCE.md)
+# ---------------------------------------------------------------------------
+
+# The ONE per-scene tuned-knob table, consumed by bench.py AND the CLI's
+# --turbo preset so the two cannot diverge (a divergence here shipped
+# once: the turbo wave hardcoded 12288 for every scene while bench kept
+# per-scene values).  Keys are scene families: "serial" = the sparse
+# spot+blub flagship; "nefertiti" = the dense 261k-tri stand-in;
+# "parallel" = the CUDA-variant reflective scene.  None = generic
+# fallback for unknown/custom scenes.
+TUNED_KNOBS = {
+    "serial": dict(block_tris=14, rm=2.0, max_res=128, wave=12288, pump=3,
+                   exact=True),
+    "nefertiti": dict(block_tris=28, rm=1.25, max_res=64, wave=8192, pump=2,
+                      exact=True),
+    "parallel": dict(block_tris=56, rm=0.75, max_res=64, wave=8192, pump=2,
+                     exact=True),
+    None: dict(block_tris=0, rm=3.0, max_res=64, wave=8192, pump=2,
+               exact=True),
+}
+
+
+def apply_turbo(cfg: "SceneConfig", scene_family: "str | None") -> "SceneConfig":
+    """The tuned production pipeline: packed block rows + the persistent
+    wavefront + auto grid layout + SAT-exact grid insertion, with the
+    per-scene sweep-measured knobs from TUNED_KNOBS."""
+    import dataclasses
+
+    k = TUNED_KNOBS.get(scene_family, TUNED_KNOBS[None])
+    return dataclasses.replace(
+        cfg,
+        render=dataclasses.replace(
+            cfg.render,
+            faithful=False, det_dtype="float32",
+            traversal="packed", scheduler="persistent",
+            packed_block_tris=k["block_tris"],
+            wave=k["wave"], pump=k["pump"],
+            grid_layout="auto",
+            grid=dataclasses.replace(
+                cfg.render.grid,
+                resolution_multiplier=k["rm"],
+                max_resolution=k["max_res"],
+                exact_overlap=k["exact"],
+            ),
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # JSON round-trip
 # ---------------------------------------------------------------------------
 
