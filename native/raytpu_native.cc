@@ -136,9 +136,46 @@ static inline int rtpu_iclamp(int v, int lo, int hi) {
   return v < lo ? lo : (v > hi ? hi : v);
 }
 
+// SAT triangle/box overlap (Akenine-Möller 2001), the exact-insertion
+// filter behind GridConfig.exact_overlap.  MUST keep bitwise keep/drop
+// parity with the numpy reference accel/grid.tri_box_overlap: same f64
+// operation order, same inclusive comparisons, and the lib is compiled
+// with -ffp-contract=off so no FMA contraction diverges from numpy.
+// u0/u1/u2 are the triangle vertices translated to the box center; h is
+// the (pad-inflated) half-extent.  The 3 box-normal axes are skipped —
+// candidate pairs already passed the AABB overlap expansion.
+static bool rtpu_tri_box_overlap(const double u0[3], const double u1[3],
+                                 const double u2[3], const double h[3]) {
+  auto sep = [&](double ax, double ay, double az) {
+    double p0 = ax * u0[0] + ay * u0[1] + az * u0[2];
+    double p1 = ax * u1[0] + ay * u1[1] + az * u1[2];
+    double p2 = ax * u2[0] + ay * u2[1] + az * u2[2];
+    double r = h[0] * std::fabs(ax) + h[1] * std::fabs(ay) + h[2] * std::fabs(az);
+    double lo = std::min(std::min(p0, p1), p2);
+    double hi = std::max(std::max(p0, p1), p2);
+    return lo > r || hi < -r;
+  };
+  const double e0[3] = {u1[0] - u0[0], u1[1] - u0[1], u1[2] - u0[2]};
+  const double e1[3] = {u2[0] - u1[0], u2[1] - u1[1], u2[2] - u1[2]};
+  const double e2[3] = {u0[0] - u2[0], u0[1] - u2[1], u0[2] - u2[2]};
+  // triangle-plane axis
+  if (sep(e0[1] * e1[2] - e0[2] * e1[1],
+          e0[2] * e1[0] - e0[0] * e1[2],
+          e0[0] * e1[1] - e0[1] * e1[0]))
+    return false;
+  // 9 edge-cross axes: cross(unit_j, edge) for j in {x, y, z}
+  for (const double* e : {e0, e1, e2}) {
+    if (sep(0.0, -e[2], e[1])) return false;
+    if (sep(e[2], 0.0, -e[0])) return false;
+    if (sep(-e[1], e[0], 0.0)) return false;
+  }
+  return true;
+}
+
 static RtpuGrid* rtpu_grid_build_impl(const float* verts, long nv,
                                       const int32_t* faces, long nf,
-                                      float res_mult, int max_res) {
+                                      float res_mult, int max_res,
+                                      int exact) {
   auto* g = new RtpuGrid();
   if (nf <= 0 || nv <= 0) {  // callers gate on nf > 0; stay defined anyway
     for (int k = 0; k < 3; ++k) {
@@ -207,6 +244,55 @@ static RtpuGrid* rtpu_grid_build_impl(const float* verts, long nv,
     }
   }
   const int64_t nxy = int64_t(g->n[0]) * g->n[1];
+  if (exact) {
+    // single pass collecting SAT-surviving pairs (tri-major, z-fastest
+    // cell order — same pair order as the AABB loops below and the
+    // numpy build, so within-cell triangle order is unchanged), then a
+    // stable counting sort into the CSR.
+    std::vector<int64_t> pcell;
+    std::vector<int32_t> ptri;
+    double pad[3], lo64[3], w64[3];
+    for (int k = 0; k < 3; ++k) {
+      lo64[k] = double(g->lower[k]);
+      w64[k] = double(g->width[k]);
+      pad[k] = std::max(w64[k] * 1e-4, 1e-12);
+    }
+    for (long i = 0; i < nf; ++i) {
+      const float* a = vert_at(3 * i);
+      const float* b = vert_at(3 * i + 1);
+      const float* c = vert_at(3 * i + 2);
+      for (int x = vmin[3 * i]; x <= vmax[3 * i]; ++x)
+        for (int y = vmin[3 * i + 1]; y <= vmax[3 * i + 1]; ++y)
+          for (int z = vmin[3 * i + 2]; z <= vmax[3 * i + 2]; ++z) {
+            const int idx[3] = {x, y, z};
+            double u0[3], u1[3], u2[3], h[3];
+            for (int k = 0; k < 3; ++k) {
+              // numpy order: box_lo/box_hi from the f32 frame, then
+              // center/half-extent (+pad)
+              double box_lo = lo64[k] + double(idx[k]) * w64[k];
+              double box_hi = lo64[k] + (double(idx[k]) + 1.0) * w64[k];
+              double ctr = (box_lo + box_hi) * 0.5;
+              h[k] = (box_hi - box_lo) * 0.5 + pad[k];
+              u0[k] = double(a[k]) - ctr;
+              u1[k] = double(b[k]) - ctr;
+              u2[k] = double(c[k]) - ctr;
+            }
+            if (rtpu_tri_box_overlap(u0, u1, u2, h)) {
+              pcell.push_back(z * nxy + int64_t(y) * g->n[0] + x);
+              ptri.push_back(int32_t(i));
+              counts[pcell.back()]++;
+            }
+          }
+    }
+    g->cell_start.assign(total + 1, 0);
+    for (int64_t i = 0; i < total; ++i)
+      g->cell_start[i + 1] = g->cell_start[i] + counts[i];
+    g->tri_ids.resize(g->cell_start[total]);
+    std::vector<int64_t> cursor(g->cell_start.begin(), g->cell_start.end() - 1);
+    for (size_t p = 0; p < pcell.size(); ++p)
+      g->tri_ids[cursor[pcell[p]]++] = ptri[p];
+    return g;
+  }
   for (long i = 0; i < nf; ++i)
     for (int x = vmin[3 * i]; x <= vmax[3 * i]; ++x)
       for (int y = vmin[3 * i + 1]; y <= vmax[3 * i + 1]; ++y)
@@ -232,7 +318,21 @@ RtpuGrid* rtpu_grid_build(const float* verts, long nv, const int32_t* faces,
   // return null instead (callers fall back to the numpy builder) —
   // same hardening as the OBJ loader above
   try {
-    return rtpu_grid_build_impl(verts, nv, faces, nf, res_mult, max_res);
+    return rtpu_grid_build_impl(verts, nv, faces, nf, res_mult, max_res, 0);
+  } catch (...) {
+    return nullptr;
+  }
+}
+
+// v2 entry point adding SAT-exact insertion; the Python binding probes
+// for THIS symbol, so a stale pre-exact libraytpu.so is treated as
+// unavailable (numpy fallback) instead of silently ignoring `exact`.
+RtpuGrid* rtpu_grid_build_v2(const float* verts, long nv,
+                             const int32_t* faces, long nf, float res_mult,
+                             int max_res, int exact) {
+  try {
+    return rtpu_grid_build_impl(verts, nv, faces, nf, res_mult, max_res,
+                                exact);
   } catch (...) {
     return nullptr;
   }

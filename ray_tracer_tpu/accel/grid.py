@@ -191,15 +191,14 @@ def build_grid(
     num_tris = faces.shape[0]
     if force_resolution is not None:
         use_native = False  # the native builder computes its own resolution
-    if exact_overlap:
-        use_native = False  # SAT filtering lives in the numpy build
 
     if use_native and num_tris > 0:
         try:
             from ray_tracer_tpu.accel import native
 
             built = native.build_grid_native(
-                verts, faces, resolution_multiplier, max_resolution
+                verts, faces, resolution_multiplier, max_resolution,
+                exact_overlap=exact_overlap,
             )
         except Exception:
             built = None

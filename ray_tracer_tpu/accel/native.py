@@ -34,14 +34,12 @@ _c_int64_p = ctypes.POINTER(ctypes.c_int64)
 
 
 def ensure_built(timeout: int = 300) -> bool:
-    """Build the native library if missing. Returns True if available."""
+    """Build (or freshen) the native library. Returns True if available.
+
+    Always runs make — a no-op when build/ is newer than the sources,
+    and the rebuild path for a stale pre-v2 libraytpu.so (which _load
+    rejects so the numpy fallback stays correct)."""
     global _lib_failed
-    if os.path.exists(_LIB_PATH):
-        # an explicit ensure_built is a request to (re)try: clear any
-        # latched probe failure from before the library existed
-        with _lock:
-            _lib_failed = False
-        return True
     try:
         subprocess.run(
             ["make", "-C", _NATIVE_DIR, "-j4"],
@@ -88,8 +86,14 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.rtpu_obj_free.restype = None
         lib.rtpu_obj_free.argtypes = [ctypes.c_void_p]
 
-        lib.rtpu_grid_build.restype = ctypes.c_void_p
-        lib.rtpu_grid_build.argtypes = [_c_float_p, ctypes.c_long, _c_int32_p, ctypes.c_long, ctypes.c_float, ctypes.c_int]
+        # probe the v2 symbol (SAT exact insertion): a stale pre-exact
+        # build would silently ignore the `exact` argument, so treat it
+        # as unavailable and let callers fall back to numpy
+        if not hasattr(lib, "rtpu_grid_build_v2"):
+            _lib_failed = True
+            return None
+        lib.rtpu_grid_build_v2.restype = ctypes.c_void_p
+        lib.rtpu_grid_build_v2.argtypes = [_c_float_p, ctypes.c_long, _c_int32_p, ctypes.c_long, ctypes.c_float, ctypes.c_int, ctypes.c_int]
         lib.rtpu_grid_dims.restype = None
         lib.rtpu_grid_dims.argtypes = [ctypes.c_void_p, _c_int32_p, _c_float_p, _c_float_p, _c_float_p, _c_float_p, _c_int64_p]
         lib.rtpu_grid_fill.restype = None
@@ -143,6 +147,7 @@ def build_grid_native(
     faces: np.ndarray,
     resolution_multiplier: float,
     max_resolution: int,
+    exact_overlap: bool = False,
 ) -> Optional[Tuple[np.ndarray, ...]]:
     """Returns (n3, lower, upper, width, inv_width, cell_start, tri_ids) or None."""
     lib = _load()
@@ -150,13 +155,14 @@ def build_grid_native(
         return None
     verts = np.ascontiguousarray(verts, dtype=np.float32)
     faces = np.ascontiguousarray(faces, dtype=np.int32)
-    handle = lib.rtpu_grid_build(
+    handle = lib.rtpu_grid_build_v2(
         _ptr(verts, ctypes.c_float),
         verts.shape[0],
         _ptr(faces, ctypes.c_int32),
         faces.shape[0],
         ctypes.c_float(resolution_multiplier),
         ctypes.c_int(max_resolution),
+        ctypes.c_int(1 if exact_overlap else 0),
     )
     if not handle:  # allocation failure inside the builder
         return None

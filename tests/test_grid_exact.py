@@ -118,6 +118,33 @@ def test_tri_box_overlap_axis_cases():
     )[0]
 
 
+def test_native_exact_build_matches_numpy(spot_geometry):
+    """The C++ builder's SAT filter (rtpu_grid_build_v2) keeps bitwise
+    keep/drop parity with the numpy reference — same f64 operation
+    order, lib compiled -ffp-contract=off."""
+    from ray_tracer_tpu.accel import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    verts, faces = spot_geometry
+    a = build_grid(verts, faces, 2.0, 128, use_native=False,
+                   exact_overlap=True)
+    b = build_grid(verts, faces, 2.0, 128, use_native=True,
+                   exact_overlap=True)
+    assert a.meta == b.meta
+    np.testing.assert_array_equal(a.host.cell_start, b.host.cell_start)
+    np.testing.assert_array_equal(a.host.tri_ids, b.host.tri_ids)
+
+    g = np.random.default_rng(5)
+    rverts = g.normal(size=(200, 3)).astype(np.float32)
+    rfaces = g.integers(0, 200, size=(150, 3)).astype(np.int32)
+    a = build_grid(rverts, rfaces, use_native=False, exact_overlap=True)
+    b = build_grid(rverts, rfaces, use_native=True, exact_overlap=True)
+    assert a.meta == b.meta
+    np.testing.assert_array_equal(a.host.cell_start, b.host.cell_start)
+    np.testing.assert_array_equal(a.host.tri_ids, b.host.tri_ids)
+
+
 def test_production_render_identical(spot_geometry):
     """The spot production render (persistent wave, packed grid) is
     bit-identical with and without exact insertion — the filter removes
