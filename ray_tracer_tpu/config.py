@@ -210,6 +210,17 @@ class RenderConfig:
     # Requires faithful=False.
     gi_samples: int = 0
     gi_depth: int = 2
+    # Fuse each path vertex's NEE shadow query into its segment's
+    # persistent-wave march (the same retire/rearm trick as the Whitted
+    # fused_shadow): one fused traversal per (sample, depth) instead of
+    # a path traversal plus a separate any-hit shadow traversal.
+    # Applies only on the persistent scheduler with exactly ONE point
+    # light; other configurations always take the separate-NEE path.
+    # Visibility is the same predicate either way (exists an accepted
+    # hit along the shadow ray); the shadow ORIGIN differs by ~1 ulp
+    # (the march's best_t vs the recomputed differentiable t), which
+    # can only matter on knife-edge blocker silhouettes.
+    gi_fuse_nee: bool = True
     # Packed path: fuse the shadow pass into the primary march (lanes
     # rearm as their own shadow ray on primary retirement) — fewer
     # while-loop instances, shadow work overlaps the primary tail.

@@ -148,6 +148,29 @@ def pathtrace_rays(
         ^ ob[:, 2] * jnp.uint32(0xFC0589B5)
     )
 
+    # Fused NEE: one point light on the persistent scheduler lets each
+    # path segment's march rearm retiring lanes as their NEE shadow ray
+    # (ops/persistent.py fuse_shadow — the same queue-free wavefront
+    # trick the Whitted renderer uses), replacing the separate any-hit
+    # shadow traversal per (sample, depth).  Visibility is the same
+    # exists-a-blocker predicate; see RenderConfig.gi_fuse_nee.
+    fuse_nee = persistent and rcfg.gi_fuse_nee and len(lights) == 1
+    if fuse_nee:
+        from ray_tracer_tpu.ops.persistent import persistent_trace
+
+        lp0 = lights[0][0].astype(jnp.float32)
+
+        def trav_fused(rb, t_gate, compact):
+            return persistent_trace(
+                rb, grid, meta, jax.lax.stop_gradient(lp0),
+                wave=rcfg.wave, pump=rcfg.pump,
+                t_gate=0.0 if t_gate is None else t_gate,
+                fuse_shadow=True,
+                shadow_gate=eps, shadow_mint=rcfg.shadow_mint(),
+                serial_quirk=rcfg.shadow_dir_away_from_light(),
+                need_t=False, compact=compact,
+            )
+
     def one_sample(s: int) -> jnp.ndarray:
         radiance = jnp.zeros((r, 3), dt)
         throughput = jnp.ones((r, 3), dt)
@@ -157,8 +180,12 @@ def pathtrace_rays(
 
         for depth in range(rcfg.gi_depth + 1):
             gate = rcfg.primary_gate() if depth == 0 else rcfg.bounce_gate()
-            tkw = {"compact": depth > 0} if persistent else {}
-            res = trav(jax.lax.stop_gradient(cur), t_gate=gate, **tkw)
+            if fuse_nee:
+                res = trav_fused(jax.lax.stop_gradient(cur), gate,
+                                 compact=depth > 0)
+            else:
+                tkw = {"compact": depth > 0} if persistent else {}
+                res = trav(jax.lax.stop_gradient(cur), t_gate=gate, **tkw)
             hit = res.hit & path_alive
 
             # escape: miss lanes pick up the environment by THIS
@@ -205,13 +232,18 @@ def pathtrace_rays(
                 d2 = jnp.sum(to_l * to_l, axis=-1)
                 wl = to_l / jnp.sqrt(jnp.maximum(d2, 1e-20))[:, None]
                 cos_i = jnp.maximum(jnp.sum(n * wl, axis=-1), 0.0)
-                srays = jax.tree.map(
-                    jax.lax.stop_gradient,
-                    shadow_rays_for(rcfg, lp, poi, hit),
-                )
-                skw = {"compact": True} if persistent else {}
-                sres = trav(srays, t_gate=eps, stop_on_first_hit=True, **skw)
-                unoccluded = hit & ~sres.hit
+                if fuse_nee:
+                    # visibility came back with the fused march
+                    unoccluded = hit & ~res.in_shadow
+                else:
+                    srays = jax.tree.map(
+                        jax.lax.stop_gradient,
+                        shadow_rays_for(rcfg, lp, poi, hit),
+                    )
+                    skw = {"compact": True} if persistent else {}
+                    sres = trav(srays, t_gate=eps, stop_on_first_hit=True,
+                                **skw)
+                    unoccluded = hit & ~sres.hit
                 direct = (
                     albedo * jnp.float32(_INV_PI)
                     * (li * cos_i / jnp.maximum(d2, 1e-20))[:, None]

@@ -129,6 +129,30 @@ def test_deterministic_and_scheduler_independent():
     np.testing.assert_array_equal(imgs["persistent"], imgs["tiled"])
 
 
+def test_fused_nee_matches_separate():
+    """gi_fuse_nee folds the NEE shadow query into the segment's march
+    (retire/rearm); visibility is the same exists-a-blocker predicate,
+    so the image matches the separate-traversal path on a scene with
+    real occlusion."""
+    from ray_tracer_tpu.models.scenes import gradcheck_scene
+
+    scene, cfg = gradcheck_scene(16, 16)
+    base = dataclasses.replace(
+        cfg,
+        render=dataclasses.replace(
+            cfg.render, faithful=False, traversal="packed",
+            scheduler="persistent", wave=128, gi_samples=2, gi_depth=2,
+        ),
+    )
+    imgs = {}
+    for fuse in (True, False):
+        c = dataclasses.replace(
+            base, render=dataclasses.replace(base.render, gi_fuse_nee=fuse)
+        )
+        imgs[fuse] = np.asarray(render(prepare(c, scene=scene)))
+    np.testing.assert_array_equal(imgs[True], imgs[False])
+
+
 def test_gi_sharded_equals_single(eight_device_mesh):
     """GI shards over rays like every other feature, bitwise: the
     sample key hashes the ray itself (not its batch index), so padding,
