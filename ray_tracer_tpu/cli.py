@@ -77,6 +77,7 @@ def _build_cfg(args):
                 cfg.render, faithful=False,
                 gi_samples=args.gi_samples,
                 gi_depth=getattr(args, "gi_depth", 2),
+                gi_specular=not getattr(args, "gi_no_specular", False),
             ),
         )
     if getattr(args, "smooth_normals", False):
@@ -363,6 +364,10 @@ def main(argv=None) -> None:
                          "deterministic hash sampling, render/pathtrace.py)")
     r.add_argument("--gi-depth", type=int, default=2,
                     help="path-traced GI: max indirect bounces")
+    r.add_argument("--gi-no-specular", action="store_true",
+                    help="path-traced GI: disable the mirror branch on "
+                         "reflective materials (treat everything as "
+                         "Lambertian)")
     r.add_argument("--light-radius", type=float, default=0.0,
                    help="spherical area light radius -> soft shadows")
     r.add_argument("--shadow-samples", type=int, default=0,

@@ -221,6 +221,17 @@ class RenderConfig:
     # (the march's best_t vs the recomputed differentiable t), which
     # can only matter on knife-edge blocker silhouettes.
     gi_fuse_nee: bool = True
+    # GI treats `reflective` materials (km > 0, the parallel variant's
+    # mirror palette, Parallel/raytracer.cu:449-453) as a Lambertian/
+    # mirror MIX: at each path vertex a deterministic hash draw picks
+    # the mirror branch with probability km (the Whitted blend's
+    # km-weight, raytracer.cu:508-520, estimated stochastically), else
+    # the diffuse branch.  Branch weights divide by the stop-gradient
+    # selection probability, so radiance stays unbiased AND km keeps an
+    # exact pathwise gradient (d/d km [km*L_spec + (1-km)*L_diff]).
+    # Mirror radiance is UNtinted, matching the reference blend's
+    # `recurse * km` term.  km == 0 scenes are bitwise unaffected.
+    gi_specular: bool = True
     # Packed path: fuse the shadow pass into the primary march (lanes
     # rearm as their own shadow ray on primary retirement) — fewer
     # while-loop instances, shadow work overlaps the primary tail.

@@ -5,7 +5,7 @@ integrators are Whitted-style (direct Blinn-Phong + mirror recursion,
 Serial/raytracer.cpp:71-118, Parallel/raytracer.cu:445-524).  This
 module reuses the SAME traversal backends (renderer.make_traversal —
 the persistent wave on the packed grid in production) to estimate the
-rendering equation for Lambertian surfaces:
+rendering equation for Lambertian and mirror surfaces:
 
   * albedo = base_color / 255 clamped to [0, 1) — the reference's
     0-255 color convention mapped to a physical reflectance;
@@ -18,7 +18,14 @@ rendering equation for Lambertian surfaces:
     delta lights, unreachable by BSDF sampling, so there is no
     double counting with the escape term;
   * escape radiance: a ray that misses the scene picks up the lat-long
-    environment map (Scene.env_image) or the flat background color.
+    environment map (Scene.env_image) or the flat background color;
+  * `reflective` materials (the CUDA variant's mirror palette) bounce
+    as a Lambertian/mirror MIX: a deterministic hash draw takes the
+    mirror branch with probability km, each branch weighted by its
+    differentiable km factor over the stop-gradient selection
+    probability (unbiased, exact d/d km) — the stochastic form of the
+    Whitted `color·base·(1-km) + recurse·km` blend
+    (config.RenderConfig.gi_specular).
 
 Sampling is DETERMINISTIC: direction samples come from an integer hash
 of (ray index, sample index, bounce depth) — no RNG state, no seed
@@ -117,6 +124,11 @@ def pathtrace_rays(
     background = jnp.asarray(rcfg.background, dt)
 
     albedo_table = jnp.clip(scene.materials.base_color / 255.0, 0.0, 1.0)
+    # mirror mix weight: km gated by the reference's `reflective` flag
+    # (Parallel/raytracer.cu:449-453 palette; km is meaningless on
+    # non-reflective entries there)
+    km_table = (jnp.clip(scene.materials.km, 0.0, 1.0)
+                * scene.materials.reflective.astype(dt))
 
     # point lights: primary + extras, all via next-event estimation
     lights = [(scene.light_pos, scene.light_intensity)]
@@ -224,9 +236,43 @@ def pathtrace_rays(
             flip = jnp.sum(n * cur.dirn, axis=-1) > 0.0
             n = jnp.where(flip[:, None], -n, n)
 
-            albedo = albedo_table[scene.face_material[tri]]
+            mat = scene.face_material[tri]
+            albedo = albedo_table[mat]
+
+            # ---- Lambertian / mirror branch selection -----------------
+            # (config.RenderConfig.gi_specular) one deterministic hash
+            # draw per (pixel, sample, depth) picks the mirror branch
+            # with probability km; each branch's weight divides by the
+            # STOP-GRADIENT selection probability, so the estimator is
+            # unbiased and d/d km flows exactly:
+            #   E[w·L] = p·(km/p)·L_spec + (1-p)·((1-km)/(1-p))·L_diff
+            #          = km·L_spec + (1-km)·L_diff        (p = sg(km))
+            # — the stochastic form of the Whitted blend
+            # `color·base·(1-km) + recurse·km` (Parallel/raytracer.cu:
+            # 508-520).  km == 0 everywhere makes spec all-False and
+            # every weight exactly 1.0: bitwise-identical images.
+            key = ray_ids + jnp.uint32(0x632BE59B) * jnp.uint32(s + 1)
+            if rcfg.gi_specular:
+                km_d = km_table[mat]
+                p_spec = jax.lax.stop_gradient(km_d)
+                u3 = _hash_u01(key, 0x85EBCA77 * (depth + 1) + 13)
+                spec = hit & (u3.astype(dt) < p_spec)
+                # unselected-branch denominators are never 0 where
+                # selected (u3 < p rules out p == 0; p == 1 rules out
+                # the diffuse branch), so both quotients stay finite
+                # and the backward pass NaN-free
+                w_branch = jnp.where(
+                    spec,
+                    km_d / jnp.where(p_spec > 0, p_spec, 1.0),
+                    (1.0 - km_d) / jnp.where(p_spec < 1, 1.0 - p_spec, 1.0),
+                )
+                throughput = throughput * w_branch[:, None]
+            else:
+                spec = jnp.zeros((r,), bool)
 
             # ---- next-event estimation at every path vertex ----------
+            # (diffuse branch only: the mirror is a delta BSDF — a point
+            # light is unreachable through it, so NEE adds nothing)
             for lp, li in lights:
                 to_l = lp - poi
                 d2 = jnp.sum(to_l * to_l, axis=-1)
@@ -234,7 +280,7 @@ def pathtrace_rays(
                 cos_i = jnp.maximum(jnp.sum(n * wl, axis=-1), 0.0)
                 if fuse_nee:
                     # visibility came back with the fused march
-                    unoccluded = hit & ~res.in_shadow
+                    unoccluded = hit & ~spec & ~res.in_shadow
                 else:
                     srays = jax.tree.map(
                         jax.lax.stop_gradient,
@@ -243,7 +289,7 @@ def pathtrace_rays(
                     skw = {"compact": True} if persistent else {}
                     sres = trav(srays, t_gate=eps, stop_on_first_hit=True,
                                 **skw)
-                    unoccluded = hit & ~sres.hit
+                    unoccluded = hit & ~spec & ~sres.hit
                 direct = (
                     albedo * jnp.float32(_INV_PI)
                     * (li * cos_i / jnp.maximum(d2, 1e-20))[:, None]
@@ -255,17 +301,27 @@ def pathtrace_rays(
             if depth == rcfg.gi_depth:
                 break
 
-            # ---- Lambertian bounce: cosine-weighted sample -----------
+            # ---- bounce: cosine-weighted diffuse or mirror ------------
             # the sample key mixes ray id, sample index and depth so
             # every (pixel, sample, bounce) gets its own 2-D point
-            key = ray_ids + jnp.uint32(0x632BE59B) * jnp.uint32(s + 1)
             u1 = _hash_u01(key, 0x1000193 * (depth + 1))
             u2 = _hash_u01(key, 0x5BD1E995 * (depth + 1) + 7)
             ndir = _cosine_sample(jax.lax.stop_gradient(n), u1, u2)
+            if rcfg.gi_specular:
+                # mirror: d' = d - 2(d.n)n off the oriented normal; the
+                # reference blend's `recurse * km` term is UNtinted, so
+                # the mirror branch leaves throughput alone (its km
+                # weight was applied at branch selection)
+                mdir = cur.dirn - 2.0 * jnp.sum(
+                    cur.dirn * n, axis=-1, keepdims=True
+                ) * n
+                ndir = jnp.where(spec[:, None], mdir, ndir)
             ndir = jax.lax.stop_gradient(ndir.astype(dt))
             # cosine-weighted pdf cancels BRDF x cos exactly: weight =
             # albedo (differentiable; the DIRECTION is stop-gradient)
-            throughput = throughput * albedo
+            throughput = throughput * jnp.where(
+                spec[:, None], 1.0, albedo
+            )
             path_alive = hit
             rorig = jnp.where(hit[:, None], poi, inf3)
             cur = RayBatch.make(rorig, ndir, mint=jnp.asarray(eps, dt))

@@ -204,6 +204,128 @@ def test_indirect_light_reaches_shadowed_pixels():
     assert gi.max(axis=-1)[dark].max() > 0.1
 
 
+def _mirror_prep(km, reflective=True, rho=RHO, **kw):
+    """Furnace plane with a reflective material: primary hits the plane,
+    the mirror branch reflects UP and escapes to the constant env."""
+    plane = mesh_gen.make_plane(extent=8.0, y=-1.0, density=2)
+    mats = (MaterialConfig(base_color=(255.0 * rho,) * 3, km=km,
+                           reflective=reflective),)
+    light = LightConfig(position=(0.0, 5.0, 0.0), intensity=0.0)
+    scene = scene_from_meshes([(plane, 0)], mats, light)
+    scene = scene._replace(
+        env_image=jnp.broadcast_to(
+            jnp.asarray([E, E, E], jnp.float32), (4, 8, 3)
+        )
+    )
+    cfg = SceneConfig(
+        materials=mats, light=light,
+        camera=CameraConfig(position=(0.0, 3.0, 0.0),
+                            target=(0.1, -1.0, 0.1), width=16, height=16),
+    )
+    cfg = dataclasses.replace(
+        cfg,
+        render=dataclasses.replace(
+            cfg.render, faithful=False, traversal="packed",
+            scheduler="persistent", wave=128, ray_tile=64,
+            gi_samples=1, gi_depth=1, **kw,
+        ),
+    )
+    return prepare(cfg, scene=scene)
+
+
+def test_mirror_furnace_exact():
+    """A perfect mirror (km=1) under a constant environment returns E
+    exactly on every pixel — UNtinted (the reference blend's
+    `recurse * km` term carries no base-color factor), regardless of
+    the material's albedo."""
+    img = np.asarray(render(_mirror_prep(km=1.0)))
+    np.testing.assert_allclose(img, E, rtol=1e-5)
+
+
+def test_reflective_flag_gates_km():
+    """km=1 with reflective=False is plain Lambertian (the parallel
+    palette's km is meaningless on non-reflective entries)."""
+    img = np.asarray(render(_mirror_prep(km=1.0, reflective=False)))
+    np.testing.assert_allclose(img, RHO * E, rtol=1e-5)
+
+
+def test_mirror_mix_pixels_take_exactly_one_branch():
+    """At km=0.5 with one sample per pixel, each pixel is EXACTLY the
+    mirror value E or the diffuse value rho*E (branch weights
+    km/p = (1-km)/(1-p) = 1 at p = sg(km)); the hash draw picks both
+    branches across the frame."""
+    img = np.asarray(render(_mirror_prep(km=0.5))).reshape(-1, 3)
+    is_spec = np.isclose(img[:, 0], E, rtol=1e-5)
+    is_diff = np.isclose(img[:, 0], RHO * E, rtol=1e-5)
+    assert (is_spec | is_diff).all()
+    assert is_spec.any() and is_diff.any()
+    # the hash is uniform-ish: neither branch collapses to a sliver
+    assert 0.2 < is_spec.mean() < 0.8
+
+
+def test_km_gradient_pathwise_exact():
+    """d radiance / d km: each sampled path's gradient is exactly
+    +E/p (mirror branch) or -rho*E/(1-p) (diffuse branch) — the
+    score-free pathwise gradient of the branch weights.  The mean
+    image gradient must match the value computed from the OBSERVED
+    branch assignment (read off the value image), and its expectation
+    is d/dkm [km*E + (1-km)*rho*E] = E*(1-rho)."""
+    from ray_tracer_tpu.ops.camera import camera_rays
+    from ray_tracer_tpu.render.pathtrace import pathtrace_rays
+
+    prep = _mirror_prep(km=0.5)
+    # same ray dtype as render(): the sample keys hash the ray BITS, so
+    # an x64 default here would flip branch draws vs the value image
+    rays = camera_rays(prep.cfg.camera,
+                       dtype=jnp.dtype(prep.cfg.render.dtype))
+
+    def loss(km):
+        scene = prep.scene._replace(
+            materials=prep.scene.materials._replace(km=km)
+        )
+        out = pathtrace_rays(
+            rays, scene, prep.packed.arrays, prep.packed.meta, prep.cfg
+        )
+        return out.mean()
+
+    km0 = prep.scene.materials.km
+    g = float(np.asarray(jax.grad(loss)(km0))[0])
+
+    # branch assignment read off the SAME evaluation the gradient
+    # differentiates (render() regenerates rays inside jit, where the
+    # f32 ray bits — hence the hash draws — can differ in a few pixels)
+    img = np.asarray(
+        pathtrace_rays(
+            rays, prep.scene, prep.packed.arrays, prep.packed.meta, prep.cfg
+        )
+    )
+    frac_spec = np.isclose(img[:, 0], E, rtol=1e-5).mean()
+    # per-pixel gradient: spec -> E/0.5, diff -> -RHO*E/0.5
+    want = frac_spec * (E / 0.5) + (1 - frac_spec) * (-RHO * E / 0.5)
+    np.testing.assert_allclose(g, want, rtol=1e-4)
+
+
+def test_gi_specular_flag_off_is_bitwise_noop_on_diffuse_scenes():
+    """On a km=0 scene the specular machinery is inert: enabling or
+    disabling gi_specular yields bitwise-identical images (every branch
+    weight is exactly 1.0 and no direction changes)."""
+    from ray_tracer_tpu.models.scenes import gradcheck_scene
+
+    scene, cfg = gradcheck_scene(12, 12)
+    imgs = {}
+    for flag in (True, False):
+        c = dataclasses.replace(
+            cfg,
+            render=dataclasses.replace(
+                cfg.render, faithful=False, traversal="packed",
+                scheduler="persistent", wave=128, gi_samples=2,
+                gi_depth=2, gi_specular=flag,
+            ),
+        )
+        imgs[flag] = np.asarray(render(prepare(c, scene=scene)))
+    np.testing.assert_array_equal(imgs[True], imgs[False])
+
+
 def test_albedo_gradients_flow_through_bounces():
     """d radiance / d base_color through the path integral: on the
     furnace plane radiance = (bc/255) * E exactly, so the autodiff
