@@ -87,6 +87,14 @@ def _build_cfg(args):
                 cfg.render, normal_mode="smooth", faithful=False
             ),
         )
+    li = getattr(args, "light_intensity", None)
+    if li is not None:
+        # override the primary light's intensity (the faithful parallel
+        # and gradcheck configs use 1.0 — too dim for the path tracer's
+        # radiometric 0-255 units, so GI wants an explicit boost here)
+        cfg = dataclasses.replace(
+            cfg, light=dataclasses.replace(cfg.light, intensity=li)
+        )
     for spec in getattr(args, "extra_light", None) or ():
         from ray_tracer_tpu.config import LightConfig
 
@@ -368,6 +376,10 @@ def main(argv=None) -> None:
                     help="path-traced GI: disable the mirror branch on "
                          "reflective materials (treat everything as "
                          "Lambertian)")
+    r.add_argument("--light-intensity", type=float, default=None,
+                   help="override the primary light's intensity (the "
+                        "faithful parallel/gradcheck configs use 1.0, "
+                        "too dim for GI's 0-255 radiometric units)")
     r.add_argument("--light-radius", type=float, default=0.0,
                    help="spherical area light radius -> soft shadows")
     r.add_argument("--shadow-samples", type=int, default=0,

@@ -210,6 +210,14 @@ class RenderConfig:
     # Requires faithful=False.
     gi_samples: int = 0
     gi_depth: int = 2
+    # Samples traced per wavefront: up to gi_sample_batch samples'
+    # lanes ride ONE traversal per depth ((D+1) marches instead of
+    # S*(D+1)), amortizing the per-traversal queue sweep and straggler
+    # tail.  Bitwise-invariant (sample keys hash the ray and sample,
+    # not the batch layout); the knob only trades HBM footprint
+    # (gi_sample_batch * W * H lanes of path state) against fixed-cost
+    # amortization.
+    gi_sample_batch: int = 4
     # Fuse each path vertex's NEE shadow query into its segment's
     # persistent-wave march (the same retire/rearm trick as the Whitted
     # fused_shadow): one fused traversal per (sample, depth) instead of

@@ -183,12 +183,17 @@ def pathtrace_rays(
                 need_t=False, compact=compact,
             )
 
-    def one_sample(s: int) -> jnp.ndarray:
-        radiance = jnp.zeros((r, 3), dt)
-        throughput = jnp.ones((r, 3), dt)
-        path_alive = jnp.ones((r,), bool)
-        cur = rays
-        inf3 = jnp.full((r, 3), jnp.inf, dt)
+    def _trace_batch(cur: RayBatch, key: jnp.ndarray) -> jnp.ndarray:
+        """Trace one wavefront of (sample, ray) lanes; `key` is each
+        lane's per-sample hash key.  Lanes are independent, so batching
+        several samples into one call changes NOTHING per lane — it
+        only amortizes the per-traversal fixed costs (queue sweep,
+        straggler tail) over more work."""
+        rr = cur.count
+        radiance = jnp.zeros((rr, 3), dt)
+        throughput = jnp.ones((rr, 3), dt)
+        path_alive = jnp.ones((rr,), bool)
+        inf3 = jnp.full((rr, 3), jnp.inf, dt)
 
         for depth in range(rcfg.gi_depth + 1):
             gate = rcfg.primary_gate() if depth == 0 else rcfg.bounce_gate()
@@ -205,7 +210,7 @@ def pathtrace_rays(
             if scene.env_image is not None:
                 env = scene.sample_env(vm.normalize(cur.dirn)).astype(dt)
             else:
-                env = jnp.broadcast_to(background, (r, 3))
+                env = jnp.broadcast_to(background, (rr, 3))
             escaped = path_alive & ~res.hit
             radiance = radiance + jnp.where(
                 escaped[:, None], throughput * env, 0.0
@@ -251,7 +256,6 @@ def pathtrace_rays(
             # `color·base·(1-km) + recurse·km` (Parallel/raytracer.cu:
             # 508-520).  km == 0 everywhere makes spec all-False and
             # every weight exactly 1.0: bitwise-identical images.
-            key = ray_ids + jnp.uint32(0x632BE59B) * jnp.uint32(s + 1)
             if rcfg.gi_specular:
                 km_d = km_table[mat]
                 p_spec = jax.lax.stop_gradient(km_d)
@@ -268,7 +272,7 @@ def pathtrace_rays(
                 )
                 throughput = throughput * w_branch[:, None]
             else:
-                spec = jnp.zeros((r,), bool)
+                spec = jnp.zeros((rr,), bool)
 
             # ---- next-event estimation at every path vertex ----------
             # (diffuse branch only: the mirror is a delta BSDF — a point
@@ -328,11 +332,36 @@ def pathtrace_rays(
 
         return radiance
 
+    # ---- sample batching --------------------------------------------
+    # Lanes are (sample, ray)-independent, so up to gi_sample_batch
+    # samples ride ONE wavefront: (D+1) traversals instead of S*(D+1),
+    # amortizing each traversal's fixed costs (the O(R) queue sweep and
+    # the straggler tail at frame end) and keeping the wave fed.
+    # Bitwise-invariant in the batch size: each lane's sample key is
+    # the SAME hash of (ray, sample) either way, and the per-sample
+    # images are accumulated in the same sequential order.
+    S = rcfg.gi_samples
+    B = max(1, min(rcfg.gi_sample_batch, S))
     acc = None
-    for s in range(rcfg.gi_samples):
-        c = one_sample(s)
-        acc = c if acc is None else acc + c
-    return acc / rcfg.gi_samples
+    salt = jnp.uint32(0x632BE59B)
+    for s0 in range(0, S, B):
+        nb = min(B, S - s0)
+        if nb == 1:
+            out = _trace_batch(rays, ray_ids + salt * jnp.uint32(s0 + 1))
+            parts = [out]
+        else:
+            cur0 = jax.tree.map(
+                lambda x: jnp.concatenate([x] * nb, axis=0), rays
+            )
+            s_plus1 = jnp.repeat(
+                jnp.arange(s0 + 1, s0 + nb + 1, dtype=jnp.uint32), r
+            )
+            keys = jnp.concatenate([ray_ids] * nb) + salt * s_plus1
+            out = _trace_batch(cur0, keys)
+            parts = [out[j * r:(j + 1) * r] for j in range(nb)]
+        for c in parts:  # sequential, batch-size-independent order
+            acc = c if acc is None else acc + c
+    return acc / S
 
 
 from functools import partial

@@ -305,6 +305,29 @@ def test_km_gradient_pathwise_exact():
     np.testing.assert_allclose(g, want, rtol=1e-4)
 
 
+def test_sample_batching_is_bitwise_invariant():
+    """gi_sample_batch only changes how many samples share a wavefront;
+    every (pixel, sample) lane hashes the same key and the per-sample
+    images accumulate in the same order, so images are bitwise equal
+    for any batch size (including a partial tail batch)."""
+    from ray_tracer_tpu.models.scenes import gradcheck_scene
+
+    scene, cfg = gradcheck_scene(12, 12)
+    imgs = {}
+    for batch in (1, 2, 3, 4):
+        c = dataclasses.replace(
+            cfg,
+            render=dataclasses.replace(
+                cfg.render, faithful=False, traversal="packed",
+                scheduler="persistent", wave=128, gi_samples=3,
+                gi_depth=2, gi_sample_batch=batch,
+            ),
+        )
+        imgs[batch] = np.asarray(render(prepare(c, scene=scene)))
+    for batch in (2, 3, 4):
+        np.testing.assert_array_equal(imgs[1], imgs[batch])
+
+
 def test_gi_specular_flag_off_is_bitwise_noop_on_diffuse_scenes():
     """On a km=0 scene the specular machinery is inert: enabling or
     disabling gi_specular yields bitwise-identical images (every branch
