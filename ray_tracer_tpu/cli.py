@@ -89,6 +89,10 @@ def _build_cfg(args):
         )
     li = getattr(args, "light_intensity", None)
     if li is not None:
+        if cfg.render.faithful:
+            print("warning: --light-intensity overrides a faithful render's "
+                  "reference light — output will not be oracle bit-exact",
+                  file=sys.stderr)
         # override the primary light's intensity (the faithful parallel
         # and gradcheck configs use 1.0 — too dim for the path tracer's
         # radiometric 0-255 units, so GI wants an explicit boost here)
@@ -379,7 +383,9 @@ def main(argv=None) -> None:
     r.add_argument("--light-intensity", type=float, default=None,
                    help="override the primary light's intensity (the "
                         "faithful parallel/gradcheck configs use 1.0, "
-                        "too dim for GI's 0-255 radiometric units)")
+                        "too dim for GI's 0-255 radiometric units); "
+                        "applies in EVERY render mode — combined with a "
+                        "faithful render it breaks oracle bit-exactness")
     r.add_argument("--light-radius", type=float, default=0.0,
                    help="spherical area light radius -> soft shadows")
     r.add_argument("--shadow-samples", type=int, default=0,

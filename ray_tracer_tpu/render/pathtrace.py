@@ -105,8 +105,9 @@ def pathtrace_rays(
     meta,
     cfg: SceneConfig,
 ) -> jnp.ndarray:
-    """Trace gi_samples Lambertian paths per input ray -> (R,3) linear
-    radiance in the repo's 0-255 color units."""
+    """Trace gi_samples Lambertian/mirror paths per input ray -> (R,3)
+    linear radiance in the repo's 0-255 color units (reflective
+    materials take the mirror branch unless cfg disables gi_specular)."""
     rcfg = cfg.render
     assert rcfg.gi_samples > 0, "pathtrace_rays needs gi_samples > 0"
     if rcfg.faithful:

@@ -72,9 +72,10 @@ print(f"steps: mean={steps.mean():.2f} p50={np.percentile(steps,50):.0f} "
       f"max={steps.max()} total={tot}")
 print(f"steps(hit rays): mean={steps[hit].mean():.2f}; "
       f"steps(miss rays): mean={steps[~hit].mean() if (~hit).any() else 0:.2f}")
-print(f"frame {sec*1e3:.1f} ms, rounds={it} -> lane-step budget "
-      f"{rc.wave*it*kw['pump'] if False else tot} executed vs "
-      f"wave*rounds*pump={rc.wave*it}")
+# `it` from return_iters is rounds*pump already (persistent_trace returns
+# out["i"] * pump), so wave*it is the full lane-step slot budget.
+print(f"frame {sec*1e3:.1f} ms, lane-steps executed={tot} vs "
+      f"slot budget wave*rounds*pump={rc.wave*it}")
 print(f"ns per executed lane-step: {sec/tot*1e9:.1f}; "
       f"ns per wave-slot-step: {sec/(rc.wave*it)*1e9:.1f}; "
       f"occupancy={tot/(rc.wave*it)*100:.1f}%")
