@@ -349,45 +349,99 @@ def _grid_local_best(rays, my, garr, meta, v0, v1, v2, fmat, shard_tris,
 
 
 def _ring_shade(rays, orbit, rcfg, materials, light_pos, light_intensity):
-    """Primary orbit -> shade -> shadow orbit -> blend: the ONE forward
-    epilogue shared by both ring renderers (all-pairs and grid hops).
-    orbit(rays, t_gate, stop_first) -> (rays_home, best)."""
+    """The ring renderer's integrator: per depth, one primary/bounce
+    orbit + one shadow orbit, shaded and km-blended exactly like the
+    replicated renderer's bounce loop (render/renderer.py, reference
+    semantics Parallel/raytracer.cu:508-520).  The ONE forward epilogue
+    shared by both ring renderers (all-pairs and grid hops).
+    orbit(rays, t_gate, stop_first) -> (rays_home, best).
+
+    Differentiable w.r.t. the triangle vertices, materials and light:
+    orbits run on DETACHED rays (the traversal is a stop-gradient
+    island, and the grid hop's while_loop must never sit on a grad
+    path), while t / normals / shading are recomputed from the
+    ring-carried vertices `best[tv*]` — whose gather+merge+ppermute
+    chain transposes to per-shard scatter-adds, keeping the vertex
+    gradient SHARDED over the triangle axis."""
     from ray_tracer_tpu.core import vecmath as vm
+    from ray_tracer_tpu.ops.intersect import cramer_t_safe
     from ray_tracer_tpu.ops.shade import (
         hit_geometry_parallel, hit_geometry_serial, shade_parallel, shade_serial,
     )
 
     serial = rcfg.serial_shading
-    rays, best = orbit(rays, rcfg.primary_gate(), False)
-    hit = jnp.isfinite(best["t"])
-    t = jnp.where(hit, best["t"], 0.0)
-    tv0, tv1, tv2 = best["tv0"], best["tv1"], best["tv2"]
-    if serial:
-        geom = hit_geometry_serial(rays.orig, rays.dirn, t, tv0, tv1, tv2)
-    else:
-        geom = hit_geometry_parallel(rays.orig, rays.dirn, t, tv0, tv1, tv2)
-    geom = geom._replace(
-        poi=jnp.where(hit[:, None], geom.poi, jnp.zeros_like(geom.poi))
-    )
-    mat = materials.gather(best["mat"])
+    ddt = jnp.dtype(rcfg.det_dtype)
+    eps = rcfg.shadow_eps
+    cur = rays
+    inf3 = jnp.full_like(rays.orig, jnp.inf)
+    locals_ = []  # per-depth (local color, continuation weight km)
+    for depth in range(rcfg.max_bounces + 1):
+        gate = rcfg.primary_gate() if depth == 0 else rcfg.bounce_gate()
+        cur_sg = jax.tree.map(jax.lax.stop_gradient, cur)
+        _, best = orbit(cur_sg, 0.0 if gate is None else gate, False)
+        hit = jnp.isfinite(best["t"])
+        tv0, tv1, tv2 = best["tv0"], best["tv1"], best["tv2"]
+        # Recompute the hit distance from the (stop-gradient) topology
+        # with the DIFFERENTIABLE carried vertices — same split as the
+        # replicated renderer; forward value matches the orbit's t (same
+        # Cramer arithmetic in det_dtype), backward flows into tv*.
+        t_re = cramer_t_safe(cur_sg.orig, cur.dirn, tv0, tv1, tv2, hit,
+                             det_dtype=ddt)
+        t = jnp.where(hit, t_re.astype(jnp.float32), jnp.float32(0.0))
+        # dead bounce lanes carry inf origins; sanitize before arithmetic
+        # so no inf rides into the backward pass (inf * 0 = nan)
+        orig_safe = jnp.where(hit[:, None], cur.orig,
+                              jnp.zeros_like(cur.orig))
+        if serial:
+            geom = hit_geometry_serial(orig_safe, cur.dirn, t, tv0, tv1, tv2)
+        else:
+            geom = hit_geometry_parallel(orig_safe, cur.dirn, t, tv0, tv1, tv2)
+        geom = geom._replace(
+            poi=jnp.where(hit[:, None], geom.poi, jnp.zeros_like(geom.poi))
+        )
+        mat = materials.gather(best["mat"])
 
-    to_light = light_pos - geom.poi
-    nsd = vm.normalize(to_light)
-    sdir = -nsd if rcfg.shadow_dir_away_from_light() else nsd
-    sorig = jnp.where(hit[:, None], geom.poi,
-                      jnp.full_like(geom.poi, jnp.inf))
-    srays = RayBatch.make(sorig, sdir, mint=rcfg.shadow_mint())
-    _, sbest = orbit(srays, rcfg.shadow_eps, True)
-    in_shadow = jnp.isfinite(sbest["t"]) & hit
+        to_light = light_pos - geom.poi
+        nsd = vm.normalize(to_light)
+        sdir = -nsd if rcfg.shadow_dir_away_from_light() else nsd
+        sorig = jnp.where(hit[:, None], geom.poi,
+                          jnp.full_like(geom.poi, jnp.inf))
+        srays = jax.tree.map(
+            jax.lax.stop_gradient,
+            RayBatch.make(sorig, sdir, mint=rcfg.shadow_mint()),
+        )
+        _, sbest = orbit(srays, eps, True)
+        in_shadow = jnp.isfinite(sbest["t"]) & hit
 
-    if serial:
-        color = shade_serial(geom, mat, light_pos, light_intensity,
-                             in_shadow, rcfg.shadow_scale)
-    else:
-        color = shade_parallel(geom, mat, light_pos, in_shadow,
-                               rcfg.shadow_scale)
-    bg = jnp.asarray(rcfg.background, color.dtype)
-    return jnp.where(hit[:, None], color, bg)
+        if serial:
+            color = shade_serial(geom, mat, light_pos, light_intensity,
+                                 in_shadow, rcfg.shadow_scale)
+        else:
+            color = shade_parallel(geom, mat, light_pos, in_shadow,
+                                   rcfg.shadow_scale)
+        bg = jnp.asarray(rcfg.background, color.dtype)
+
+        reflecting = hit & mat.reflective & (depth < rcfg.max_bounces)
+        # local*base*(1-km) + bounced*km (raytracer.cu:519-520)
+        local = jnp.where(
+            reflecting[:, None],
+            color * mat.base_color * (1.0 - mat.km)[:, None],
+            jnp.where(hit[:, None], color, bg),
+        )
+        locals_.append((local, jnp.where(reflecting, mat.km, 0.0)[:, None]))
+        if depth == rcfg.max_bounces:
+            break
+        rdir = vm.normalize(
+            vm.reflect(vm.normalize(cur.dirn), vm.normalize(geom.normal))
+        )
+        rorig = jnp.where(reflecting[:, None], geom.poi, inf3)
+        cur = RayBatch.make(rorig, rdir, mint=eps)
+
+    # fold deepest-first: color_d = local_d + km_d * color_{d+1}
+    result = locals_[-1][0]
+    for local, km in reversed(locals_[:-1]):
+        result = local + km * result
+    return result
 
 
 @lru_cache(maxsize=16)
@@ -466,7 +520,6 @@ def _check_ring_cfg(rcfg) -> None:
     drop would break the documented bit-equality with the replicated
     render()."""
     assert not rcfg.faithful, "ring renderer has production semantics only"
-    assert rcfg.max_bounces == 0, "ring renderer: bounces not supported yet"
     if rcfg.texture != "none":
         raise NotImplementedError("ring renderer: textures not supported")
     if rcfg.soft_visibility > 0 or rcfg.soft_primary > 0:
@@ -536,8 +589,9 @@ def render_sharded_geometry(
     render up to last-ulp arithmetic differences (per-slice Cramer can
     FMA-contract differently; per-shard grids probe-nudge differently —
     the order-independent merge keeps ids and tie-breaks exact, and the
-    parity tests assert allclose, tests/test_sharding.py).
-    Single-shadow-ray scenes only (max_bounces == 0).
+    parity tests assert allclose, tests/test_sharding.py).  Mirror
+    bounces orbit per depth (2 orbits per bounce: path + shadow), so the
+    reference's flagship 3-bounce Parallel scene runs ring-sharded.
 
     ring_grids: a (arrays, meta, fp) triple from build_ring_grids to
     reuse across frames; built on the fly when omitted."""

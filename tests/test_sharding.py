@@ -236,6 +236,60 @@ def test_ring_grid_tris_only_axis(tiny_prep):
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-5)
 
 
+def _reflective_prep(tiny_prep, **render_overrides):
+    """gradcheck scene with the sphere material made reflective and
+    mirror bounces on — the ring-bounce test scene."""
+    import dataclasses
+
+    from ray_tracer_tpu.render.renderer import prepare
+
+    cfg = dataclasses.replace(
+        tiny_prep.cfg,
+        render=dataclasses.replace(
+            tiny_prep.cfg.render, max_bounces=2, **render_overrides
+        ),
+    )
+    mats = tiny_prep.scene.materials._replace(
+        reflective=jnp.asarray([False, True]),
+        km=jnp.asarray([0.0, 0.6], jnp.float32),
+    )
+    return prepare(cfg, scene=tiny_prep.scene._replace(materials=mats))
+
+
+def test_ring_render_bounces_equals_replicated(tiny_prep, eight_device_mesh):
+    """Mirror bounces through the ring orbit (per-depth path + shadow
+    orbits) == the replicated bounce loop — the reference's flagship
+    3-bounce Parallel workload (raytracer.cu:508-520) now runs in the
+    memory-scaling mode.  All-pairs hops."""
+    from ray_tracer_tpu.parallel.shard import render_sharded_geometry
+
+    prep = _reflective_prep(tiny_prep, traversal="brute")
+    want = np.asarray(render(prep))
+    got = np.asarray(render_sharded_geometry(prep, mesh=eight_device_mesh))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-5)
+
+
+def test_ring_grid_render_bounces_equals_replicated(tiny_prep, eight_device_mesh):
+    """Mirror bounces with grid-march hops (the accelerated ring)."""
+    from ray_tracer_tpu.parallel.shard import (
+        build_ring_grids,
+        render_sharded_geometry,
+    )
+
+    prep = _reflective_prep(
+        tiny_prep, traversal="packed", det_dtype="float32",
+        fused_shadow=False,
+    )
+    want = np.asarray(render(prep))
+    rg = build_ring_grids(prep, eight_device_mesh.shape["tris"])
+    got = np.asarray(
+        render_sharded_geometry(prep, mesh=eight_device_mesh, ring_grids=rg)
+    )
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-5)
+
+
 def test_sharded_persistent_render_equals_single(tiny_prep, eight_device_mesh):
     """Ray sharding with the persistent wavefront: one wave per shard,
     image == single-device persistent render."""
