@@ -254,6 +254,112 @@ def make_train_step(
     return step, opt.init
 
 
+class RingSceneArrays(NamedTuple):
+    """Per-step device inputs of the tris-sharded train step: the
+    non-differentiable scene topology (padded faces + material ids,
+    reflective flags) and each shard's packed grid (None for all-pairs
+    hops).  Kept OUT of the jit closure so a grid rebuild over moved
+    vertices swaps arrays without re-jitting."""
+
+    faces: jnp.ndarray  # (fp, 3) i32, padded to the shard multiple
+    fmat: jnp.ndarray  # (fp,) i32
+    reflective: jnp.ndarray  # (M,) bool
+    garr: Optional[tuple] = None  # stacked PackedGridArrays or None
+
+
+def make_ring_train_step(
+    prep,
+    mesh: Mesh,
+    rays_axis: Optional[str] = "rays",
+    tris_axis: str = "tris",
+    optimizer: str = "adam",
+    lr: float = 1e-2,
+    trainable: Optional[Tuple[str, ...]] = None,
+    ring_grids=None,
+):
+    """Train step with the GEOMETRY sharded over `tris_axis` — backward
+    through the ring orbit (parallel/shard.ring_loss_fn), closing the
+    memory-scaling loop: a scene too big to replicate can now be
+    OPTIMIZED, not just rendered (SURVEY §2 parallelism table, psum
+    gradient row; the replicated make_train_step shards rays only).
+
+    -> (step_fn, init_fn, ring_scene) with
+    step_fn(params, opt_state, ring_scene, target) -> (params,
+    opt_state, loss).  Vertex gradients accumulate per-shard
+    (scatter-add over the shard's faces) and psum over BOTH mesh axes;
+    the loss matches the replicated step's loss up to FMA-contraction
+    noise (pinned by tests/test_sharding.py).
+
+    When optimizing verts, rebuild ring_scene.garr with
+    parallel.shard.build_ring_grids between steps (same rule as the
+    replicated fit's rebuild_grid_every)."""
+    from ray_tracer_tpu.parallel.shard import build_ring_grids, ring_loss_fn
+    from ray_tracer_tpu.render.renderer import _pad_to
+
+    cfg = prep.cfg
+    scene = prep.scene
+    rcfg = cfg.render
+    n_tri_shards = mesh.shape[tris_axis]
+    f = scene.faces.shape[0]
+    fp = _pad_to(f, n_tri_shards)
+    faces_p = scene.faces
+    fmat_p = scene.face_material
+    if fp != f:
+        # padding faces are degenerate point-triangles at vertex 0 —
+        # they can never pass the strict barycentric test, and their
+        # (masked) gradients are exact zeros
+        faces_p = jnp.concatenate(
+            [faces_p, jnp.zeros((fp - f, 3), faces_p.dtype)]
+        )
+        fmat_p = jnp.concatenate([fmat_p, jnp.zeros((fp - f,), fmat_p.dtype)])
+
+    gmeta = None
+    garr = None
+    if rcfg.traversal == "packed":
+        if ring_grids is None:
+            ring_grids = build_ring_grids(prep, n_tri_shards)
+        garr, gmeta, gfp = ring_grids
+        assert gfp == fp, "ring_grids built for a different shard count"
+
+    loss_sharded = ring_loss_fn(
+        cfg, mesh, rays_axis, tris_axis, gmeta, fp,
+        tuple(sorted(trainable)) if trainable is not None else None,
+    )
+    opt = _make_optimizer(optimizer, lr)
+    r = cfg.camera.height * cfg.camera.width
+    shards = n_tri_shards * (mesh.shape[rays_axis] if rays_axis else 1)
+    rp = _pad_to(r, shards)
+    ring_scene = RingSceneArrays(
+        faces=faces_p, fmat=fmat_p,
+        reflective=scene.materials.reflective, garr=garr,
+    )
+
+    @jax.jit
+    def step(params: SceneParams, opt_state, ring_scene: RingSceneArrays,
+             target: jnp.ndarray):
+        rays = camera_rays(cfg.camera, dtype=jnp.dtype(rcfg.dtype))
+        rays_p = pad_rays(rays, rp)
+        tgt = target.reshape(-1, 3)
+        if rp != r:
+            bg = jnp.broadcast_to(
+                jnp.asarray(rcfg.background, tgt.dtype), (rp - r, 3)
+            )
+            tgt = jnp.concatenate([tgt, bg])
+
+        def loss_fn(p):
+            return loss_sharded(
+                p, ring_scene.reflective, ring_scene.faces, ring_scene.fmat,
+                ring_scene.garr, rays_p, tgt,
+            ) / (3 * r)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step, opt.init, ring_scene
+
+
 def fit(
     prep,
     target: jnp.ndarray,

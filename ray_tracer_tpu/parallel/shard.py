@@ -380,7 +380,17 @@ def _ring_shade(rays, orbit, rcfg, materials, light_pos, light_intensity):
         cur_sg = jax.tree.map(jax.lax.stop_gradient, cur)
         _, best = orbit(cur_sg, 0.0 if gate is None else gate, False)
         hit = jnp.isfinite(best["t"])
-        tv0, tv1, tv2 = best["tv0"], best["tv1"], best["tv2"]
+        # Miss lanes carry the orbit's ZERO triangle (the replicated
+        # renderer gathers real triangle 0 instead), whose zero normal
+        # would send normalize/reflect NaNs through the backward pass
+        # (d/dx x/||x|| at 0).  Substitute a constant non-degenerate
+        # triangle: its values are masked out by every `hit` select and
+        # its vertex gradients are exact zeros (constant branch).
+        ex = jnp.zeros_like(best["tv0"]).at[:, 0].set(1.0)
+        ey = jnp.zeros_like(best["tv0"]).at[:, 1].set(1.0)
+        tv0 = jnp.where(hit[:, None], best["tv0"], 0.0)
+        tv1 = jnp.where(hit[:, None], best["tv1"], ex)
+        tv2 = jnp.where(hit[:, None], best["tv2"], ey)
         # Recompute the hit distance from the (stop-gradient) topology
         # with the DIFFERENTIABLE carried vertices — same split as the
         # replicated renderer; forward value matches the orbit's t (same
@@ -724,6 +734,92 @@ def build_ring_grids(prep: Prepared, n_shards: int):
         slot_tri=jnp.asarray(np.stack([s for _, s in padded])),
     )
     return arrays, meta, fp
+
+
+@lru_cache(maxsize=8)
+def ring_loss_fn(cfg: SceneConfig, mesh: Mesh, rays_axis: Optional[str],
+                 tris_axis: str, gmeta, n_tris_padded: int,
+                 trainable: Optional[tuple]):
+    """The DIFFERENTIABLE ring loss: sum of squared pixel residuals with
+    the geometry sharded over `tris_axis` and rays ring-passed — the
+    backward half of the memory-scaling story (the replicated fit's
+    make_train_step shards rays only).
+
+    Returns a shard_map'ed callable
+    loss(params, reflective, faces, fmat, garr, rays, target) -> scalar
+    with faces/fmat/garr sharded over `tris_axis`, rays/target over the
+    ray axes, params replicated.  v0/v1/v2 are gathered from the
+    REPLICATED verts inside each shard, so the loss's transpose is a
+    per-shard scatter-add into (V,3) followed by the automatic psum over
+    BOTH mesh axes (shard_map's replicated-input rule) — one collective
+    per parameter leaf, overlapped with backward by XLA.  The orbits run
+    on detached rays (stop-gradient islands); t/normals/shading are
+    recomputed from ring-carried vertices by _ring_shade.
+
+    gmeta None -> all-pairs hops; a PackedGridMeta -> grid-march hops
+    (garr then carries each shard's packed grid, leading shard dim).
+
+    `trainable`: fields of SceneParams to keep differentiable; others
+    are detached BEFORE the render so XLA dead-codes their VJPs."""
+    from ray_tracer_tpu.models.materials import MaterialTable
+
+    rcfg = cfg.render
+    _check_ring_cfg(rcfg)
+    shard_tris = n_tris_padded // mesh.shape[tris_axis]
+    ray_axes = (rays_axis, tris_axis) if rays_axis else (tris_axis,)
+    ddt = jnp.dtype(rcfg.det_dtype)
+
+    def body(params, reflective, faces, fmat, garr, rays, target):
+        if trainable is not None:
+            params = params._replace(**{
+                f: jax.lax.stop_gradient(getattr(params, f))
+                for f in type(params)._fields if f not in trainable
+            })
+        verts = params.verts
+        v0, v1, v2 = (verts[faces[:, k]] for k in range(3))
+        materials = MaterialTable(
+            base_color=params.base_color, kd=params.kd, ks=params.ks,
+            spec_alpha=params.spec_alpha, ka=params.ka, km=params.km,
+            reflective=reflective,
+        )
+        if gmeta is not None:
+            garr_l = jax.tree.map(lambda x: x[0], garr)
+
+            def orbit(rb, t_gate, stop_first):
+                return _ring_orbit(
+                    rb,
+                    lambda r_, my: _grid_local_best(
+                        r_, my, garr_l, gmeta, v0, v1, v2, fmat,
+                        shard_tris, t_gate, stop_first,
+                    ),
+                    tris_axis,
+                )
+        else:
+
+            def orbit(rb, t_gate, stop_first):
+                return _ring_orbit(
+                    rb,
+                    lambda r_, my: _ring_local_best(
+                        r_, v0, v1, v2, fmat, my * shard_tris, t_gate, ddt
+                    ),
+                    tris_axis, t_dtype=ddt,
+                )
+
+        colors = _ring_shade(rays, orbit, rcfg, materials,
+                             params.light_pos, params.light_intensity)
+        d = (colors - target.astype(colors.dtype)) / 255.0
+        # padding lanes (inf origins) are masked explicitly — same rule
+        # as the replicated fit's local_loss
+        d = jnp.where(jnp.isfinite(rays.orig[:, :1]), d, 0.0)
+        return jax.lax.psum(jnp.sum(d * d), ray_axes)
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(tris_axis), P(tris_axis), P(tris_axis),
+                  P(ray_axes), P(ray_axes)),
+        out_specs=P(),
+    )
 
 
 @lru_cache(maxsize=16)
