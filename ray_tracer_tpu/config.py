@@ -196,6 +196,14 @@ class RenderConfig:
     # physically-oriented penumbra is the parallel-shading one.
     shadow_samples: int = 1
     light_radius: float = 0.0
+    # Shadow samples traced per wavefront (the gi_sample_batch trick
+    # applied to area-light shadows): up to shadow_sample_batch
+    # samples' rays ride ONE traversal, amortizing the per-traversal
+    # fixed costs (queue sweep, straggler tail).  Bitwise-invariant —
+    # each sample's occlusion is computed and accumulated in the same
+    # sequential order either way; the knob only trades HBM footprint
+    # (shadow_sample_batch * R lanes) against fixed-cost amortization.
+    shadow_sample_batch: int = 4
     # Path-traced global illumination (render/pathtrace.py — a
     # production feature far beyond the reference's Whitted-style
     # pipeline, built on the same persistent-wave traversal).

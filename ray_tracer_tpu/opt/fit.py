@@ -145,10 +145,6 @@ def _train_step_fn(meta: GridMeta, cfg: SceneConfig, optimizer_name: str,
     r = cfg.camera.height * cfg.camera.width
     padded = ((r + n_shards - 1) // n_shards) * n_shards
     spp = cfg.render.spp
-    if mesh is not None and spp > 1:
-        # subsample-major ray layout splits a pixel's spp^2 samples
-        # across shards; cross-shard averaging isn't wired up
-        raise ValueError("sharded fit does not support cfg.render.spp > 1")
 
     def local_loss(params, scene, grid, rays, target_flat):
         if trainable is not None:
@@ -165,8 +161,16 @@ def _train_step_fn(meta: GridMeta, cfg: SceneConfig, optimizer_name: str,
                               camera_ok=mesh is None and spp == 1
                               and padded == r)
         if spp > 1:
-            # average the spp^2 subsamples per pixel, matching render()
-            colors = colors.reshape(spp * spp, -1, 3).mean(axis=0)
+            # average the spp^2 subsamples per pixel, matching render().
+            # Layouts differ by path: single-device rays are subsample-
+            # major (camera_rays); sharded rays are regrouped PIXEL-
+            # major in step() so each shard owns whole pixels — the
+            # per-pixel summation order over subsamples is the same
+            # either way (sequential s = 0..spp^2-1).
+            if mesh is None:
+                colors = colors.reshape(spp * spp, -1, 3).mean(axis=0)
+            else:
+                colors = colors.reshape(-1, spp * spp, 3).mean(axis=1)
         d = (colors - target_flat.astype(colors.dtype)) / 255.0
         if padded != r:
             # Padding lanes are masked out EXPLICITLY (identifiable by
@@ -174,7 +178,10 @@ def _train_step_fn(meta: GridMeta, cfg: SceneConfig, optimizer_name: str,
             # padding miss lane renders an environment lookup, not the
             # background the target was padded with, so relying on the
             # residual cancelling would leak spurious env gradients.
-            d = jnp.where(jnp.isfinite(rays.orig[:, :1]), d, 0.0)
+            po = rays.orig
+            if spp > 1 and mesh is not None:
+                po = po.reshape(-1, spp * spp, 3)[:, 0, :]
+            d = jnp.where(jnp.isfinite(po[:, :1]), d, 0.0)
         return jnp.sum(d * d)
 
     if mesh is None:
@@ -200,6 +207,28 @@ def _train_step_fn(meta: GridMeta, cfg: SceneConfig, optimizer_name: str,
         rays = camera_rays(cfg.camera, dtype=jnp.dtype(cfg.render.dtype), spp=spp)
         if spp == 1:
             rays = pad_rays(rays, padded)
+        elif mesh is not None:
+            # Regroup the subsample-major batch PIXEL-major and pad by
+            # WHOLE pixels, so the shard split hands each device every
+            # subsample of its pixels (cross-shard subsample averaging
+            # would otherwise need a collective mid-loss).
+            fills = dict(orig=jnp.inf, dirn=1.0, mint=0.0, maxt=0.0)
+
+            def pixel_major(x, fill):
+                x2 = jnp.swapaxes(
+                    x.reshape((spp * spp, r) + x.shape[1:]), 0, 1
+                )
+                if padded != r:
+                    pad_block = jnp.full(
+                        (padded - r,) + x2.shape[1:], fill, x.dtype
+                    )
+                    x2 = jnp.concatenate([x2, pad_block])
+                return x2.reshape((padded * spp * spp,) + x2.shape[2:])
+
+            rays = RayBatch(**{
+                f: pixel_major(getattr(rays, f), fills[f])
+                for f in ("orig", "dirn", "mint", "maxt")
+            })
         tgt = target.reshape(-1, 3)
         if padded != r:
             # padding rays render as the BACKGROUND color; pad the target

@@ -521,17 +521,39 @@ def render_rays(
             light, so the penumbra treatment cannot diverge between
             them."""
             if soft_shadows:
+                # Up to shadow_sample_batch samples' rays ride ONE
+                # traversal (the gi_sample_batch trick): lanes are
+                # (sample, ray)-independent and each sample's occlusion
+                # is softened/accumulated in the same sequential order
+                # either way, so the image is bitwise-invariant in the
+                # batch size — only the per-traversal fixed costs
+                # amortize (measured ~3.6x on the 8-sample penumbra
+                # bench, docs/PERFORMANCE.md).
+                offs = light_sample_offsets(rcfg.shadow_samples,
+                                            rcfg.light_radius)
+                S = rcfg.shadow_samples
+                B = max(1, min(rcfg.shadow_sample_batch, S))
                 occ = jnp.zeros((r,), jnp.float32)
-                for off in light_sample_offsets(rcfg.shadow_samples,
-                                                rcfg.light_radius):
-                    srays = shadow_rays_toward(lp + jnp.asarray(off, v0.dtype))
-                    sres = trav(srays, t_gate=eps, stop_on_first_hit=early,
-                                **skw)
-                    occ = occ + soften(
-                        srays, rcfg.accepted_hit(sres) & hit,
-                        sres.tri_id, sres.hit,
-                    ).astype(jnp.float32)
-                return occ / rcfg.shadow_samples
+                for s0 in range(0, S, B):
+                    batches = [
+                        shadow_rays_toward(lp + jnp.asarray(off, v0.dtype))
+                        for off in offs[s0:s0 + B]
+                    ]
+                    nb = len(batches)
+                    srays_all = batches[0] if nb == 1 else jax.tree.map(
+                        lambda *xs: jnp.concatenate(xs, axis=0), *batches
+                    )
+                    sres = trav(srays_all, t_gate=eps,
+                                stop_on_first_hit=early, **skw)
+                    for j in range(nb):  # sequential, batch-invariant
+                        sres_j = jax.tree.map(
+                            lambda x: x[j * r:(j + 1) * r], sres
+                        )
+                        occ = occ + soften(
+                            batches[j], rcfg.accepted_hit(sres_j) & hit,
+                            sres_j.tri_id, sres_j.hit,
+                        ).astype(jnp.float32)
+                return occ / S
             srays = shadow_rays_toward(lp)
             sres = trav(srays, t_gate=eps, stop_on_first_hit=early, **skw)
             return soften(srays, rcfg.accepted_hit(sres) & hit,

@@ -179,3 +179,25 @@ def test_extra_light_gets_soft_shadows_too():
     )))
     assert np.isfinite(soft).all()
     assert not np.array_equal(hard, soft)
+
+
+def test_shadow_sample_batch_bitwise_invariant():
+    """Area-light shadow samples batched into one wavefront
+    (shadow_sample_batch) must produce the BIT-identical image as the
+    one-traversal-per-sample path: lanes are (sample, ray)-independent
+    and accumulation order is fixed."""
+    kw = dict(light_radius=0.6, shadow_samples=5)
+    seq = np.asarray(render(_prep(shadow_sample_batch=1, **kw)))
+    batched = np.asarray(render(_prep(shadow_sample_batch=4, **kw)))
+    allb = np.asarray(render(_prep(shadow_sample_batch=8, **kw)))
+    np.testing.assert_array_equal(seq, batched)
+    np.testing.assert_array_equal(seq, allb)
+
+
+def test_shadow_sample_batch_invariant_persistent():
+    """Same invariance under the persistent scheduler + packed grid."""
+    kw = dict(light_radius=0.6, shadow_samples=4, faithful=False,
+              traversal="packed", scheduler="persistent", wave=256)
+    seq = np.asarray(render(_prep(shadow_sample_batch=1, **kw)))
+    batched = np.asarray(render(_prep(shadow_sample_batch=4, **kw)))
+    np.testing.assert_array_equal(seq, batched)

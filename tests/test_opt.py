@@ -272,3 +272,71 @@ def test_fit_resume_respects_total_step_budget(tiny_prep, tmp_path):
     import os
 
     assert os.path.isdir(os.path.join(d, "step_3"))
+
+
+def test_sharded_fit_spp2_matches_single_device(tiny_prep, eight_device_mesh):
+    """spp > 1 on a mesh: the pixel-major regroup hands each shard every
+    subsample of its pixels, so the sharded loss and SGD update match
+    the single-device spp=2 step (cross-shard subsample averaging)."""
+    import dataclasses
+
+    from ray_tracer_tpu.models.scenes import gradcheck_scene
+    from ray_tracer_tpu.opt.fit import make_train_step, split_scene
+    from ray_tracer_tpu.render.renderer import prepare, render
+
+    scene, cfg = gradcheck_scene(6, 6)  # 36 pixels: pads to 40 on 8 shards
+    cfg = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, ray_tile=64, spp=2)
+    )
+    prep = prepare(cfg, scene=scene)
+    target = render(prep)  # spp-averaged self-target
+    params = split_scene(prep.scene)
+    tr = ("verts", "light_pos")
+    sstep, sinit = make_train_step(prep.grid.meta, prep.cfg, optimizer="sgd",
+                                   lr=1e-3, trainable=tr)
+    rp, _, rloss = sstep(params, sinit(params), prep.scene,
+                         prep.grid.arrays, target)
+    mstep, minit = make_train_step(prep.grid.meta, prep.cfg, optimizer="sgd",
+                                   lr=1e-3, mesh=eight_device_mesh,
+                                   axis="rays", trainable=tr)
+    mp, _, mloss = mstep(params, minit(params), prep.scene,
+                         prep.grid.arrays, target)
+    # a perfect-render self-target: both losses ~0
+    assert float(rloss) < 1e-10 and float(mloss) < 1e-10
+    np.testing.assert_allclose(np.asarray(mp.verts), np.asarray(rp.verts),
+                               atol=1e-6)
+
+
+def test_sharded_fit_spp2_nonzero_target(tiny_prep, eight_device_mesh):
+    """Same, against a non-trivial target (finite loss + real grads)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from ray_tracer_tpu.models.scenes import gradcheck_scene
+    from ray_tracer_tpu.opt.fit import make_train_step, split_scene
+    from ray_tracer_tpu.render.renderer import prepare
+
+    scene, cfg = gradcheck_scene(8, 8)
+    cfg = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, ray_tile=64, spp=2)
+    )
+    prep = prepare(cfg, scene=scene)
+    target = jnp.full((8, 8, 3), 55.0, jnp.float32)
+    params = split_scene(prep.scene)
+    tr = ("verts", "base_color", "light_pos")
+    sstep, sinit = make_train_step(prep.grid.meta, prep.cfg, optimizer="sgd",
+                                   lr=1e-3, trainable=tr)
+    rp, _, rloss = sstep(params, sinit(params), prep.scene,
+                         prep.grid.arrays, target)
+    mstep, minit = make_train_step(prep.grid.meta, prep.cfg, optimizer="sgd",
+                                   lr=1e-3, mesh=eight_device_mesh,
+                                   axis="rays", trainable=tr)
+    mp, _, mloss = mstep(params, minit(params), prep.scene,
+                         prep.grid.arrays, target)
+    np.testing.assert_allclose(float(mloss), float(rloss), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(mp.verts), np.asarray(rp.verts),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mp.base_color),
+                               np.asarray(rp.base_color), rtol=1e-4,
+                               atol=1e-8)
