@@ -218,6 +218,10 @@ def main() -> None:
                     help="grid resolution multiplier (cells ~ rm * 3*cbrt(N))")
     ap.add_argument("--max-res", type=int, default=None,
                     help="per-axis grid resolution clamp (reference: 64)")
+    ap.add_argument("--order", default=None, choices=["fifo", "chord"],
+                    help="persistent work-queue pop order (chord = longest "
+                         "slab chord first, the straggler-overlap schedule; "
+                         "default: per-scene tuned value)")
     ap.add_argument("--exact", default=None, choices=["on", "off"],
                     help="SAT exact triangle-box grid insertion "
                          "(GridConfig.exact_overlap); default: the "
@@ -288,6 +292,8 @@ def main() -> None:
     if args.pump is None:
         args.pump = _tuned["pump"]
     exact = (_tuned["exact"] if args.exact is None else args.exact == "on")
+    if args.order is None:
+        args.order = _tuned.get("order", "fifo")
 
     import dataclasses
 
@@ -318,6 +324,7 @@ def main() -> None:
             packed_block_tris=args.block_tris,
             fused_shadow=False,  # decided below (measured, or forced by --fused)
             scheduler=args.scheduler, wave=args.wave, pump=args.pump,
+            queue_order=args.order,
             grid_layout=args.layout,
             # TPU-tuned per scene (see _tuned above): the persistent
             # wavefront + fused shadow + fine grid -> 20 Mrays/s on v5e

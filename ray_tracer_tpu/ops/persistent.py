@@ -75,7 +75,7 @@ def _pack_rays(rays: RayBatch) -> jnp.ndarray:
         "meta", "wave", "t_gate", "fuse_shadow", "shadow_gate", "shadow_mint",
         "serial_quirk", "stop_on_first_hit", "max_iters", "return_iters",
         "need_shadow_tri", "need_steps", "need_t", "camera", "spp", "pump",
-        "compact",
+        "compact", "order_classes", "refill_retries",
     ),
 )
 def persistent_trace(
@@ -100,6 +100,9 @@ def persistent_trace(
     spp: int = 1,
     pump: int = 1,
     compact: bool = False,
+    order_keys: Optional[jnp.ndarray] = None,
+    order_classes: int = 4,
+    refill_retries: Optional[int] = None,
 ) -> FusedTraceResult:
     """March every ray of `rays` through the packed grid with a W-lane
     persistent wave; optionally fuse each ray's shadow query.
@@ -135,6 +138,33 @@ def persistent_trace(
     ~ceil(live/W) pop rounds instead of ceil(R/W).  Output is
     bit-identical: each ray's march is lane-independent and results
     scatter by ray id.
+
+    `order_keys` (an (R,) float array): pop rays in ASCENDING key order
+    instead of arrival order.  The scheduling fix for the lock-step
+    straggler tail: a FIFO queue leaves the longest walks (dense hit
+    rays, p99 ~30-70 steps vs mean ~4) to START near frame end, when
+    the queue is dry and most of the wave idles behind them (measured
+    64.7% slot occupancy on spot 1024^2, 82.4% on nefertiti).  Keying
+    hard-rays-first overlaps the stragglers' walks with everyone
+    else's work — the same reason the CUDA reference popped its queue
+    in generation order only by accident of atomicInc arrival
+    (Parallel/raytracer.cu:193-232).  Output is bit-identical for any
+    order (lane-independent marches, results scatter by ray id).
+    Composes with `compact` (never-entering rays sort last AND the
+    queue length shrinks to the live count).
+
+    `refill_retries`: extra pop attempts per refill for lanes whose
+    popped ray failed the entry slab test.  THE dead-ray scheduling
+    fix for the camera-regen path: ~50% of a tight-AABB scene's camera
+    rays never enter the grid, and a single-pop refill charges each
+    one a full round of its lane (measured: 176 -> 127 rounds on spot
+    1024^2 from compaction alone — but compaction's per-round
+    work_ids gather costs MORE than the rounds it saves, 79.0 vs
+    69.3 ms; retries drain dead rays with pure VPU re-pops instead).
+    None = auto: 3 with camera regen (re-pops are arithmetic; measured
+    knee, +21% on spot), 0 for the gather-refill path (each attempt
+    re-gathers (W,8) rows).  Bit-identical output for any value
+    (results scatter by ray id).
     """
     r = rays.count
     w = min(wave, r)
@@ -166,9 +196,11 @@ def persistent_trace(
     light = (jnp.zeros((3,), jnp.float32) if light_pos is None
              else light_pos.astype(jnp.float32))
 
-    if compact:
+    if compact or order_keys is not None:
         # live-first work queue: one slab test over the batch, then a
-        # cumsum scatter of the surviving ray ids to the queue front.
+        # cumsum scatter of the surviving ray ids to the queue front
+        # (or, with order_keys, one argsort that both orders the live
+        # rays and pushes the dead ones past n_work).
         # With a static camera the batch is REGENERATED for the test so
         # the "rays only supplies the count" contract holds for compact
         # too (the caller's placeholder rows are never read).
@@ -186,14 +218,43 @@ def persistent_trace(
             _o.astype(jnp.float32), _d.astype(jnp.float32),
             _mint.astype(jnp.float32), _maxt.astype(jnp.float32),
         )
-        pos = jnp.cumsum(live.astype(jnp.int32)) - 1
-        buf = jnp.full((r + 1,), r, jnp.int32)
-        # dead rays all land on dump row r (colliding writes are fine)
-        buf = buf.at[jnp.where(live, pos, r)].set(
-            jnp.arange(r, dtype=jnp.int32)
-        )
-        work_ids = buf[:r]
-        n_work = pos[-1] + 1
+        if order_keys is not None:
+            key = jnp.where(live, order_keys.astype(jnp.float32), jnp.inf)
+            # M-CLASS stable counting sort, not a full argsort: a 1M-key
+            # jnp.argsort measured ~17 ms on v5e — more than the
+            # occupancy it buys back.  Straggler overlap only needs the
+            # long walks to START early, so a handful of difficulty
+            # classes (linear quantization over the live key range;
+            # dead rays in the last class) captures the win with
+            # M+1 cumsums + one scatter — the compact path's cost class.
+            M = order_classes
+            finite = jnp.isfinite(key)
+            kmin = jnp.min(jnp.where(finite, key, jnp.inf))
+            kmax = jnp.max(jnp.where(finite, key, -jnp.inf))
+            span = jnp.maximum(kmax - kmin, jnp.float32(1e-20))
+            q = jnp.clip(((key - kmin) / span * M).astype(jnp.int32), 0, M - 1)
+            q = jnp.where(finite, q, M)  # never-entering rays pop last
+            ranks = jnp.zeros((r,), jnp.int32)
+            base = jnp.asarray(0, jnp.int32)
+            for c in range(M + 1):
+                m = q == c
+                pos = jnp.cumsum(m.astype(jnp.int32)) - 1
+                ranks = jnp.where(m, base + pos, ranks)
+                base = base + pos[-1] + 1
+            work_ids = jnp.zeros((r,), jnp.int32).at[ranks].set(
+                jnp.arange(r, dtype=jnp.int32), unique_indices=True
+            )
+            n_work = (finite.sum().astype(jnp.int32) if compact
+                      else jnp.asarray(r, jnp.int32))
+        else:
+            pos = jnp.cumsum(live.astype(jnp.int32)) - 1
+            buf = jnp.full((r + 1,), r, jnp.int32)
+            # dead rays all land on dump row r (colliding writes are fine)
+            buf = buf.at[jnp.where(live, pos, r)].set(
+                jnp.arange(r, dtype=jnp.int32)
+            )
+            work_ids = buf[:r]
+            n_work = pos[-1] + 1
     else:
         work_ids = None
         n_work = jnp.asarray(r, jnp.int32)
@@ -256,7 +317,12 @@ def persistent_trace(
         ),
     )
 
-    def refill(s):
+    if refill_retries is None:
+        # measured knee on spot 1024^2 (camera regen): 0/1/2/3/4/6
+        # retries -> 75.6/65.9/63.6/62.5/62.6/64.3 ms
+        refill_retries = 3 if camera is not None else 0
+
+    def pop_once(s):
         """Idle lanes pop the next unserved rays (deterministic cumsum
         'atomicInc'); lanes left without work stay idle on the pad row."""
         idle = ~s["alive"]
@@ -297,6 +363,14 @@ def persistent_trace(
             lane_steps=jnp.where(got, 0, s["lane_steps"]),
             next=jnp.minimum(s["next"] + order[-1], n_work),
         )
+
+    def refill(s):
+        # retries re-pop only lanes whose candidate died at the slab
+        # test (their alive stays False); pop_once is idempotent for
+        # queue-exhausted lanes, so extra attempts are safe no-ops
+        for _ in range(1 + refill_retries):
+            s = pop_once(s)
+        return s
 
     state = refill(state)
 

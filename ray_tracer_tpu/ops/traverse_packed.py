@@ -124,6 +124,31 @@ def _slab_entry(grid, o, d, mint, maxt):
     return t0, (t0 <= t1) & jnp.isfinite(t0) & well_formed
 
 
+def chord_keys(rays: RayBatch, grid) -> jnp.ndarray:
+    """Work-queue difficulty keys: NEGATED grid-slab chord length
+    (t1 - t0), +inf for rays that never enter — ascending pop order then
+    serves long-chord rays first.  The chord is a pure-VPU predictor of
+    walk length (long walks need long in-grid segments; grazing sky
+    rays have short ones) costing no gathers, unlike the entry-cell
+    distance-field lookup it approximates.  Used by the persistent
+    wave's ordered queue (ops/persistent.persistent_trace order_keys;
+    RenderConfig.queue_order)."""
+    o = rays.orig.astype(jnp.float32)
+    d = rays.dirn.astype(jnp.float32)
+    invd = 1.0 / d
+    t_near = (grid.lower - o) * invd
+    t_far = (grid.upper - o) * invd
+    lo = jnp.nan_to_num(jnp.minimum(t_near, t_far), nan=-jnp.inf,
+                        posinf=jnp.inf, neginf=-jnp.inf)
+    hi = jnp.nan_to_num(jnp.maximum(t_near, t_far), nan=jnp.inf,
+                        posinf=jnp.inf, neginf=-jnp.inf)
+    t0 = jnp.maximum(jnp.max(lo, axis=-1), rays.mint.astype(jnp.float32))
+    t1 = jnp.minimum(jnp.min(hi, axis=-1), rays.maxt.astype(jnp.float32))
+    chord = jnp.maximum(t1 - t0, 0.0)
+    ok = (t0 <= t1) & jnp.isfinite(t0) & jnp.isfinite(chord)
+    return jnp.where(ok, -chord, jnp.inf)
+
+
 def _march_step(s, *, o, d, invd, gate, maxt, grid, meta):
     """The shared DDA core: one cell-probe phase + one block-test phase.
 

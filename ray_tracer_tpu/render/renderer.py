@@ -216,14 +216,14 @@ def make_traversal(rcfg: RenderConfig, grid, meta, v0, v1, v2):
             from ray_tracer_tpu.ops.persistent import persistent_trace
 
             def trav(rb, t_gate, stop_on_first_hit=False, camera=None,
-                     compact=False):
+                     compact=False, order_keys=None):
                 res = persistent_trace(
                     rb, grid, meta, wave=rcfg.wave, pump=rcfg.pump,
                     t_gate=0.0 if t_gate is None else t_gate,
                     stop_on_first_hit=stop_on_first_hit,
                     need_t=False,  # t is recomputed from tri_id by callers
                     camera=camera, spp=rcfg.spp if camera is not None else 1,
-                    compact=compact,
+                    compact=compact, order_keys=order_keys,
                 )
                 return _persistent_as_packed(res)
         else:
@@ -341,6 +341,16 @@ def render_rays(
         # Bounce depths gate t >= eps (rcfg.bounce_gate — part of the
         # shared hit/shadow policy in RenderConfig, not derived here).
         gate_d = primary_gate if depth == 0 else rcfg.bounce_gate()
+        # Difficulty-ordered queue for the depth-0 batch (bounce
+        # batches keep the cheaper compact cumsum — they are mostly
+        # dead, so the fifo tail is short).
+        okeys = None
+        if (depth == 0 and rcfg.queue_order == "chord"
+                and rcfg.scheduler == "persistent"
+                and rcfg.traversal == "packed"):
+            from ray_tracer_tpu.ops.traverse_packed import chord_keys
+
+            okeys = chord_keys(jax.lax.stop_gradient(cur), grid)
         fres = None
         if fused and (depth == 0 or rcfg.scheduler == "persistent"):
             # one march for primary + shadow: lanes rearm as their own
@@ -376,6 +386,7 @@ def render_rays(
                     # O(R) prefilter costs more than the pop savings
                     # (measured -4% on spot — docs/PERFORMANCE.md)
                     compact=depth > 0,
+                    order_keys=okeys,
                     **fkw,
                 )
             else:
@@ -392,6 +403,8 @@ def render_rays(
                 if depth == 0 and camera_cfg is not None:
                     tkw["camera"] = camera_cfg
                 tkw["compact"] = depth > 0  # bounce batches are mostly dead
+                if okeys is not None:
+                    tkw["order_keys"] = okeys
             res = trav(jax.lax.stop_gradient(cur), t_gate=gate_d, **tkw)
         hit = rcfg.accepted_hit(res)
         tri = jnp.maximum(res.tri_id, 0)
