@@ -75,7 +75,8 @@ def _pack_rays(rays: RayBatch) -> jnp.ndarray:
         "meta", "wave", "t_gate", "fuse_shadow", "shadow_gate", "shadow_mint",
         "serial_quirk", "stop_on_first_hit", "max_iters", "return_iters",
         "need_shadow_tri", "need_steps", "need_t", "camera", "spp", "pump",
-        "compact", "order_classes", "refill_retries",
+        "compact", "order_classes", "refill_retries", "shadow_skip_dead",
+        "shade_serial",
     ),
 )
 def persistent_trace(
@@ -103,6 +104,8 @@ def persistent_trace(
     order_keys: Optional[jnp.ndarray] = None,
     order_classes: int = 4,
     refill_retries: Optional[int] = None,
+    shadow_skip_dead: bool = False,
+    shade_serial: bool = False,
 ) -> FusedTraceResult:
     """March every ray of `rays` through the packed grid with a W-lane
     persistent wave; optionally fuse each ray's shadow query.
@@ -286,6 +289,11 @@ def persistent_trace(
         # record exist only when the rearm can happen
         **({"phase": zb, "p_best_t": zf + inf, "p_best_blk": zi,
             "p_best_slot": zi} if fuse_shadow else {}),
+        # the winning triangle rides the carry (no reset at refill
+        # needed: it is only read when hit_now, which implies an upd
+        # since the lane's best_t was re-inf'd)
+        **({"best_tri9": jnp.zeros((w, 9), jnp.float32)}
+           if (fuse_shadow and shadow_skip_dead) else {}),
         lane_steps=zi,
         # per-lane emit latch: a lane that finishes mid-round parks its
         # record here; the round's ONE scatter flushes all latches
@@ -390,6 +398,7 @@ def persistent_trace(
         s = _march_step(
             s, o=s["o"], d=s["d"], invd=1.0 / s["d"], gate=s["gate"],
             maxt=maxt_lane, grid=grid, meta=meta,
+            need_hit_tri=fuse_shadow and shadow_skip_dead,
         )
         lane_steps = s["lane_steps"] + pre_alive.astype(jnp.int32)
 
@@ -401,7 +410,8 @@ def persistent_trace(
                 s, pre_alive=pre_alive, maxt_primary=s["maxt"],
                 light=light, serial_quirk=serial_quirk,
                 shadow_gate=shadow_gate, shadow_mint=shadow_mint,
-                grid=grid,
+                grid=grid, skip_dead_shadow=shadow_skip_dead,
+                shade_serial=shade_serial,
             )
             done, in_shadow = aux["done"], aux["in_shadow"]
             final_t = aux["final_t"]

@@ -149,13 +149,19 @@ def chord_keys(rays: RayBatch, grid) -> jnp.ndarray:
     return jnp.where(ok, -chord, jnp.inf)
 
 
-def _march_step(s, *, o, d, invd, gate, maxt, grid, meta):
+def _march_step(s, *, o, d, invd, gate, maxt, grid, meta,
+                need_hit_tri: bool = False):
     """The shared DDA core: one cell-probe phase + one block-test phase.
 
     o/d/invd are (R,3), gate/maxt are (R,) — per-lane so the fused march
     can rearm rays in place.  Updates the march-state keys {alive,
     testing, t_cur, t_exit_cell, first_blk, n_blk, cursor, best_t,
     best_blk, best_slot} of dict `s` (other keys pass through).
+
+    need_hit_tri: also keep the winning triangle's 9 floats in carry
+    key "best_tri9" (selected from the row already in registers — a
+    bt-wide one-hot contraction, no extra gather).  The dead-shadow
+    skip reads it at rearm time to evaluate the hit's normal.
     """
     nx, ny, nz = meta.n_voxels
     nvox = jnp.asarray([nx, ny, nz], jnp.int32)
@@ -254,6 +260,14 @@ def _march_step(s, *, o, d, invd, gate, maxt, grid, meta):
 
     cursor = jnp.where(testing, cursor + 1, cursor)
     done = testing & (cursor >= n_blk)
+    extra = {}
+    if need_hit_tri:
+        onehot = (jnp.arange(bt, dtype=jnp.int32)[None, :]
+                  == slot[:, None]).astype(tri.dtype)
+        tri9_win = jnp.einsum("rb,rbk->rk", onehot, tri)
+        extra["best_tri9"] = jnp.where(
+            upd[:, None], tri9_win, s["best_tri9"]
+        )
     return dict(
         s,
         alive=alive,
@@ -266,6 +280,7 @@ def _march_step(s, *, o, d, invd, gate, maxt, grid, meta):
         best_t=jnp.where(upd, m, s["best_t"]),
         best_blk=jnp.where(upd, blk, s["best_blk"]),
         best_slot=jnp.where(upd, slot, s["best_slot"]),
+        **extra,
     )
 
 
@@ -279,7 +294,8 @@ def _primary_exhausted(s, limit, walked_out):
 
 
 def _fused_retire_rearm(s, *, pre_alive, maxt_primary, light, serial_quirk,
-                        shadow_gate, shadow_mint, grid):
+                        shadow_gate, shadow_mint, grid,
+                        skip_dead_shadow=False, shade_serial=False):
     """The ONE retire/rearm layer shared by both fused marches
     (traverse_packed_fused_shadow and ops.persistent.persistent_trace),
     like _march_step is their one DDA core — so a semantics fix cannot
@@ -301,6 +317,20 @@ def _fused_retire_rearm(s, *, pre_alive, maxt_primary, light, serial_quirk,
     freeze at retirement (a done lane stops testing), so reading them
     on retire_shadow lanes after this call yields the blocker at
     first-hit time.
+
+    skip_dead_shadow: lanes whose hit point has EXACTLY zero direct
+    light — n.l <= 0 and n.h <= 0 makes both the diffuse and specular
+    terms exact zeros under either shading variant (max(0, .) gates,
+    ops/shade.py) — retire immediately as un-shadowed instead of
+    marching a shadow ray whose outcome cannot change the pixel.
+    Image bit-identical; the recorded in_shadow flag on those lanes is
+    False regardless of true occlusion, so callers that CONSUME
+    occlusion beyond shading (blocker identity for soft visibility,
+    metrics) must keep this off.  Requires carry key "best_tri9" (the
+    march's need_hit_tri) to evaluate the facet normal per
+    shade_serial's convention (getNormalMod vs the CUDA cross,
+    ops/shade.py:127-136); assumes unit ray directions (true of every
+    camera/bounce ray here).
     """
     inf = jnp.float32(_INF)
     phase = s["phase"]
@@ -317,6 +347,34 @@ def _fused_retire_rearm(s, *, pre_alive, maxt_primary, light, serial_quirk,
     to_light = light - poi
     norm = jnp.sqrt(jnp.sum(to_light * to_light, axis=-1, keepdims=True))
     sdir = to_light / jnp.where(norm > 0, norm, 1.0)
+    skip = jnp.zeros_like(hit0)
+    if skip_dead_shadow:
+        t9 = s["best_tri9"]
+        a, b, c = t9[:, 0:3], t9[:, 3:6], t9[:, 6:9]
+        if shade_serial:  # getNormalMod, Serial/geometry.h:234-240
+            n = jnp.cross(a - b, c - a)
+        else:  # Parallel/geometry.cuh:160
+            n = jnp.cross(c - b, a - b)
+        # h's SIGN is scale-invariant: view = -d (unit), l = sdir (unit)
+        h = sdir - s["d"]
+        # conservative margin: this dot and the shading's recomputation
+        # (different normalize/cross contraction order) agree only to
+        # last-ulp RELATIVE error of the TERM magnitudes (cancellation:
+        # the cross error scales with |e1||e2|, not |n| — sliver
+        # triangles), and ks ~ 5e11 amplifies pow(n.h ~ 0, alpha) into
+        # visible counts right at the boundary — skip only lanes
+        # strictly inside the dead region (margin = 2e-5 * |e1||e2|
+        # covers the ~1e-7 relative discrepancy with ~100x slack;
+        # boundary lanes march their shadow ray as before, so the
+        # image stays bitwise)
+        e1s = jnp.sum((a - b) ** 2, axis=-1)
+        e2s = jnp.sum((c - a) ** 2, axis=-1)
+        m = jnp.float32(2e-5) * jnp.sqrt(e1s * e2s)
+        dead = (jnp.sum(n * sdir, axis=-1) <= -m) & (
+            jnp.sum(n * h, axis=-1) <= -m
+        )
+        skip = hit0 & dead
+        hit0 = hit0 & ~dead
     if serial_quirk:  # Serial/raytracer.cpp:106 — away from the light
         sdir = -sdir
     new_o = jnp.where(hit0[:, None], poi, s["o"])
@@ -328,6 +386,7 @@ def _fused_retire_rearm(s, *, pre_alive, maxt_primary, light, serial_quirk,
     done = (
         (retire_primary & ~hit_now)  # primary miss
         | (hit0 & ~s_entered)  # shadow ray misses the grid: lit
+        | skip  # zero-direct hit: occlusion cannot affect the pixel
         | retire_shadow
     )
     in_shadow = retire_shadow & hit_now

@@ -373,6 +373,21 @@ def render_rays(
                     jax.lax.stop_gradient(scene.light_pos),
                     wave=rcfg.wave, pump=rcfg.pump, fuse_shadow=True,
                     need_t=False,  # t is recomputed from tri_id below
+                    # zero-direct hits (n.l<=0 and n.h<=0 under the
+                    # facet normal) retire without marching their
+                    # shadow ray — bit-identical image; valid ONLY for
+                    # the serial shading variant (ambient is added
+                    # AFTER the shadow scale, raytracer.cpp:102-117 —
+                    # the parallel variant shadows ambient too,
+                    # raytracer.cu:492-506, so occlusion always shows).
+                    # Off whenever anything consumes true occlusion
+                    # beyond shading (soft visibility's blocker id) or
+                    # shades with a non-facet normal (smooth
+                    # interpolation flips the sign test).
+                    shadow_skip_dead=(serial
+                                      and rcfg.soft_visibility <= 0.0
+                                      and rcfg.normal_mode == "face"),
+                    shade_serial=serial,
                     t_gate=0.0 if gate_d is None else gate_d,
                     # blocker identity costs an extra scatter/iteration;
                     # only soft visibility consumes it

@@ -415,3 +415,42 @@ def test_random_soup_cross_scheduler_shading_fuzz(seed):
     onp.testing.assert_allclose(imgs[("tiled", True)],
                                 imgs[("persistent", True)],
                                 rtol=1e-5, atol=1e-3)
+
+
+def test_shadow_skip_dead_bitwise(tiny_prep):
+    """The zero-direct shadow skip (serial shading: ambient rides
+    OUTSIDE the shadow scale, so n.l<=0 & n.h<=0 makes occlusion
+    invisible) must not change a single bit of the image vs the same
+    persistent fused render with the skip off."""
+    import dataclasses
+
+    import ray_tracer_tpu.ops.persistent as P
+    from ray_tracer_tpu.render.renderer import prepare, render
+
+    cfg = dataclasses.replace(
+        tiny_prep.cfg,
+        render=dataclasses.replace(
+            tiny_prep.cfg.render, shading="serial", traversal="packed",
+            scheduler="persistent", faithful=False, det_dtype="float32",
+            wave=64, fused_shadow=True,
+        ),
+    )
+    prep = prepare(cfg, scene=tiny_prep.scene)
+
+    orig = P.persistent_trace
+    forced = {}
+
+    def wrap(*args, **kw):
+        if "forced" in forced and "shadow_skip_dead" in kw:
+            kw["shadow_skip_dead"] = forced["forced"]
+        return orig(*args, **kw)
+
+    P.persistent_trace = wrap
+    try:
+        forced["forced"] = True
+        on = np.asarray(render(prep))
+        forced["forced"] = False
+        off = np.asarray(render(prep))
+    finally:
+        P.persistent_trace = orig
+    np.testing.assert_array_equal(on, off)
