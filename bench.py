@@ -218,6 +218,9 @@ def main() -> None:
                     help="grid resolution multiplier (cells ~ rm * 3*cbrt(N))")
     ap.add_argument("--max-res", type=int, default=None,
                     help="per-axis grid resolution clamp (reference: 64)")
+    ap.add_argument("--probe-chain", type=int, default=None,
+                    help="cell probes per march step for leap-only lanes "
+                         "(blocks layout; see RenderConfig.probe_chain)")
     ap.add_argument("--order", default=None, choices=["fifo", "chord"],
                     help="persistent work-queue pop order (chord = longest "
                          "slab chord first, the straggler-overlap schedule; "
@@ -294,6 +297,8 @@ def main() -> None:
     exact = (_tuned["exact"] if args.exact is None else args.exact == "on")
     if args.order is None:
         args.order = _tuned.get("order", "fifo")
+    if args.probe_chain is None:
+        args.probe_chain = _tuned.get("chain", 1)
 
     import dataclasses
 
@@ -324,7 +329,7 @@ def main() -> None:
             packed_block_tris=args.block_tris,
             fused_shadow=False,  # decided below (measured, or forced by --fused)
             scheduler=args.scheduler, wave=args.wave, pump=args.pump,
-            queue_order=args.order,
+            queue_order=args.order, probe_chain=args.probe_chain,
             grid_layout=args.layout,
             # TPU-tuned per scene (see _tuned above): the persistent
             # wavefront + fused shadow + fine grid -> 20 Mrays/s on v5e

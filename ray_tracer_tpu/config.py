@@ -155,6 +155,14 @@ class RenderConfig:
     # 64.7% on spot, 82.4% on nefertiti under fifo).  Image is
     # bit-identical for any order.
     queue_order: str = "fifo"
+    # Cell probes per march step (blocks layout only): lanes that are
+    # pure leapers after the combined probe+test phase run up to
+    # probe_chain-1 more cell_info probes in the SAME step — measured
+    # 84-87% of a dense rough-shell scene's lane-steps are probe/leap
+    # steps (tools/phase_split.py), and each extra dependent gather
+    # costs ~+5 ns amortized vs ~22-27 ns for a whole step.  Results
+    # are chain-invariant (same cells, same hits; fewer steps).
+    probe_chain: int = 1
     # Soft-edge visibility scale (0 = reference-exact hard shadows).
     # > 0: shadow attenuation becomes sigmoid(blocker barycentric margin
     # / scale) — differentiable across silhouettes (SURVEY hard part #2).
@@ -346,11 +354,19 @@ class SceneConfig:
 # "parallel" = the CUDA-variant reflective scene.  None = generic
 # fallback for unknown/custom scenes.
 TUNED_KNOBS = {
-    "serial": dict(block_tris=14, rm=2.0, max_res=128, wave=12288, pump=3,
+    # pump re-kneed round 4 (refill retries + dead-shadow skip shifted
+    # every scene from 2-3 to 4): spot 40.7 / nefertiti 7.86 /
+    # parallel 4.38 at pump 4 vs 37.5-40.5 / 7.44-7.86 / 4.18-4.29 at
+    # the old values
+    "serial": dict(block_tris=14, rm=2.0, max_res=128, wave=12288, pump=4,
                    exact=True),
-    "nefertiti": dict(block_tris=28, rm=1.25, max_res=64, wave=8192, pump=2,
+    "nefertiti": dict(block_tris=28, rm=1.25, max_res=64, wave=8192, pump=4,
                       exact=True),
-    "parallel": dict(block_tris=56, rm=0.75, max_res=64, wave=8192, pump=2,
+    # parallel re-kneed round 4: the round-2 sweep's rm 0.75 / 56-tri
+    # rows (4.38 at pump 4) lose to a 2x finer grid with narrow rows
+    # under the round-4 scheduler, where grid_layout=auto picks INLINE
+    # (~7 tris/occupied cell): 4.38 -> 6.42 Mrays/s
+    "parallel": dict(block_tris=14, rm=2.0, max_res=64, wave=8192, pump=4,
                      exact=True),
     None: dict(block_tris=0, rm=3.0, max_res=64, wave=8192, pump=2,
                exact=True),

@@ -76,7 +76,7 @@ def _pack_rays(rays: RayBatch) -> jnp.ndarray:
         "serial_quirk", "stop_on_first_hit", "max_iters", "return_iters",
         "need_shadow_tri", "need_steps", "need_t", "camera", "spp", "pump",
         "compact", "order_classes", "refill_retries", "shadow_skip_dead",
-        "shade_serial",
+        "shade_serial", "probe_chain",
     ),
 )
 def persistent_trace(
@@ -106,6 +106,7 @@ def persistent_trace(
     refill_retries: Optional[int] = None,
     shadow_skip_dead: bool = False,
     shade_serial: bool = False,
+    probe_chain: int = 1,
 ) -> FusedTraceResult:
     """March every ray of `rays` through the packed grid with a W-lane
     persistent wave; optionally fuse each ray's shadow query.
@@ -399,6 +400,7 @@ def persistent_trace(
             s, o=s["o"], d=s["d"], invd=1.0 / s["d"], gate=s["gate"],
             maxt=maxt_lane, grid=grid, meta=meta,
             need_hit_tri=fuse_shadow and shadow_skip_dead,
+            probe_chain=probe_chain,
         )
         lane_steps = s["lane_steps"] + pre_alive.astype(jnp.int32)
 

@@ -150,7 +150,7 @@ def chord_keys(rays: RayBatch, grid) -> jnp.ndarray:
 
 
 def _march_step(s, *, o, d, invd, gate, maxt, grid, meta,
-                need_hit_tri: bool = False):
+                need_hit_tri: bool = False, probe_chain: int = 1):
     """The shared DDA core: one cell-probe phase + one block-test phase.
 
     o/d/invd are (R,3), gate/maxt are (R,) — per-lane so the fused march
@@ -162,6 +162,19 @@ def _march_step(s, *, o, d, invd, gate, maxt, grid, meta,
     key "best_tri9" (selected from the row already in registers — a
     bt-wide one-hot contraction, no extra gather).  The dead-shadow
     skip reads it at rearm time to evaluate the hit's normal.
+
+    probe_chain > 1 (blocks layout only): after the combined
+    probe+test phase, lanes that are STILL pure leapers run up to
+    probe_chain-1 more cell probes in the same step — each an extra
+    DEPENDENT cell_info gather (+~5 ns amortized at wave width,
+    measured 22.5 -> 27.2 ns for the first dependent pair) that
+    either leaps again or arms the cell for next step's row test.
+    Measured motivation: 84-87%% of a dense rough-shell scene's
+    lane-steps are probe/leap steps (tools/phase_split.py — nefertiti
+    primaries 13%% test, shadows 16%% test), so collapsing k probes
+    into one step attacks the dominant cost directly.  Results are
+    invariant to the chain depth (same cells visited, same first-hit
+    bookkeeping; only the step count drops).
     """
     nx, ny, nz = meta.n_voxels
     nvox = jnp.asarray([nx, ny, nz], jnp.int32)
@@ -268,7 +281,7 @@ def _march_step(s, *, o, d, invd, gate, maxt, grid, meta,
         extra["best_tri9"] = jnp.where(
             upd[:, None], tri9_win, s["best_tri9"]
         )
-    return dict(
+    out = dict(
         s,
         alive=alive,
         testing=testing & ~done,
@@ -281,6 +294,55 @@ def _march_step(s, *, o, d, invd, gate, maxt, grid, meta,
         best_blk=jnp.where(upd, blk, s["best_blk"]),
         best_slot=jnp.where(upd, slot, s["best_slot"]),
         **extra,
+    )
+    if probe_chain > 1:
+        assert not meta.inline, (
+            "probe_chain > 1 serves the blocks layout (a chained inline "
+            "probe would need the row in hand to start testing)"
+        )
+        for _ in range(probe_chain - 1):
+            out = _chain_probe(out, o=o, d=d, invd=invd, grid=grid, meta=meta)
+    return out
+
+
+def _chain_probe(s, *, o, d, invd, grid, meta):
+    """One extra cell-probe for lanes that are pure leapers after the
+    main march phase: leap again on empty, or ARM an occupied cell
+    (first/n_blk/cursor=0, row test happens next step).  Exactly the
+    main phase's probe semantics (nudge, safe-box exit, monotone
+    progress) minus the row test; one dependent cell_info gather."""
+    nx, ny, nz = meta.n_voxels
+    nvox = jnp.asarray([nx, ny, nz], jnp.int32)
+    delta = jnp.float32(meta.probe_delta)
+    alive, testing, t_cur = s["alive"], s["testing"], s["t_cur"]
+    act = alive & ~testing
+    probe = t_cur + jnp.maximum(delta, t_cur * jnp.float32(4e-6))
+    p = o + d * probe[:, None]
+    cell = jnp.floor((p - grid.lower) * grid.inv_width).astype(jnp.int32)
+    inside = jnp.all((cell >= 0) & (cell < nvox), axis=-1)
+    die = act & ~inside
+    cc = jnp.clip(cell, 0, nvox - 1)
+    lin = cc[:, 2] * (nx * ny) + cc[:, 1] * nx + cc[:, 0]
+    first, nblk, dist = decode_cell_info(grid.cell_info[lin])  # THE GATHER
+    occupied = nblk > 0
+    rad = jnp.where(occupied, 1, jnp.maximum(dist, 1))[:, None]
+    blo = grid.lower + (cell - (rad - 1)).astype(jnp.float32) * grid.width
+    bhi = grid.lower + (cell + rad).astype(jnp.float32) * grid.width
+    tf = jnp.nan_to_num(
+        jnp.maximum((blo - o) * invd, (bhi - o) * invd), nan=jnp.inf
+    )
+    t_exit = jnp.maximum(jnp.min(tf, axis=-1), probe)
+    start = act & inside & occupied
+    jump = act & inside & ~occupied
+    return dict(
+        s,
+        alive=alive & ~die,
+        testing=testing | start,
+        t_cur=jnp.where(jump, t_exit, t_cur),
+        t_exit_cell=jnp.where(start, t_exit, s["t_exit_cell"]),
+        first_blk=jnp.where(start, first, s["first_blk"]),
+        n_blk=jnp.where(start, nblk, s["n_blk"]),
+        cursor=jnp.where(start, 0, s["cursor"]),
     )
 
 
@@ -421,7 +483,8 @@ def _fused_retire_rearm(s, *, pre_alive, maxt_primary, light, serial_quirk,
 
 @partial(
     jax.jit,
-    static_argnames=("meta", "t_gate", "stop_on_first_hit", "max_steps", "unroll"),
+    static_argnames=("meta", "t_gate", "stop_on_first_hit", "max_steps",
+                     "unroll", "probe_chain"),
 )
 def traverse_packed(
     rays: RayBatch,
@@ -432,6 +495,7 @@ def traverse_packed(
     stop_on_first_hit: bool = False,
     max_steps: Optional[int] = None,
     unroll: int = 1,
+    probe_chain: int = 1,
 ) -> PackedTraceResult:
     bt = meta.block_tris
     if max_steps is None:
@@ -480,7 +544,7 @@ def traverse_packed(
         for _ in range(unroll):
             pre_alive = s["alive"]
             s = _march_step(s, o=o, d=d, invd=invd, gate=gate, maxt=maxt,
-                            grid=grid, meta=meta)
+                            grid=grid, meta=meta, probe_chain=probe_chain)
             limit = jnp.minimum(maxt, s["best_t"])
             alive = s["alive"] & (s["testing"] | (s["t_cur"] <= limit))
             if stop_on_first_hit:

@@ -148,30 +148,29 @@ def prepare(cfg: SceneConfig, scene: Scene = None) -> Prepared:
 
 
 def choose_inline_layout(grid: UniformGrid, block_tris: int,
-                         budget_bytes: int = 1 << 31) -> bool:
+                         budget_bytes: int = 64 << 20) -> bool:
     """auto grid_layout rule (sweep-measured on v5e, docs/PERFORMANCE.md):
 
-    The inline (one-gather) layout wins where the march is PROBE-heavy
-    — sparse scenes whose lanes spend most steps entering cells and
-    leaping empties, each such step paying the cell_info gather the
-    inline row absorbs (spot 1024²: 21.3 -> 32.9 Mrays/s).  On dense
-    scenes the march is test-phase-heavy (mid-row lanes never needed
-    the second gather) and the inline table's dense first-row-per-cell
-    only hurts locality: nefertiti LOSES ~5% inline at every knob
-    tried, the reflective scene is a wash.  Proxy at prepare time: mean
-    triangles per occupied voxel <= 14 == "probe-heavy" (spot 8.5 ->
-    inline; nefertiti 24.8, parallel 56.9 -> blocks).
+    The inline (one-gather) layout wins whenever its dense table stays
+    SMALL enough for gather locality; size — not scene density — is
+    what the measurements separate on:
 
-    Also requires the table (blocks + slot_tri) to fit budget_bytes —
-    the inline layout spends a dense first-row on EVERY cell, empty
-    ones included."""
+      * spot rm 2.0/128 bt14: 48 MB table -> inline WINS (21.3 -> 32.9
+        Mrays/s, round 3);
+      * parallel rm 2.0 bt14 (~20+ tris/occupied cell — the old
+        density proxy said blocks): 34 MB -> inline WINS (5.16 -> 6.42,
+        round 4);
+      * nefertiti bt28 rm1.25 (268 MB) and bt14 (134 MB): inline LOSES
+        ~5-10% at every knob tried — random 0.5-1 KB reads spread over
+        a 10x larger table.
+
+    Rule: inline iff the dense first-row-per-cell table (empty cells
+    included) fits budget_bytes (64 MB — between the measured 48 MB
+    win and 134 MB loss)."""
     host = grid.host
     if host is None:
-        return False  # density unknown; keep the compact layout
+        return False  # table size unknown; keep the compact layout
     counts = np.diff(host.cell_start)
-    occ = int((counts > 0).sum())
-    if float(counts.sum()) / max(occ, 1) > 14.0:
-        return False
     nx, ny, nz = grid.meta.n_voxels
     n_cells = nx * ny * nz
     row_lanes = -(-(block_tris * 9 + 2) // 128) * 128
@@ -219,6 +218,7 @@ def make_traversal(rcfg: RenderConfig, grid, meta, v0, v1, v2):
                      compact=False, order_keys=None):
                 res = persistent_trace(
                     rb, grid, meta, wave=rcfg.wave, pump=rcfg.pump,
+                    probe_chain=1 if meta.inline else rcfg.probe_chain,
                     t_gate=0.0 if t_gate is None else t_gate,
                     stop_on_first_hit=stop_on_first_hit,
                     need_t=False,  # t is recomputed from tri_id by callers
@@ -234,6 +234,7 @@ def make_traversal(rcfg: RenderConfig, grid, meta, v0, v1, v2):
                     t_gate=0.0 if t_gate is None else t_gate,
                     stop_on_first_hit=stop_on_first_hit,
                     unroll=rcfg.packed_unroll,
+                    probe_chain=1 if meta.inline else rcfg.probe_chain,
                 )
     elif rcfg.traversal == "brute_pallas":
         # VPU-peak Pallas all-pairs sweep (ops/pallas_intersect.py):
@@ -372,6 +373,7 @@ def render_rays(
                     jax.lax.stop_gradient(cur), grid, meta,
                     jax.lax.stop_gradient(scene.light_pos),
                     wave=rcfg.wave, pump=rcfg.pump, fuse_shadow=True,
+                    probe_chain=1 if meta.inline else rcfg.probe_chain,
                     need_t=False,  # t is recomputed from tri_id below
                     # zero-direct hits (n.l<=0 and n.h<=0 under the
                     # facet normal) retire without marching their
