@@ -213,13 +213,15 @@ class RenderConfig:
     shadow_samples: int = 1
     light_radius: float = 0.0
     # Shadow samples traced per wavefront (the gi_sample_batch trick
-    # applied to area-light shadows): up to shadow_sample_batch
-    # samples' rays ride ONE traversal, amortizing the per-traversal
-    # fixed costs (queue sweep, straggler tail).  Bitwise-invariant —
-    # each sample's occlusion is computed and accumulated in the same
-    # sequential order either way; the knob only trades HBM footprint
-    # (shadow_sample_batch * R lanes) against fixed-cost amortization.
-    shadow_sample_batch: int = 4
+    # applied to area-light shadows).  Bitwise-invariant — each
+    # sample's occlusion is computed and accumulated in the same
+    # sequential order either way.  MEASURED NEGATIVE on v5e (unlike
+    # the GI sample batch): with the sample traversals compacted,
+    # batch 1/4/8 = 207/252/259 ms on the 8-sample 1024^2 penumbra —
+    # separate compacted per-sample waves win, so the default stays 1
+    # (the speedup that DID land is compacting these ~88%-dead
+    # batches: 336 -> 207 ms; docs/PERFORMANCE.md).
+    shadow_sample_batch: int = 1
     # Path-traced global illumination (render/pathtrace.py — a
     # production feature far beyond the reference's Whitted-style
     # pipeline, built on the same persistent-wave traversal).

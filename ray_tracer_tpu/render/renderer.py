@@ -511,8 +511,13 @@ def render_rays(
         if rcfg.scheduler == "persistent" and rcfg.traversal == "packed":
             # bounce-depth shadow batches are mostly dead (only
             # reflecting lanes have finite origins) — same compaction
-            # rule as the primary trace above
-            skw["compact"] = depth > 0
+            # rule as the primary trace above.  Area-light sample
+            # batches are mostly dead at EVERY depth (only hit lanes
+            # shoot, times shadow_sample_batch), and uncompacted they
+            # pay a pop-round per dead lane — measured 336 -> 517 ms
+            # REGRESSION on the batched 8-sample penumbra without
+            # compaction, 336 -> 229 with it (docs/PERFORMANCE.md)
+            skw["compact"] = depth > 0 or soft_shadows
 
         def shadow_rays_toward(light_point):
             # detached: the traversal is a stop-gradient island
@@ -556,9 +561,10 @@ def render_rays(
                 # (sample, ray)-independent and each sample's occlusion
                 # is softened/accumulated in the same sequential order
                 # either way, so the image is bitwise-invariant in the
-                # batch size — only the per-traversal fixed costs
-                # amortize (measured ~3.6x on the 8-sample penumbra
-                # bench, docs/PERFORMANCE.md).
+                # batch size.  Measured NEGATIVE on v5e at production
+                # shapes (batch 1/4/8 = 207/252/259 ms with compacted
+                # sample traversals) — default batch is 1; the knob and
+                # the invariance tests stay for reproduction.
                 offs = light_sample_offsets(rcfg.shadow_samples,
                                             rcfg.light_radius)
                 S = rcfg.shadow_samples
