@@ -255,6 +255,17 @@ class RenderConfig:
     # (the march's best_t vs the recomputed differentiable t), which
     # can only matter on knife-edge blocker silhouettes.
     gi_fuse_nee: bool = True
+    # Environment-light next-event estimation with balance-heuristic
+    # MIS (render/pathtrace.py): each diffuse path vertex also samples
+    # ONE direction from the env map's luminance x sin(theta)
+    # distribution, shadow-tests it, and weights both that sample and
+    # the BSDF-sampled escape term by pdf/(pdf_env + pdf_cos) — small
+    # bright env features stop being rare-escape-only events.
+    # Opt-in: cosine sampling is already ZERO-variance for constant
+    # environments (the furnace tests pin exact equality, which any
+    # MIS split necessarily trades for statistical convergence), so
+    # this pays off only on concentrated env maps.
+    gi_env_nee: bool = False
     # GI treats `reflective` materials (km > 0, the parallel variant's
     # mirror palette, Parallel/raytracer.cu:449-453) as a Lambertian/
     # mirror MIX: at each path vertex a deterministic hash draw picks
