@@ -100,6 +100,14 @@ class GridConfig:
     # the cell containing any hit point always keeps its triangle.
     # A production knob — the bit-faithful oracle configs leave it off.
     exact_overlap: bool = False
+    # Empty-cell leap geometry for the packed layouts: "box" (default)
+    # stores each empty cell's greedy maximal empty box (six 5-bit
+    # per-direction extents — anisotropic leaps; measured -21% primary
+    # / -36% shadow probe steps on the dense displaced-sphere scene),
+    # "cheb" the rounds-1-3 symmetric Chebyshev cube (kept for
+    # reproduction).  Hits are identical either way; only step counts
+    # and therefore throughput differ (accel/packed.greedy_empty_boxes).
+    leap: str = "box"
 
 
 @dataclass(frozen=True)

@@ -8,7 +8,7 @@ is issue-bound per INDEX (tools/gather_dedup_bench.py), so each live
 ray pays at most two gathered rows per step:
 
   1. `cell_info[cell]` — a packed uint32 with the voxel's block range
-     and its Chebyshev distance to the nearest occupied voxel;
+     (occupied) or its maximal empty-box extents (empty);
   2. `blocks[row]` — one block row (meta.block_tris whole triangles)
      tested in a single fused VPU sweep.
 
@@ -22,7 +22,7 @@ March structure (all lanes in lock-step, predicated):
 
   * a lane NOT mid-voxel probes the point t_cur + delta, decodes its
     cell, and either (a) starts testing the cell's block rows, or
-    (b) leaps the empty Chebyshev-safe box in one step — empty-sky
+    (b) leaps the cell's verified-empty box in one step — empty-sky
     rays cross a 64-cell grid in a handful of steps instead of ~180,
     which matters because a SIMD wave retires at its slowest lane;
   * a lane mid-voxel tests one block row per step, recording the
@@ -215,15 +215,20 @@ def _march_step(s, *, o, d, invd, gate, maxt, grid, meta,
             jnp.clip(lin, 0, n_blocks - 1),
         )
         row = grid.blocks[gidx]  # THE GATHER: (R, row_lanes) f32
-        first, nblk, dist = decode_inline_header(row)
+        first, nblk, ext_lo, ext_hi = decode_inline_header(row)
     else:
-        first, nblk, dist = decode_cell_info(grid.cell_info[lin])  # GATHER 1
+        first, nblk, ext_lo, ext_hi = decode_cell_info(
+            grid.cell_info[lin]
+        )  # GATHER 1
     occupied = nblk > 0
 
-    # safe-box exit: radius 1 for occupied cells, Chebyshev dist for empty
-    rad = jnp.where(occupied, 1, jnp.maximum(dist, 1))[:, None]
-    blo = grid.lower + (cell - (rad - 1)).astype(jnp.float32) * grid.width
-    bhi = grid.lower + (cell + rad).astype(jnp.float32) * grid.width
+    # safe-box exit: the cell itself for occupied cells, the packed
+    # maximal empty box for empty ones (anisotropic — long tangential
+    # leaps along a surface band; accel/packed.greedy_empty_boxes)
+    lo_e = jnp.where(occupied[:, None], 0, ext_lo)
+    hi_e = jnp.where(occupied[:, None], 0, ext_hi)
+    blo = grid.lower + (cell - lo_e).astype(jnp.float32) * grid.width
+    bhi = grid.lower + (cell + hi_e + 1).astype(jnp.float32) * grid.width
     # nan_to_num: a boundary-plane origin with a parallel direction gives
     # 0 * inf = NaN; the ray never exits the box along that axis (+inf)
     tf = jnp.nan_to_num(
@@ -323,11 +328,14 @@ def _chain_probe(s, *, o, d, invd, grid, meta):
     die = act & ~inside
     cc = jnp.clip(cell, 0, nvox - 1)
     lin = cc[:, 2] * (nx * ny) + cc[:, 1] * nx + cc[:, 0]
-    first, nblk, dist = decode_cell_info(grid.cell_info[lin])  # THE GATHER
+    first, nblk, ext_lo, ext_hi = decode_cell_info(
+        grid.cell_info[lin]
+    )  # THE GATHER
     occupied = nblk > 0
-    rad = jnp.where(occupied, 1, jnp.maximum(dist, 1))[:, None]
-    blo = grid.lower + (cell - (rad - 1)).astype(jnp.float32) * grid.width
-    bhi = grid.lower + (cell + rad).astype(jnp.float32) * grid.width
+    lo_e = jnp.where(occupied[:, None], 0, ext_lo)
+    hi_e = jnp.where(occupied[:, None], 0, ext_hi)
+    blo = grid.lower + (cell - lo_e).astype(jnp.float32) * grid.width
+    bhi = grid.lower + (cell + hi_e + 1).astype(jnp.float32) * grid.width
     tf = jnp.nan_to_num(
         jnp.maximum((blo - o) * invd, (bhi - o) * invd), nan=jnp.inf
     )

@@ -506,7 +506,7 @@ def fit(
             repacked = pack_grid(
                 built, verts_np, faces_np,
                 block_tris=meta.block_tris, pad_meta=meta,
-                inline=meta.inline,
+                inline=meta.inline, leap=cfg.render.grid.leap,
             )
             if repacked.meta != meta:
                 head = _grow_packed(repacked.meta)
@@ -514,7 +514,7 @@ def fit(
                     built, verts_np, faces_np,
                     block_tris=meta.block_tris,
                     pad_meta=head,
-                    inline=meta.inline,
+                    inline=meta.inline, leap=cfg.render.grid.leap,
                 )
             grid, new_meta = repacked.arrays, repacked.meta
         else:

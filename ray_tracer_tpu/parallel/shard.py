@@ -695,7 +695,8 @@ def build_ring_grids(prep: Prepared, n_shards: int):
             force_resolution=common_res,
             exact_overlap=rcfg.grid.exact_overlap,
         )
-        packs.append(pack_grid(g, verts_np, sl, block_tris=bt, as_numpy=True))
+        packs.append(pack_grid(g, verts_np, sl, block_tris=bt, as_numpy=True,
+                               leap=rcfg.grid.leap))
 
     nb = max(p.meta.n_blocks for p in packs)
     meta = PackedGridMeta(

@@ -143,7 +143,7 @@ def prepare(cfg: SceneConfig, scene: Scene = None) -> Prepared:
         inline = (layout == "inline"
                   or (layout == "auto" and choose_inline_layout(grid, bt)))
         packed = pack_grid(grid, verts_np, faces_np, block_tris=bt,
-                           inline=inline)
+                           inline=inline, leap=cfg.render.grid.leap)
     return Prepared(scene=scene, grid=grid, cfg=cfg, packed=packed)
 
 

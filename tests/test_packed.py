@@ -56,12 +56,12 @@ def test_pack_layout_matches_csr(tiny_prep, packed):
     blocks = np.asarray(packed.arrays.blocks)
     slot_tri = np.asarray(packed.arrays.slot_tri)
 
-    first, nblk, dist = (np.asarray(x) for x in decode_cell_info(jnp.asarray(info)))
+    first, nblk, _, _ = (np.asarray(x) for x in decode_cell_info(jnp.asarray(info)))
     rng = np.random.default_rng(0)
     for c in rng.choice(len(cs) - 1, size=200, replace=False):
         count = cs[c + 1] - cs[c]
         assert nblk[c] == -(-count // BLOCK_TRIS)
-        assert (dist[c] == 0) == (count > 0)
+        assert (nblk[c] > 0) == (count > 0)
         for j in range(count):
             row = first[c] + j // BLOCK_TRIS
             slot = j % BLOCK_TRIS
@@ -92,16 +92,19 @@ def test_inline_layout_matches_csr(tiny_prep):
     slot_tri = np.asarray(inl.arrays.slot_tri)
     n_cells = inl.meta.total_voxels
 
-    ref = pack_grid(grid, verts, faces)  # blocks layout for dist cross-check
-    _, ref_nblk, ref_dist = (
+    ref = pack_grid(grid, verts, faces)  # blocks layout for cross-check
+    _, ref_nblk, ref_lo, ref_hi = (
         np.asarray(x) for x in decode_cell_info(jnp.asarray(ref.arrays.cell_info))
     )
-    ovf, nrows, dist = (
+    ovf, nrows, lo, hi = (
         np.asarray(x)
         for x in decode_inline_header(jnp.asarray(blocks[:n_cells]))
     )
     np.testing.assert_array_equal(nrows, ref_nblk)
-    np.testing.assert_array_equal(dist, ref_dist)
+    # empty cells carry identical leap boxes in both layouts
+    e = nrows == 0
+    np.testing.assert_array_equal(lo[e], ref_lo[e])
+    np.testing.assert_array_equal(hi[e], ref_hi[e])
 
     rng = np.random.default_rng(1)
     for c in rng.choice(n_cells, size=200, replace=False):
@@ -193,6 +196,79 @@ def test_distance_field_property():
     for idx in np.ndindex(occ.shape):
         want = min(np.abs(np.asarray(idx) - x).max() for x in xs)
         assert dist[idx] == min(want, 31), idx
+
+
+def test_empty_box_field_safety():
+    """Every empty cell's greedy box is verifiably empty and within the
+    extent cap (on a random occupancy — the property the march's
+    correctness rests on: a leap may only skip cells that contain no
+    triangles), and boxes are non-degenerate wherever free space
+    exists (each direction grows at least until it touches an occupied
+    cell or the cap)."""
+    from ray_tracer_tpu.accel.packed import EXT_CAP, greedy_empty_boxes
+
+    rng = np.random.default_rng(7)
+    occ = rng.random((12, 9, 11)) < 0.08
+    occ[0, 0, 0] = True  # ensure at least one occupied cell
+    ext = greedy_empty_boxes(occ)
+    assert (ext >= 0).all() and (ext <= EXT_CAP).all()
+    assert (ext[:, occ] == 0).all()
+    for z, y, x in np.argwhere(~occ):
+        xm, xp, ym, yp, zm, zp = ext[:, z, y, x]
+        box = occ[max(z - zm, 0): z + zp + 1,
+                  max(y - ym, 0): y + yp + 1,
+                  max(x - xm, 0): x + xp + 1]
+        assert not box.any(), (z, y, x)
+        # maximality per direction: one more cell would hit something
+        # or leave the cap (grid-edge slabs count as empty, so only the
+        # in-grid case is checked)
+        if xp < EXT_CAP and x + xp + 1 < occ.shape[2]:
+            assert occ[max(z - zm, 0): z + zp + 1,
+                       max(y - ym, 0): y + yp + 1,
+                       x + xp + 1].any(), (z, y, x)
+
+
+def test_extents_encode_decode_roundtrip():
+    from ray_tracer_tpu.accel.packed import _decode_extents, pack_extents
+
+    rng = np.random.default_rng(3)
+    ext = rng.integers(0, 32, size=(6, 50)).astype(np.int32)
+    word = pack_extents(ext)
+    lo, hi = (np.asarray(x) for x in _decode_extents(jnp.asarray(word)))
+    np.testing.assert_array_equal(lo, ext[[0, 2, 4]].T)
+    np.testing.assert_array_equal(hi, ext[[1, 3, 5]].T)
+
+
+@pytest.mark.parametrize("inline", [False, True])
+def test_box_leap_bitwise_equals_cheb_hits(tiny_prep, inline):
+    """leap='box' must find exactly the hits of the reproduction
+    leap='cheb' build (leaps only skip verified-empty space) with no
+    more steps, on both layouts and on the fused march."""
+    from ray_tracer_tpu.ops.traverse_packed import traverse_packed_fused_shadow
+
+    prep = tiny_prep
+    verts = np.asarray(prep.scene.verts)
+    faces = np.asarray(prep.scene.faces)
+    box = pack_grid(prep.grid, verts, faces, inline=inline, leap="box")
+    cheb = pack_grid(prep.grid, verts, faces, inline=inline, leap="cheb")
+    rays = camera_rays(prep.cfg.camera)
+    a = traverse_packed(rays, box.arrays, box.meta, t_gate=1e-4)
+    b = traverse_packed(rays, cheb.arrays, cheb.meta, t_gate=1e-4)
+    for f in ("hit", "t", "tri_id"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, f)), np.asarray(getattr(b, f)), err_msg=f
+        )
+    assert np.asarray(a.steps).sum() <= np.asarray(b.steps).sum()
+
+    light = prep.scene.light_pos
+    kw = dict(primary_gate=1e-3, shadow_gate=1e-3, shadow_mint=1e-3 + 0.02,
+              serial_quirk=False)
+    fa = traverse_packed_fused_shadow(rays, box.arrays, box.meta, light, **kw)
+    fb = traverse_packed_fused_shadow(rays, cheb.arrays, cheb.meta, light, **kw)
+    for f in ("hit", "t", "tri_id", "in_shadow", "shadow_tri_id"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(fa, f)), np.asarray(getattr(fb, f)), err_msg=f
+        )
 
 
 def test_traverse_packed_matches_brute(tiny_prep, packed):

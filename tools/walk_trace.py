@@ -33,7 +33,8 @@ g = prep.packed.arrays
 lower = np.asarray(g.lower); width = np.asarray(g.width)
 inv_w = np.asarray(g.inv_width)
 info = np.asarray(g.cell_info)
-first_a, nblk_a, dist_a = (np.asarray(x) for x in decode_cell_info(jnp.asarray(info)))
+first_a, nblk_a, lo_a, hi_a = (
+    np.asarray(x) for x in decode_cell_info(jnp.asarray(info)))
 nx, ny, nz = meta.n_voxels
 nvox = np.asarray([nx, ny, nz])
 delta = meta.probe_delta
@@ -66,14 +67,16 @@ def walk(o1, d1, mint):
             break
         lin = cell[2] * nx * ny + cell[1] * nx + cell[0]
         occ = nblk_a[lin] > 0
-        rad = 1 if occ else max(int(dist_a[lin]), 1)
-        blo = lower + (cell - (rad - 1)) * width
-        bhi = lower + (cell + rad) * width
+        lo_e = np.zeros(3, np.int64) if occ else lo_a[lin]
+        hi_e = np.zeros(3, np.int64) if occ else hi_a[lin]
+        blo = lower + (cell - lo_e) * width
+        bhi = lower + (cell + hi_e + 1) * width
         tf = np.where(np.isnan(np.maximum((blo - o1) * invd, (bhi - o1) * invd)),
                       np.inf, np.maximum((blo - o1) * invd, (bhi - o1) * invd))
         t_exit = max(tf.min(), probe)
         leap_cells = (t_exit - t_cur) / width.min()
-        events.append(("occ" if occ else "empty", int(dist_a[lin]),
+        events.append(("occ" if occ else "empty",
+                       0 if occ else int(max(lo_e.max(), hi_e.max())),
                        int(nblk_a[lin]), leap_cells))
         t_cur = t_exit
         if occ and len(events) > 500:
@@ -106,7 +109,7 @@ print(f"samples={len(idx)} mean shadow steps (probes+extra rows): "
       f"{np.mean(nsteps):.2f}")
 print(f"probe kinds: {dict(kinds)}  occ rows total={occ_rows} "
       f"(mean rows/occ visit {occ_rows/max(kinds['occ'],1):.2f})")
-print(f"empty-probe dist histogram: "
+print(f"empty-probe max-extent histogram: "
       f"{dict(sorted(dists.items())[:12])}")
 print(f"empty leap lengths (cells): mean={np.mean(leaps):.2f} "
       f"p50={np.percentile(leaps,50):.2f} p90={np.percentile(leaps,90):.2f}")
