@@ -110,29 +110,11 @@ class Scene(NamedTuple):
     env_image: Optional[jnp.ndarray] = None
 
     def sample_texture(self, uv: jnp.ndarray) -> jnp.ndarray:
-        """Bilinear wrap-mode sample: (R,2) uv -> (R,3) rgb in [0,1].
-
-        v follows OBJ convention (v=0 is the image BOTTOM row); texels
-        are centered at (i+0.5)/size; coordinates wrap (repeat tiling).
-        Differentiable in uv (through the bilinear weights) and in the
-        texel grid (through the four gathers)."""
-        tex = self.texture_image
-        if tex is None:
+        """Bilinear wrap-mode sample: (R,2) uv -> (R,3) rgb in [0,1]
+        (sample_texture_image on this scene's texture)."""
+        if self.texture_image is None:
             raise ValueError("scene has no texture_image")
-        th, tw = tex.shape[0], tex.shape[1]
-        u = uv[:, 0] * tw - 0.5
-        v = (1.0 - uv[:, 1]) * th - 0.5
-        u0f, v0f = jnp.floor(u), jnp.floor(v)
-        fu, fv = u - u0f, v - v0f
-        iu0 = jnp.mod(u0f.astype(jnp.int32), tw)
-        iv0 = jnp.mod(v0f.astype(jnp.int32), th)
-        iu1 = jnp.mod(iu0 + 1, tw)
-        iv1 = jnp.mod(iv0 + 1, th)
-        c00, c01 = tex[iv0, iu0], tex[iv0, iu1]
-        c10, c11 = tex[iv1, iu0], tex[iv1, iu1]
-        top = c00 + (c01 - c00) * fu[:, None]
-        bot = c10 + (c11 - c10) * fu[:, None]
-        return top + (bot - top) * fv[:, None]
+        return sample_texture_image(self.texture_image, uv)
 
     def sample_env(self, dirn: jnp.ndarray) -> jnp.ndarray:
         """Lat-long (equirectangular) environment lookup: (R,3) unit
@@ -142,27 +124,9 @@ class Scene(NamedTuple):
         the direction (through the weights).  A CONSTANT map returns
         that constant exactly (all bilinear deltas are zero), so it
         degenerates to the constant-background path bitwise."""
-        env = self.env_image
-        if env is None:
+        if self.env_image is None:
             raise ValueError("scene has no env_image")
-        th, tw = env.shape[0], env.shape[1]
-        u = jnp.arctan2(dirn[:, 2], dirn[:, 0]) / (2.0 * jnp.pi) + 0.5
-        v = jnp.arccos(jnp.clip(dirn[:, 1], -1.0, 1.0)) / jnp.pi
-        uu = u * tw - 0.5
-        # polar coordinate clamps at the pole texel CENTERS so the
-        # exact poles sample their row fully (no blend past the edge)
-        vv = jnp.clip(v * th - 0.5, 0.0, th - 1.0)
-        u0f, v0f = jnp.floor(uu), jnp.floor(vv)
-        fu, fv = uu - u0f, vv - v0f
-        iu0 = jnp.mod(u0f.astype(jnp.int32), tw)
-        iu1 = jnp.mod(iu0 + 1, tw)
-        iv0 = jnp.clip(v0f.astype(jnp.int32), 0, th - 1)
-        iv1 = jnp.clip(iv0 + 1, 0, th - 1)
-        c00, c01 = env[iv0, iu0], env[iv0, iu1]
-        c10, c11 = env[iv1, iu0], env[iv1, iu1]
-        top = c00 + (c01 - c00) * fu[:, None]
-        bot = c10 + (c11 - c10) * fu[:, None]
-        return top + (bot - top) * fv[:, None]
+        return sample_env_image(self.env_image, dirn)
 
     def interpolate_uv(self, tri: jnp.ndarray, beta: jnp.ndarray,
                        gamma: jnp.ndarray) -> jnp.ndarray:
@@ -185,6 +149,58 @@ class Scene(NamedTuple):
             self.verts[self.faces[:, 1]],
             self.verts[self.faces[:, 2]],
         )
+
+
+def sample_texture_image(tex: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear wrap-mode sample of an (H,W,3) texture at (R,2) uv ->
+    (R,3).  v follows OBJ convention (v=0 is the image BOTTOM row);
+    texels are centered at (i+0.5)/size; coordinates wrap (repeat
+    tiling).  Differentiable in uv (through the bilinear weights) and
+    in the texel grid (through the four gathers).  Standalone so the
+    ring-sharded renderer (which has no Scene object inside shard_map)
+    samples with bit-identical arithmetic."""
+    th, tw = tex.shape[0], tex.shape[1]
+    u = uv[:, 0] * tw - 0.5
+    v = (1.0 - uv[:, 1]) * th - 0.5
+    u0f, v0f = jnp.floor(u), jnp.floor(v)
+    fu, fv = u - u0f, v - v0f
+    iu0 = jnp.mod(u0f.astype(jnp.int32), tw)
+    iv0 = jnp.mod(v0f.astype(jnp.int32), th)
+    iu1 = jnp.mod(iu0 + 1, tw)
+    iv1 = jnp.mod(iv0 + 1, th)
+    c00, c01 = tex[iv0, iu0], tex[iv0, iu1]
+    c10, c11 = tex[iv1, iu0], tex[iv1, iu1]
+    top = c00 + (c01 - c00) * fu[:, None]
+    bot = c10 + (c11 - c10) * fu[:, None]
+    return top + (bot - top) * fv[:, None]
+
+
+def sample_env_image(env: jnp.ndarray, dirn: jnp.ndarray) -> jnp.ndarray:
+    """Lat-long (equirectangular) environment lookup: (R,3) unit
+    directions -> (R,3) color.  u = azimuth around +y (wraps),
+    v = polar angle from +y (clamped at the pole rows).  Bilinear;
+    differentiable in the texel grid (through the gathers) and in
+    the direction (through the weights).  A CONSTANT map returns
+    that constant exactly (all bilinear deltas are zero), so it
+    degenerates to the constant-background path bitwise."""
+    th, tw = env.shape[0], env.shape[1]
+    u = jnp.arctan2(dirn[:, 2], dirn[:, 0]) / (2.0 * jnp.pi) + 0.5
+    v = jnp.arccos(jnp.clip(dirn[:, 1], -1.0, 1.0)) / jnp.pi
+    uu = u * tw - 0.5
+    # polar coordinate clamps at the pole texel CENTERS so the
+    # exact poles sample their row fully (no blend past the edge)
+    vv = jnp.clip(v * th - 0.5, 0.0, th - 1.0)
+    u0f, v0f = jnp.floor(uu), jnp.floor(vv)
+    fu, fv = uu - u0f, vv - v0f
+    iu0 = jnp.mod(u0f.astype(jnp.int32), tw)
+    iu1 = jnp.mod(iu0 + 1, tw)
+    iv0 = jnp.clip(v0f.astype(jnp.int32), 0, th - 1)
+    iv1 = jnp.clip(iv0 + 1, 0, th - 1)
+    c00, c01 = env[iv0, iu0], env[iv0, iu1]
+    c10, c11 = env[iv1, iu0], env[iv1, iu1]
+    top = c00 + (c01 - c00) * fu[:, None]
+    bot = c10 + (c11 - c10) * fu[:, None]
+    return top + (bot - top) * fv[:, None]
 
 
 def concat_mesh_arrays(

@@ -245,7 +245,26 @@ def intersect_brute_sharded(
 # ---------------------------------------------------------------------------
 
 
-def _ring_local_best(rays, v0, v1, v2, fmat, tri_offset, t_lower, ddt):
+def _shade_payload(j, extras):
+    """Gather the optional per-face shading payload at winner slot j.
+
+    extras = (fvn, fuv, fhuv) — per-face corner NORMALS (F,3,3, smooth
+    mode), corner UVs (F,3,2, texture mode) and has-uv flags (F,), any
+    of them None.  The gathered fields ride the ring with the winning
+    vertices so a memory-bound scene never needs the full arrays on one
+    device (same contract as tv0..2)."""
+    fvn, fuv, fhuv = extras
+    out = {}
+    if fvn is not None:
+        out.update(vn0=fvn[j, 0], vn1=fvn[j, 1], vn2=fvn[j, 2])
+    if fuv is not None:
+        out.update(uv0=fuv[j, 0], uv1=fuv[j, 1], uv2=fuv[j, 2],
+                   huv=fhuv[j])
+    return out
+
+
+def _ring_local_best(rays, v0, v1, v2, fmat, tri_offset, t_lower, ddt,
+                     extras=(None, None, None)):
     """Nearest accepted hit over the LOCAL triangle slice, returning the
     winner's global id, material and vertices (payload that rides the
     ring with the ray)."""
@@ -264,11 +283,12 @@ def _ring_local_best(rays, v0, v1, v2, fmat, tri_offset, t_lower, ddt):
         mat=fmat[j],
         tv0=v0[j], tv1=v1[j], tv2=v2[j],
         ap=jnp.any(passed, axis=1),
+        **_shade_payload(j, extras),
     )
 
 
 def _ring_orbit(rays, local_best, tris_axis, t_dtype=jnp.float32,
-                with_any_pass=False):
+                with_any_pass=False, smooth=False, textured=False):
     """Rays orbit the triangle shards: D hops of (local intersect ->
     strict-better merge -> ppermute to the next shard).  After D shifts
     every ray is back on its home shard carrying the GLOBAL nearest hit.
@@ -306,6 +326,13 @@ def _ring_orbit(rays, local_best, tris_axis, t_dtype=jnp.float32,
         # OR-accumulated across hops (ungated barycentric pass, the
         # BruteResult.any_pass semantics), outside the nearest-hit merge
         best["ap"] = zi != 0
+    # optional shading payload carried with the winner (ring feature
+    # parity: smooth normals / textures — _shade_payload)
+    if smooth:
+        best.update(vn0=z3, vn1=z3, vn2=z3)
+    if textured:
+        z2 = z3[:, :2]
+        best.update(uv0=z2, uv1=z2, uv2=z2, huv=zi != 0)
     bundle = (rays, best)
 
     def hop(_, bundle):
@@ -328,7 +355,7 @@ def _ring_orbit(rays, local_best, tris_axis, t_dtype=jnp.float32,
 
 
 def _grid_local_best(rays, my, garr, meta, v0, v1, v2, fmat, shard_tris,
-                     t_gate, stop_first):
+                     t_gate, stop_first, extras=(None, None, None)):
     """Per-hop local best via the shard's own packed-grid march
     (ops/traverse_packed) — the accelerated ring hop."""
     from ray_tracer_tpu.ops.traverse_packed import traverse_packed
@@ -345,16 +372,25 @@ def _grid_local_best(rays, my, garr, meta, v0, v1, v2, fmat, shard_tris,
                       jnp.iinfo(jnp.int32).max),
         mat=fmat[j],
         tv0=v0[j], tv1=v1[j], tv2=v2[j],
+        **_shade_payload(j, extras),
     )
 
 
-def _ring_shade(rays, orbit, rcfg, materials, light_pos, light_intensity):
+def _ring_shade(rays, orbit, rcfg, materials, light_pos, light_intensity,
+                tex_image=None, env_image=None, textured=None):
     """The ring renderer's integrator: per depth, one primary/bounce
     orbit + one shadow orbit, shaded and km-blended exactly like the
     replicated renderer's bounce loop (render/renderer.py, reference
     semantics Parallel/raytracer.cu:508-520).  The ONE forward epilogue
     shared by both ring renderers (all-pairs and grid hops).
     orbit(rays, t_gate, stop_first) -> (rays_home, best).
+
+    Feature parity with the replicated integrator rides the ring
+    payload: smooth normals interpolate the carried corner normals
+    (best[vn*]), textures the carried corner uvs (best[uv*], modulating
+    base_color via the shared sample_texture_image), and env_image
+    replaces the constant miss background (replicated arrays — the
+    images are small; only per-FACE data is sharded).
 
     Differentiable w.r.t. the triangle vertices, materials and light:
     orbits run on DETACHED rays (the traversal is a stop-gradient
@@ -364,11 +400,16 @@ def _ring_shade(rays, orbit, rcfg, materials, light_pos, light_intensity):
     chain transposes to per-shard scatter-adds, keeping the vertex
     gradient SHARDED over the triangle axis."""
     from ray_tracer_tpu.core import vecmath as vm
-    from ray_tracer_tpu.ops.intersect import cramer_t_safe
+    from ray_tracer_tpu.ops.intersect import cramer_bg_safe, cramer_t_safe
     from ray_tracer_tpu.ops.shade import (
         hit_geometry_parallel, hit_geometry_serial, shade_parallel, shade_serial,
     )
 
+    smooth = rcfg.normal_mode == "smooth"
+    if textured is None:
+        # override lets the caller disable texturing when the scene has
+        # no uv data (the replicated renderer's silent-skip rule)
+        textured = rcfg.texture != "none"
     serial = rcfg.serial_shading
     ddt = jnp.dtype(rcfg.det_dtype)
     eps = rcfg.shadow_eps
@@ -411,6 +452,66 @@ def _ring_shade(rays, orbit, rcfg, materials, light_pos, light_intensity):
         )
         mat = materials.gather(best["mat"])
 
+        # hit barycentrics for the carried-payload features (same
+        # topology/arithmetic split as t_re above)
+        if smooth or textured:
+            hb, hg = cramer_bg_safe(cur_sg.orig, cur.dirn, tv0, tv1, tv2,
+                                    hit, det_dtype=ddt)
+            hb = hb.astype(jnp.float32)
+            hg = hg.astype(jnp.float32)
+            alpha = 1.0 - hb - hg
+        if textured:
+            if "uv0" not in best:
+                raise NotImplementedError(
+                    "this ring entry point does not carry uv payload"
+                )
+            uv = (alpha[:, None] * best["uv0"] + hb[:, None] * best["uv1"]
+                  + hg[:, None] * best["uv2"])
+            n = jnp.asarray(rcfg.texture_scale, uv.dtype)
+            has_uv = best["huv"]
+            if rcfg.texture == "checker":
+                checker = (jnp.floor(uv[:, 0] * n)
+                           + jnp.floor(uv[:, 1] * n)) % 2.0
+                tex = jnp.where(has_uv & hit, 1.0 - 0.5 * checker, 1.0)[:, None]
+            elif rcfg.texture == "image":
+                if tex_image is None:
+                    raise ValueError(
+                        'cfg.render.texture == "image" but the scene has '
+                        "no texture_image"
+                    )
+                from ray_tracer_tpu.models.scenes import sample_texture_image
+
+                uv_s = jnp.where(hit[:, None], uv, jnp.zeros_like(uv)) * n
+                rgb = sample_texture_image(tex_image, uv_s).astype(
+                    mat.base_color.dtype
+                )
+                tex = jnp.where((has_uv & hit)[:, None], rgb,
+                                jnp.ones_like(rgb))
+            else:
+                raise ValueError(f"unknown texture mode {rcfg.texture!r}")
+            mat = mat._replace(
+                base_color=mat.base_color * tex.astype(mat.base_color.dtype)
+            )
+        if smooth:
+            if "vn0" not in best:
+                raise NotImplementedError(
+                    "this ring entry point does not carry normal payload"
+                )
+            # Phong interpolation of the carried corner normals, rescaled
+            # to the facet magnitude (ops/shade.interpolate_normal's
+            # contract — the variants' constants expect area-scaled
+            # normals); dead lanes' zero payload is masked by `hit`
+            sn = (alpha[:, None] * best["vn0"] + hb[:, None] * best["vn1"]
+                  + hg[:, None] * best["vn2"])
+            unit = vm.normalize(
+                jnp.where(hit[:, None], sn, jnp.zeros_like(sn).at[:, 0].set(1.0))
+            )
+            geom = geom._replace(
+                normal=jnp.where(hit[:, None],
+                                 unit * vm.length(geom.normal)[:, None],
+                                 geom.normal)
+            )
+
         to_light = light_pos - geom.poi
         nsd = vm.normalize(to_light)
         sdir = -nsd if rcfg.shadow_dir_away_from_light() else nsd
@@ -430,6 +531,12 @@ def _ring_shade(rays, orbit, rcfg, materials, light_pos, light_intensity):
             color = shade_parallel(geom, mat, light_pos, in_shadow,
                                    rcfg.shadow_scale)
         bg = jnp.asarray(rcfg.background, color.dtype)
+        if env_image is not None:
+            from ray_tracer_tpu.models.scenes import sample_env_image
+
+            bg = sample_env_image(
+                env_image, vm.normalize(cur.dirn)
+            ).astype(color.dtype)
 
         reflecting = hit & mat.reflective & (depth < rcfg.max_bounces)
         # local*base*(1-km) + bounced*km (raytracer.cu:519-520)
@@ -530,17 +637,9 @@ def _check_ring_cfg(rcfg) -> None:
     drop would break the documented bit-equality with the replicated
     render()."""
     assert not rcfg.faithful, "ring renderer has production semantics only"
-    if rcfg.texture != "none":
-        raise NotImplementedError("ring renderer: textures not supported")
     if rcfg.soft_visibility > 0 or rcfg.soft_primary > 0:
         raise NotImplementedError(
             "ring renderer: soft visibility not supported"
-        )
-    if rcfg.spp != 1:
-        raise NotImplementedError("ring renderer: spp > 1 not supported")
-    if rcfg.normal_mode != "face":
-        raise NotImplementedError(
-            "ring renderer: smooth normals not supported"
         )
     if rcfg.shadow_samples > 1 and rcfg.light_radius > 0.0:
         raise NotImplementedError(
@@ -548,33 +647,78 @@ def _check_ring_cfg(rcfg) -> None:
         )
 
 
+def _ring_extra_specs(smooth, textured, has_tex, has_env, tris_axis):
+    """in_specs suffix for the optional feature arrays, matching
+    _unpack_ring_extras' order: per-face payloads shard over the
+    triangle axis, images replicate."""
+    specs = []
+    if smooth:
+        specs.append(P(tris_axis))  # fvn
+    if textured:
+        specs += [P(tris_axis), P(tris_axis)]  # fuv, fhuv
+    if has_tex:
+        specs.append(P())
+    if has_env:
+        specs.append(P())
+    return tuple(specs)
+
+
+def _unpack_ring_extras(extra, smooth, textured, has_tex, has_env):
+    fvn = fuv = fhuv = tex = env = None
+    i = 0
+    if smooth:
+        fvn = extra[i]; i += 1
+    if textured:
+        fuv, fhuv = extra[i], extra[i + 1]; i += 2
+    if has_tex:
+        tex = extra[i]; i += 1
+    if has_env:
+        env = extra[i]; i += 1
+    assert i == len(extra)
+    return fvn, fuv, fhuv, tex, env
+
+
 @lru_cache(maxsize=16)
 def _ring_render_fn(cfg: SceneConfig, mesh: Mesh, rays_axis: Optional[str],
-                    tris_axis: str, n_tris_padded: int):
+                    tris_axis: str, n_tris_padded: int,
+                    textured: bool = False, has_tex: bool = False,
+                    has_env: bool = False):
     rcfg = cfg.render
     _check_ring_cfg(rcfg)
+    smooth = rcfg.normal_mode == "smooth"
     ddt = jnp.dtype(rcfg.det_dtype)
     shard_tris = n_tris_padded // mesh.shape[tris_axis]
     ray_axes = (rays_axis, tris_axis) if rays_axis else (tris_axis,)
 
-    def body(rays, v0, v1, v2, fmat, materials, light_pos, light_intensity):
+    def body(rays, v0, v1, v2, fmat, materials, light_pos, light_intensity,
+             *extra):
+        fvn, fuv, fhuv, tex, env = _unpack_ring_extras(
+            extra, smooth, textured, has_tex, has_env
+        )
+
         def orbit(rb, t_gate, stop_first):  # all-pairs hop: no early exit
+            ex = (None, None, None) if stop_first else (fvn, fuv, fhuv)
             return _ring_orbit(
                 rb,
                 lambda r_, my: _ring_local_best(
-                    r_, v0, v1, v2, fmat, my * shard_tris, t_gate, ddt
+                    r_, v0, v1, v2, fmat, my * shard_tris, t_gate, ddt,
+                    extras=ex,
                 ),
                 tris_axis, t_dtype=ddt,
+                smooth=smooth and not stop_first,
+                textured=textured and not stop_first,
             )
 
         return _ring_shade(rays, orbit, rcfg, materials, light_pos,
-                           light_intensity)
+                           light_intensity, tex_image=tex, env_image=env,
+                           textured=textured)
 
     return jax.jit(jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(P(ray_axes), P(tris_axis), P(tris_axis), P(tris_axis),
-                  P(tris_axis), P(), P(), P()),
+                  P(tris_axis), P(), P(), P())
+        + _ring_extra_specs(smooth, textured, has_tex, has_env, tris_axis),
         out_specs=P(ray_axes),
     ))
 
@@ -613,32 +757,74 @@ def render_sharded_geometry(
         raise NotImplementedError(
             "ring renderer: extra lights not supported"
         )
-    if scene.env_image is not None:
-        raise NotImplementedError(
-            "ring renderer: environment maps not supported"
-        )
     v0, v1, v2 = scene.triangle_soa()
     n_tri_shards = mesh.shape[tris_axis]
     v0, v1, v2, fmat, fp = _pad_tris(
         v0, v1, v2, n_tri_shards, scene.face_material
     )
-    rays = camera_rays(cfg.camera, dtype=jnp.dtype(cfg.render.dtype))
     shards = n_tri_shards * (mesh.shape[rays_axis] if rays_axis else 1)
-    r = rays.count
+    r = cfg.camera.width * cfg.camera.height
     rp = _pad_to(r, shards)
-    rays_p = pad_rays(rays, rp)
+
+    # optional feature payloads: per-face corner data shards over the
+    # triangle axis (zero-padded like v0..2 — padding faces never win a
+    # merge); the small images replicate.  Flag resolution mirrors the
+    # replicated renderer: texture silently off without uv data.
+    smooth = cfg.render.normal_mode == "smooth"
+    textured = cfg.render.texture != "none" and scene.uvs is not None
+    has_tex = (cfg.render.texture == "image"
+               and scene.texture_image is not None)
+    has_env = scene.env_image is not None
+    nf = scene.num_faces
+    feature_args = []
+    if smooth:
+        from ray_tracer_tpu.ops.shade import vertex_normals
+
+        vn = vertex_normals(scene.verts, scene.faces,
+                            cfg.render.serial_shading)
+        fvn = vn[scene.faces].astype(v0.dtype)  # (F,3,3) corner normals
+        feature_args.append(jnp.concatenate(
+            [fvn, jnp.zeros((fp - nf, 3, 3), fvn.dtype)]
+        ))
+    if textured:
+        fuv = scene.uvs[jnp.maximum(scene.uv_faces, 0)].astype(v0.dtype)
+        fhuv = scene.uv_faces[:, 0] >= 0
+        feature_args += [
+            jnp.concatenate([fuv, jnp.zeros((fp - nf, 3, 2), fuv.dtype)]),
+            jnp.concatenate([fhuv, jnp.zeros((fp - nf,), bool)]),
+        ]
+    if has_tex:
+        feature_args.append(scene.texture_image)
+    if has_env:
+        feature_args.append(scene.env_image)
+
     if cfg.render.traversal == "packed":
         if ring_grids is None:
             ring_grids = build_ring_grids(prep, n_tri_shards)
         garr, gmeta, gfp = ring_grids
         assert gfp == fp, "ring_grids built for a different shard count"
-        fn = _ring_render_grid_fn(cfg, mesh, rays_axis, tris_axis, gmeta, fp)
-        colors = fn(rays_p, garr, v0, v1, v2, fmat, scene.materials,
-                    scene.light_pos, scene.light_intensity)[:r]
+        fn = _ring_render_grid_fn(cfg, mesh, rays_axis, tris_axis, gmeta, fp,
+                                  textured, has_tex, has_env)
+        extra = (garr,)
     else:
-        fn = _ring_render_fn(cfg, mesh, rays_axis, tris_axis, fp)
-        colors = fn(rays_p, v0, v1, v2, fmat, scene.materials,
-                    scene.light_pos, scene.light_intensity)[:r]
+        fn = _ring_render_fn(cfg, mesh, rays_axis, tris_axis, fp,
+                             textured, has_tex, has_env)
+        extra = ()
+
+    # spp rides the SAME sequential subsample accumulation as the
+    # replicated render (render/renderer.accumulate_spp) — each
+    # subsample batch orbits the ring once, and the accumulation order
+    # matches so the anti-aliased parity stays last-ulp
+    from ray_tracer_tpu.render.renderer import accumulate_spp
+
+    def one(rays, _camera_ok):
+        rays_p = pad_rays(rays, rp)
+        return fn(rays_p, *extra, v0, v1, v2, fmat, scene.materials,
+                  scene.light_pos, scene.light_intensity,
+                  *feature_args)[:r]
+
+    colors = accumulate_spp(one, cfg.camera, cfg.render.spp,
+                            jnp.dtype(cfg.render.dtype))
     return colors.reshape(cfg.camera.height, cfg.camera.width, 3)
 
 
@@ -825,28 +1011,38 @@ def ring_loss_fn(cfg: SceneConfig, mesh: Mesh, rays_axis: Optional[str],
 
 @lru_cache(maxsize=16)
 def _ring_render_grid_fn(cfg: SceneConfig, mesh: Mesh, rays_axis: Optional[str],
-                         tris_axis: str, meta, n_tris_padded: int):
+                         tris_axis: str, meta, n_tris_padded: int,
+                         textured: bool = False, has_tex: bool = False,
+                         has_env: bool = False):
     rcfg = cfg.render
     _check_ring_cfg(rcfg)
+    smooth = rcfg.normal_mode == "smooth"
     shard_tris = n_tris_padded // mesh.shape[tris_axis]
     ray_axes = (rays_axis, tris_axis) if rays_axis else (tris_axis,)
 
     def body(rays, garr, v0, v1, v2, fmat, materials, light_pos,
-             light_intensity):
+             light_intensity, *extra):
         garr = jax.tree.map(lambda x: x[0], garr)  # drop the shard dim
+        fvn, fuv, fhuv, tex, env = _unpack_ring_extras(
+            extra, smooth, textured, has_tex, has_env
+        )
 
         def orbit(rb, t_gate, stop_first):  # grid-march hop
+            ex = (None, None, None) if stop_first else (fvn, fuv, fhuv)
             return _ring_orbit(
                 rb,
                 lambda r_, my: _grid_local_best(
                     r_, my, garr, meta, v0, v1, v2, fmat, shard_tris,
-                    t_gate, stop_first,
+                    t_gate, stop_first, extras=ex,
                 ),
                 tris_axis,
+                smooth=smooth and not stop_first,
+                textured=textured and not stop_first,
             )
 
         return _ring_shade(rays, orbit, rcfg, materials, light_pos,
-                           light_intensity)
+                           light_intensity, tex_image=tex, env_image=env,
+                           textured=textured)
 
     # P(tris_axis) is a pytree PREFIX for the PackedGridArrays input:
     # every leaf is sharded on its leading (shard) dim
@@ -855,6 +1051,7 @@ def _ring_render_grid_fn(cfg: SceneConfig, mesh: Mesh, rays_axis: Optional[str],
         mesh=mesh,
         in_specs=(P(ray_axes), P(tris_axis),
                   P(tris_axis), P(tris_axis), P(tris_axis), P(tris_axis),
-                  P(), P(), P()),
+                  P(), P(), P())
+        + _ring_extra_specs(smooth, textured, has_tex, has_env, tris_axis),
         out_specs=P(ray_axes),
     ))

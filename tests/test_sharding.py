@@ -5,6 +5,7 @@ bit-for-bit, and the collectives API must round-trip."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import PartitionSpec as P
 
 from ray_tracer_tpu.core.rays import RayBatch
@@ -400,3 +401,100 @@ def test_sharded_persistent_render_equals_single(tiny_prep, eight_device_mesh):
         render_sharded(prep, mesh=eight_device_mesh, axis="rays")
     )
     np.testing.assert_array_equal(single, sharded)
+
+
+@pytest.mark.parametrize("traversal,spp", [("brute", 2), ("packed", 1)])
+def test_ring_render_spp_smooth_env_equals_replicated(
+    tiny_prep, eight_device_mesh, traversal, spp
+):
+    """Ring feature parity (round 4): spp anti-aliasing, smooth
+    Phong-interpolated normals (corner normals ride the ring payload)
+    and a lat-long environment map (replicated array) through the ring
+    renderer must match the replicated render.  spp=2 runs on all-pairs
+    hops (exact); the grid-hop case runs at spp=1 because subsample
+    rays can land on per-shard probe-nudge boundaries (the documented
+    boundary-flip artifact of ring grids — ~1/256 pixels at spp=2)."""
+    import dataclasses
+
+    from ray_tracer_tpu.parallel.shard import render_sharded_geometry
+    from ray_tracer_tpu.render.renderer import prepare
+
+    cfg = dataclasses.replace(
+        tiny_prep.cfg,
+        render=dataclasses.replace(
+            tiny_prep.cfg.render, faithful=False, det_dtype="float32",
+            traversal=traversal, fused_shadow=False, spp=spp,
+            normal_mode="smooth",
+        ),
+    )
+    env = jnp.asarray(
+        np.linspace(0.0, 120.0, 8 * 16 * 3, dtype=np.float32).reshape(8, 16, 3)
+    )
+    scene = tiny_prep.scene._replace(env_image=env)
+    prep = prepare(cfg, scene=scene)
+    want = np.asarray(render(prep))
+    got = np.asarray(render_sharded_geometry(prep, mesh=eight_device_mesh))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-4)
+
+
+def _textured_quad_prep(texture: str, texture_image=None):
+    """uv-mapped quad (the test_texture scene) prepared for the packed
+    ring path."""
+    import dataclasses
+
+    from ray_tracer_tpu.config import (
+        CameraConfig, LightConfig, MaterialConfig, RenderConfig, SceneConfig,
+    )
+    from ray_tracer_tpu.io.obj import MeshArrays
+    from ray_tracer_tpu.models.scenes import scene_from_meshes
+    from ray_tracer_tpu.render.renderer import prepare
+
+    quad = MeshArrays(
+        verts=np.array(
+            [[-2, 0, -2], [2, 0, -2], [2, 0, 2], [-2, 0, 2]], np.float32
+        ),
+        faces=np.array([[0, 1, 2], [0, 2, 3]], np.int32),
+        uvs=np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32),
+        uv_faces=np.array([[0, 1, 2], [0, 2, 3]], np.int32),
+    )
+    mat = MaterialConfig(base_color=(200.0, 120.0, 60.0), kd=2.0, ks=0.0,
+                         spec_alpha=4.0, ka=0.3)
+    light = LightConfig(position=(0.0, 8.0, 0.0), intensity=1.0)
+    scene = scene_from_meshes([(quad, 0)], [mat], light)
+    if texture_image is not None:
+        scene = scene._replace(
+            texture_image=jnp.asarray(texture_image, jnp.float32)
+        )
+    cfg = SceneConfig(
+        materials=(mat,),
+        camera=CameraConfig(position=(0.0, 5.0, 0.01), target=(0, 0, 0),
+                            up=(0, 0, 1), fov_degrees=45.0,
+                            width=16, height=16),
+        light=light,
+        render=RenderConfig(
+            shading="parallel", faithful=False, det_dtype="float32",
+            max_bounces=0, shadow_eps=1e-3, shadow_scale=0.5, ray_tile=256,
+            traversal="packed", fused_shadow=False,
+            texture=texture, texture_scale=2.0,
+        ),
+    )
+    return prepare(cfg, scene=scene)
+
+
+@pytest.mark.parametrize("texture", ["checker", "image"])
+def test_ring_render_texture_equals_replicated(texture, eight_device_mesh):
+    """Textures through the ring: corner uvs ride the payload, the
+    texel grid replicates; checker and bilinear image modes both match
+    the replicated packed render."""
+    from ray_tracer_tpu.parallel.shard import render_sharded_geometry
+
+    img = None
+    if texture == "image":
+        rng = np.random.default_rng(5)
+        img = rng.random((4, 4, 3)).astype(np.float32)
+    prep = _textured_quad_prep(texture, texture_image=img)
+    want = np.asarray(render(prep))
+    got = np.asarray(render_sharded_geometry(prep, mesh=eight_device_mesh))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-4)

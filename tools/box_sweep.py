@@ -26,18 +26,33 @@ scene_name = sys.argv[1] if len(sys.argv) > 1 else "nefertiti"
 size = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
 only = [int(a) for a in sys.argv[3:]]
 
-CONFIGS = [
+SWEEPS = {
     # (label, bt, rm, max_res, wave, pump)
-    ("base bt28 rm1.25/64 w8k p4", 28, 1.25, 64, 8192, 4),
-    ("bt28 rm2.0/128", 28, 2.0, 128, 8192, 4),
-    ("bt14 rm2.0/128", 14, 2.0, 128, 8192, 4),
-    ("bt14 rm1.25/64", 14, 1.25, 64, 8192, 4),
-    ("bt28 rm1.25/64 p2", 28, 1.25, 64, 8192, 2),
-    ("bt28 rm1.25/64 p3", 28, 1.25, 64, 8192, 3),
-    ("bt28 rm1.25/64 w12k", 28, 1.25, 64, 12288, 4),
-    ("bt28 rm1.5/96", 28, 1.5, 96, 8192, 4),
-    ("bt28 rm0.75/64", 28, 0.75, 64, 8192, 4),
-]
+    "nefertiti": [
+        # round 4: the w4096 knee (12.50) — final refinement
+        ("bt14 rm2.0/128 w4k p4", 14, 2.0, 128, 4096, 4),
+        ("bt14 rm2.0/128 w3k p4", 14, 2.0, 128, 3072, 4),
+        ("bt14 rm2.0/128 w4k p5", 14, 2.0, 128, 4096, 5),
+        ("bt14 rm2.0/128 w4608 p4", 14, 2.0, 128, 4608, 4),
+    ],
+    # spot/parallel: re-knee the shipped knobs under box leaps
+    "serial": [
+        ("shipped bt14 rm2.0/128 w12k p4", 14, 2.0, 128, 12288, 4),
+        ("w8k", 14, 2.0, 128, 8192, 4),
+        ("w6k", 14, 2.0, 128, 6144, 4),
+        ("w16k", 14, 2.0, 128, 16384, 4),
+        ("p5", 14, 2.0, 128, 12288, 5),
+        ("rm2.5/160", 14, 2.5, 160, 12288, 4),
+    ],
+    "parallel": [
+        ("shipped bt14 rm2.0/64 w8k p4", 14, 2.0, 64, 8192, 4),
+        ("w6k", 14, 2.0, 64, 6144, 4),
+        ("w4k", 14, 2.0, 64, 4096, 4),
+        ("rm2.0/128", 14, 2.0, 128, 8192, 4),
+        ("p5", 14, 2.0, 64, 8192, 5),
+    ],
+}
+CONFIGS = SWEEPS.get(scene_name, SWEEPS["nefertiti"])
 
 for i, (label, bt, rm, mres, wave, pump) in enumerate(CONFIGS):
     if only and i not in only:
