@@ -16,6 +16,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -358,5 +359,111 @@ void rtpu_grid_fill(RtpuGrid* g, int64_t* cell_start, int32_t* tri_ids) {
 }
 
 void rtpu_grid_free(RtpuGrid* g) { delete g; }
+
+// ---------------------------------------------------------------------------
+// Balanced greedy maximal empty boxes (accel/packed.greedy_empty_boxes)
+// ---------------------------------------------------------------------------
+//
+// Per-cell growth is independent of every other cell's extents (it only
+// consults the occupancy), so the numpy reference's global lock-step
+// round-robin is equivalent to a per-cell sequential round-robin — this
+// builder produces BITWISE-identical extents (tests/test_packed.py pins
+// the parity) at ~50x the numpy speed (the 128^3 dense-scene build
+// measured 48 s in numpy).  Threaded over z-slabs; cells outside the
+// grid count as empty (a leap past the boundary just exits the march).
+
+static inline int64_t rtpu_sat_box(const int64_t* S, int nx1, int ny1,
+                                   int nz1, int zlo, int zhi, int ylo,
+                                   int yhi, int xlo, int xhi) {
+  // inclusive cell coords; clip to the grid (outside contributes 0)
+  int nzc = nz1 - 1, nyc = ny1 - 1, nxc = nx1 - 1;
+  zlo = zlo < 0 ? 0 : (zlo > nzc ? nzc : zlo);
+  ylo = ylo < 0 ? 0 : (ylo > nyc ? nyc : ylo);
+  xlo = xlo < 0 ? 0 : (xlo > nxc ? nxc : xlo);
+  zhi = zhi + 1 < 0 ? 0 : (zhi + 1 > nzc ? nzc : zhi + 1);
+  yhi = yhi + 1 < 0 ? 0 : (yhi + 1 > nyc ? nyc : yhi + 1);
+  xhi = xhi + 1 < 0 ? 0 : (xhi + 1 > nxc ? nxc : xhi + 1);
+  if (zhi <= zlo || yhi <= ylo || xhi <= xlo) return 0;
+  auto at = [&](int z, int y, int x) -> int64_t {
+    return S[(int64_t(z) * ny1 + y) * nx1 + x];
+  };
+  return at(zhi, yhi, xhi) - at(zlo, yhi, xhi) - at(zhi, ylo, xhi)
+       - at(zhi, yhi, xlo) + at(zlo, ylo, xhi) + at(zlo, yhi, xlo)
+       + at(zhi, ylo, xlo) - at(zlo, ylo, xlo);
+}
+
+void rtpu_empty_boxes(const uint8_t* occ, long nx, long ny, long nz,
+                      int cap, int32_t* ext /* 6 * nz*ny*nx */) {
+  const int nx1 = int(nx) + 1, ny1 = int(ny) + 1, nz1 = int(nz) + 1;
+  const int64_t cells = nx * ny * nz;
+  // summed-area table with a zero boundary plane on each low face
+  std::vector<int64_t> S(int64_t(nx1) * ny1 * nz1, 0);
+  for (int z = 0; z < nz; ++z)
+    for (int y = 0; y < ny; ++y) {
+      const uint8_t* row = occ + (int64_t(z) * ny + y) * nx;
+      int64_t* out = S.data() + (int64_t(z + 1) * ny1 + (y + 1)) * nx1;
+      const int64_t* up = S.data() + (int64_t(z + 1) * ny1 + y) * nx1;
+      const int64_t* back = S.data() + (int64_t(z) * ny1 + (y + 1)) * nx1;
+      const int64_t* upback = S.data() + (int64_t(z) * ny1 + y) * nx1;
+      int64_t run = 0;
+      for (int x = 0; x < nx; ++x) {
+        run += row[x];
+        out[x + 1] = run + up[x + 1] + back[x + 1] - upback[x + 1];
+      }
+    }
+
+  auto grow_slab = [&](int z0, int z1) {
+    for (int z = z0; z < z1; ++z)
+      for (int y = 0; y < ny; ++y)
+        for (int x = 0; x < nx; ++x) {
+          int64_t lin = (int64_t(z) * ny + y) * nx + x;
+          if (occ[lin]) {
+            for (int d = 0; d < 6; ++d) ext[d * cells + lin] = 0;
+            continue;
+          }
+          // [x-, x+, y-, y+, z-, z+] — the numpy reference's direction
+          // order; +1 per direction per round while the added slab is
+          // empty (balanced growth — see greedy_empty_boxes on why)
+          int e[6] = {0, 0, 0, 0, 0, 0};
+          bool grew = true;
+          while (grew) {
+            grew = false;
+            for (int d = 0; d < 6; ++d) {
+              if (e[d] >= cap) continue;
+              int xlo = x - e[0], xhi = x + e[1];
+              int ylo = y - e[2], yhi = y + e[3];
+              int zlo = z - e[4], zhi = z + e[5];
+              int64_t c;
+              switch (d) {
+                case 0: c = rtpu_sat_box(S.data(), nx1, ny1, nz1, zlo, zhi, ylo, yhi, xlo - 1, xlo - 1); break;
+                case 1: c = rtpu_sat_box(S.data(), nx1, ny1, nz1, zlo, zhi, ylo, yhi, xhi + 1, xhi + 1); break;
+                case 2: c = rtpu_sat_box(S.data(), nx1, ny1, nz1, zlo, zhi, ylo - 1, ylo - 1, xlo, xhi); break;
+                case 3: c = rtpu_sat_box(S.data(), nx1, ny1, nz1, zlo, zhi, yhi + 1, yhi + 1, xlo, xhi); break;
+                case 4: c = rtpu_sat_box(S.data(), nx1, ny1, nz1, zlo - 1, zlo - 1, ylo, yhi, xlo, xhi); break;
+                default: c = rtpu_sat_box(S.data(), nx1, ny1, nz1, zhi + 1, zhi + 1, ylo, yhi, xlo, xhi); break;
+              }
+              if (c == 0) { ++e[d]; grew = true; }
+            }
+          }
+          for (int d = 0; d < 6; ++d) ext[d * cells + lin] = e[d];
+        }
+  };
+
+  unsigned hw = std::thread::hardware_concurrency();
+  int nthreads = int(hw ? (hw < 16 ? hw : 16) : 4);
+  if (nthreads > nz) nthreads = int(nz);
+  if (nthreads <= 1) {
+    grow_slab(0, int(nz));
+  } else {
+    std::vector<std::thread> ts;
+    int per = int((nz + nthreads - 1) / nthreads);
+    for (int t = 0; t < nthreads; ++t) {
+      int z0 = t * per, z1 = z0 + per > nz ? int(nz) : z0 + per;
+      if (z0 >= z1) break;
+      ts.emplace_back(grow_slab, z0, z1);
+    }
+    for (auto& th : ts) th.join();
+  }
+}
 
 }  // extern "C"

@@ -100,6 +100,12 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.rtpu_grid_fill.argtypes = [ctypes.c_void_p, _c_int64_p, _c_int32_p]
         lib.rtpu_grid_free.restype = None
         lib.rtpu_grid_free.argtypes = [ctypes.c_void_p]
+        if hasattr(lib, "rtpu_empty_boxes"):  # round-4 symbol; optional
+            lib.rtpu_empty_boxes.restype = None
+            lib.rtpu_empty_boxes.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_long, ctypes.c_long,
+                ctypes.c_long, ctypes.c_int, _c_int32_p,
+            ]
         _lib = lib
         return _lib
 
@@ -140,6 +146,25 @@ def load_obj_native(path: str) -> MeshArrays:
         uvs = np.zeros((0, 2), dtype=np.float32)
         uv_faces = np.zeros((0, 3), dtype=np.int32)
     return MeshArrays(verts, faces, uvs, uv_faces)
+
+
+def empty_boxes_native(occupied: np.ndarray, cap: int) -> Optional[np.ndarray]:
+    """Native greedy maximal empty boxes: (nz,ny,nx) bool -> (6,nz,ny,nx)
+    int32, bitwise-identical to accel/packed.greedy_empty_boxes' numpy
+    reference (per-cell growth is occupancy-only, so the lock-step
+    round-robin and the native per-cell round-robin coincide).  None if
+    the library (or the round-4 symbol) is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "rtpu_empty_boxes"):
+        return None
+    occ = np.ascontiguousarray(occupied, dtype=np.uint8)
+    nz, ny, nx = occ.shape
+    ext = np.empty((6, nz, ny, nx), dtype=np.int32)
+    lib.rtpu_empty_boxes(
+        _ptr(occ, ctypes.c_uint8), nx, ny, nz, ctypes.c_int(cap),
+        _ptr(ext, ctypes.c_int32),
+    )
+    return ext
 
 
 def build_grid_native(

@@ -174,7 +174,17 @@ def greedy_empty_boxes(occupied: np.ndarray, cap: int = EXT_CAP) -> np.ndarray:
     -21%/-36% probe-step win was measured on (tools/emptybox_proto.py).
     Greedy is a heuristic — the true maximal box per cell is NP-ish to
     pick globally — but the march only needs SAFE boxes.
+
+    The native C++ builder (rtpu_empty_boxes, bitwise-identical growth)
+    serves production builds — the numpy path below is the correctness
+    reference and fallback (48 s vs ~1 s on the 128^3 dense-scene
+    build).
     """
+    from ray_tracer_tpu.accel.native import empty_boxes_native
+
+    out = empty_boxes_native(occupied, cap)
+    if out is not None:
+        return out
     nz, ny, nx = occupied.shape
     S = np.zeros((nz + 1, ny + 1, nx + 1), np.int64)
     S[1:, 1:, 1:] = occupied.astype(np.int64).cumsum(0).cumsum(1).cumsum(2)

@@ -375,18 +375,18 @@ class SceneConfig:
 # "parallel" = the CUDA-variant reflective scene.  None = generic
 # fallback for unknown/custom scenes.
 TUNED_KNOBS = {
-    # pump re-kneed round 4 (refill retries + dead-shadow skip shifted
-    # every scene from 2-3 to 4): spot 40.7 / nefertiti 7.86 /
-    # parallel 4.38 at pump 4 vs 37.5-40.5 / 7.44-7.86 / 4.18-4.29 at
-    # the old values
+    # Re-kneed under the round-4 anisotropic empty-box leaps
+    # (tools/box_sweep.py).  Box leaps made empty cells cheap, which
+    # moved the DENSE-scene knee to a 2x finer grid with narrow rows:
+    # nefertiti bt28/rm1.25/64/w8192 (7.86 under the Chebyshev cube,
+    # 10.2 under boxes) -> bt14/rm2.0/128/w4608 = 12.65 Mrays/s.
+    # Sparse spot keeps its knobs (w12288 still the measured knee);
+    # parallel keeps w8192 (the w6144 +5% was measured on the
+    # primary-only sweep harness, not the full bounce pipeline).
     "serial": dict(block_tris=14, rm=2.0, max_res=128, wave=12288, pump=4,
                    exact=True),
-    "nefertiti": dict(block_tris=28, rm=1.25, max_res=64, wave=8192, pump=4,
+    "nefertiti": dict(block_tris=14, rm=2.0, max_res=128, wave=4608, pump=4,
                       exact=True),
-    # parallel re-kneed round 4: the round-2 sweep's rm 0.75 / 56-tri
-    # rows (4.38 at pump 4) lose to a 2x finer grid with narrow rows
-    # under the round-4 scheduler, where grid_layout=auto picks INLINE
-    # (~7 tris/occupied cell): 4.38 -> 6.42 Mrays/s
     "parallel": dict(block_tris=14, rm=2.0, max_res=64, wave=8192, pump=4,
                      exact=True),
     None: dict(block_tris=0, rm=3.0, max_res=64, wave=8192, pump=2,

@@ -377,7 +377,8 @@ def _grid_local_best(rays, my, garr, meta, v0, v1, v2, fmat, shard_tris,
 
 
 def _ring_shade(rays, orbit, rcfg, materials, light_pos, light_intensity,
-                tex_image=None, env_image=None, textured=None):
+                tex_image=None, env_image=None, textured=None,
+                extra_light_pos=None, extra_light_intensity=None):
     """The ring renderer's integrator: per depth, one primary/bounce
     orbit + one shadow orbit, shaded and km-blended exactly like the
     replicated renderer's bounce loop (render/renderer.py, reference
@@ -512,17 +513,42 @@ def _ring_shade(rays, orbit, rcfg, materials, light_pos, light_intensity,
                                  geom.normal)
             )
 
-        to_light = light_pos - geom.poi
-        nsd = vm.normalize(to_light)
-        sdir = -nsd if rcfg.shadow_dir_away_from_light() else nsd
-        sorig = jnp.where(hit[:, None], geom.poi,
-                          jnp.full_like(geom.poi, jnp.inf))
-        srays = jax.tree.map(
-            jax.lax.stop_gradient,
-            RayBatch.make(sorig, sdir, mint=rcfg.shadow_mint()),
-        )
-        _, sbest = orbit(srays, eps, True)
-        in_shadow = jnp.isfinite(sbest["t"]) & hit
+        def one_shadow(lp):
+            """One hard-occlusion orbit toward light point lp (the
+            shared shadow policy: production direction quirk, shared
+            mint; any-hit hops)."""
+            to_light = lp - geom.poi
+            nsd = vm.normalize(to_light)
+            sdir = -nsd if rcfg.shadow_dir_away_from_light() else nsd
+            sorig = jnp.where(hit[:, None], geom.poi,
+                              jnp.full_like(geom.poi, jnp.inf))
+            srays = jax.tree.map(
+                jax.lax.stop_gradient,
+                RayBatch.make(sorig, sdir, mint=rcfg.shadow_mint()),
+            )
+            _, sbest = orbit(srays, eps, True)
+            return jnp.isfinite(sbest["t"]) & hit
+
+        def occlusion_toward(lp):
+            """bool occlusion (hard shadow), or the float mean over the
+            fixed Fibonacci sample set (area-light penumbra) — the same
+            sample set and sequential accumulation order as the
+            replicated renderer's occlusion_toward, one orbit per
+            sample."""
+            if not (rcfg.shadow_samples > 1 and rcfg.light_radius > 0.0):
+                return one_shadow(lp)
+            from ray_tracer_tpu.ops.shade import light_sample_offsets
+
+            offs = light_sample_offsets(rcfg.shadow_samples,
+                                        rcfg.light_radius)
+            occ = jnp.zeros(hit.shape, jnp.float32)
+            for off in offs:
+                occ = occ + one_shadow(
+                    lp + jnp.asarray(off, geom.poi.dtype)
+                ).astype(jnp.float32)
+            return occ / rcfg.shadow_samples
+
+        in_shadow = occlusion_toward(light_pos)
 
         if serial:
             color = shade_serial(geom, mat, light_pos, light_intensity,
@@ -530,6 +556,25 @@ def _ring_shade(rays, orbit, rcfg, materials, light_pos, light_intensity,
         else:
             color = shade_parallel(geom, mat, light_pos, in_shadow,
                                    rcfg.shadow_scale)
+
+        if extra_light_pos is not None:
+            # additional point lights: each adds its own shadow-orbited
+            # diffuse+specular term (ambient rode the primary term
+            # exactly once — the replicated renderer's rule)
+            from ray_tracer_tpu.ops.shade import (
+                apply_shadow, shade_direct_parallel, shade_direct_serial,
+            )
+
+            for i in range(extra_light_pos.shape[0]):
+                lp = extra_light_pos[i]
+                li = extra_light_intensity[i]
+                occ_i = occlusion_toward(lp)
+                if serial:
+                    direct = shade_direct_serial(geom, mat, lp, li)
+                else:
+                    direct = shade_direct_parallel(geom, mat, lp) * li
+                color = color + apply_shadow(direct, occ_i,
+                                             rcfg.shadow_scale)
         bg = jnp.asarray(rcfg.background, color.dtype)
         if env_image is not None:
             from ray_tracer_tpu.models.scenes import sample_env_image
@@ -641,16 +686,13 @@ def _check_ring_cfg(rcfg) -> None:
         raise NotImplementedError(
             "ring renderer: soft visibility not supported"
         )
-    if rcfg.shadow_samples > 1 and rcfg.light_radius > 0.0:
-        raise NotImplementedError(
-            "ring renderer: area-light soft shadows not supported"
-        )
 
 
-def _ring_extra_specs(smooth, textured, has_tex, has_env, tris_axis):
+def _ring_extra_specs(smooth, textured, has_tex, has_env, has_extra,
+                      tris_axis):
     """in_specs suffix for the optional feature arrays, matching
     _unpack_ring_extras' order: per-face payloads shard over the
-    triangle axis, images replicate."""
+    triangle axis, images and extra lights replicate."""
     specs = []
     if smooth:
         specs.append(P(tris_axis))  # fvn
@@ -660,11 +702,14 @@ def _ring_extra_specs(smooth, textured, has_tex, has_env, tris_axis):
         specs.append(P())
     if has_env:
         specs.append(P())
+    if has_extra:
+        specs += [P(), P()]  # extra_light_pos, extra_light_intensity
     return tuple(specs)
 
 
-def _unpack_ring_extras(extra, smooth, textured, has_tex, has_env):
-    fvn = fuv = fhuv = tex = env = None
+def _unpack_ring_extras(extra, smooth, textured, has_tex, has_env,
+                        has_extra):
+    fvn = fuv = fhuv = tex = env = elp = eli = None
     i = 0
     if smooth:
         fvn = extra[i]; i += 1
@@ -674,15 +719,17 @@ def _unpack_ring_extras(extra, smooth, textured, has_tex, has_env):
         tex = extra[i]; i += 1
     if has_env:
         env = extra[i]; i += 1
+    if has_extra:
+        elp, eli = extra[i], extra[i + 1]; i += 2
     assert i == len(extra)
-    return fvn, fuv, fhuv, tex, env
+    return fvn, fuv, fhuv, tex, env, elp, eli
 
 
 @lru_cache(maxsize=16)
 def _ring_render_fn(cfg: SceneConfig, mesh: Mesh, rays_axis: Optional[str],
                     tris_axis: str, n_tris_padded: int,
                     textured: bool = False, has_tex: bool = False,
-                    has_env: bool = False):
+                    has_env: bool = False, has_extra: bool = False):
     rcfg = cfg.render
     _check_ring_cfg(rcfg)
     smooth = rcfg.normal_mode == "smooth"
@@ -692,8 +739,8 @@ def _ring_render_fn(cfg: SceneConfig, mesh: Mesh, rays_axis: Optional[str],
 
     def body(rays, v0, v1, v2, fmat, materials, light_pos, light_intensity,
              *extra):
-        fvn, fuv, fhuv, tex, env = _unpack_ring_extras(
-            extra, smooth, textured, has_tex, has_env
+        fvn, fuv, fhuv, tex, env, elp, eli = _unpack_ring_extras(
+            extra, smooth, textured, has_tex, has_env, has_extra
         )
 
         def orbit(rb, t_gate, stop_first):  # all-pairs hop: no early exit
@@ -711,14 +758,16 @@ def _ring_render_fn(cfg: SceneConfig, mesh: Mesh, rays_axis: Optional[str],
 
         return _ring_shade(rays, orbit, rcfg, materials, light_pos,
                            light_intensity, tex_image=tex, env_image=env,
-                           textured=textured)
+                           textured=textured, extra_light_pos=elp,
+                           extra_light_intensity=eli)
 
     return jax.jit(jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(P(ray_axes), P(tris_axis), P(tris_axis), P(tris_axis),
                   P(tris_axis), P(), P(), P())
-        + _ring_extra_specs(smooth, textured, has_tex, has_env, tris_axis),
+        + _ring_extra_specs(smooth, textured, has_tex, has_env, has_extra,
+                            tris_axis),
         out_specs=P(ray_axes),
     ))
 
@@ -753,10 +802,6 @@ def render_sharded_geometry(
         mesh = make_mesh()
     cfg = prep.cfg
     scene = prep.scene
-    if scene.extra_light_pos is not None:
-        raise NotImplementedError(
-            "ring renderer: extra lights not supported"
-        )
     v0, v1, v2 = scene.triangle_soa()
     n_tri_shards = mesh.shape[tris_axis]
     v0, v1, v2, fmat, fp = _pad_tris(
@@ -775,6 +820,7 @@ def render_sharded_geometry(
     has_tex = (cfg.render.texture == "image"
                and scene.texture_image is not None)
     has_env = scene.env_image is not None
+    has_extra = scene.extra_light_pos is not None
     nf = scene.num_faces
     feature_args = []
     if smooth:
@@ -797,6 +843,9 @@ def render_sharded_geometry(
         feature_args.append(scene.texture_image)
     if has_env:
         feature_args.append(scene.env_image)
+    if has_extra:
+        feature_args += [scene.extra_light_pos,
+                         scene.extra_light_intensity]
 
     if cfg.render.traversal == "packed":
         if ring_grids is None:
@@ -804,11 +853,11 @@ def render_sharded_geometry(
         garr, gmeta, gfp = ring_grids
         assert gfp == fp, "ring_grids built for a different shard count"
         fn = _ring_render_grid_fn(cfg, mesh, rays_axis, tris_axis, gmeta, fp,
-                                  textured, has_tex, has_env)
+                                  textured, has_tex, has_env, has_extra)
         extra = (garr,)
     else:
         fn = _ring_render_fn(cfg, mesh, rays_axis, tris_axis, fp,
-                             textured, has_tex, has_env)
+                             textured, has_tex, has_env, has_extra)
         extra = ()
 
     # spp rides the SAME sequential subsample accumulation as the
@@ -1013,7 +1062,7 @@ def ring_loss_fn(cfg: SceneConfig, mesh: Mesh, rays_axis: Optional[str],
 def _ring_render_grid_fn(cfg: SceneConfig, mesh: Mesh, rays_axis: Optional[str],
                          tris_axis: str, meta, n_tris_padded: int,
                          textured: bool = False, has_tex: bool = False,
-                         has_env: bool = False):
+                         has_env: bool = False, has_extra: bool = False):
     rcfg = cfg.render
     _check_ring_cfg(rcfg)
     smooth = rcfg.normal_mode == "smooth"
@@ -1023,8 +1072,8 @@ def _ring_render_grid_fn(cfg: SceneConfig, mesh: Mesh, rays_axis: Optional[str],
     def body(rays, garr, v0, v1, v2, fmat, materials, light_pos,
              light_intensity, *extra):
         garr = jax.tree.map(lambda x: x[0], garr)  # drop the shard dim
-        fvn, fuv, fhuv, tex, env = _unpack_ring_extras(
-            extra, smooth, textured, has_tex, has_env
+        fvn, fuv, fhuv, tex, env, elp, eli = _unpack_ring_extras(
+            extra, smooth, textured, has_tex, has_env, has_extra
         )
 
         def orbit(rb, t_gate, stop_first):  # grid-march hop
@@ -1042,7 +1091,8 @@ def _ring_render_grid_fn(cfg: SceneConfig, mesh: Mesh, rays_axis: Optional[str],
 
         return _ring_shade(rays, orbit, rcfg, materials, light_pos,
                            light_intensity, tex_image=tex, env_image=env,
-                           textured=textured)
+                           textured=textured, extra_light_pos=elp,
+                           extra_light_intensity=eli)
 
     # P(tris_axis) is a pytree PREFIX for the PackedGridArrays input:
     # every leaf is sharded on its leading (shard) dim
@@ -1052,6 +1102,7 @@ def _ring_render_grid_fn(cfg: SceneConfig, mesh: Mesh, rays_axis: Optional[str],
         in_specs=(P(ray_axes), P(tris_axis),
                   P(tris_axis), P(tris_axis), P(tris_axis), P(tris_axis),
                   P(), P(), P())
-        + _ring_extra_specs(smooth, textured, has_tex, has_env, tris_axis),
+        + _ring_extra_specs(smooth, textured, has_tex, has_env, has_extra,
+                            tris_axis),
         out_specs=P(ray_axes),
     ))

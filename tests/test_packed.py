@@ -481,3 +481,33 @@ def test_auto_block_tris_policy():
     prep2 = prepare(cfg2)
     # coarse grid -> 33 tris/occupied voxel -> wider rows
     assert prep2.packed.meta.block_tris == 56
+
+
+def test_empty_boxes_native_matches_numpy():
+    """The C++ box builder must be bitwise-identical to the numpy
+    reference (same balanced round-robin growth, occupancy-only)."""
+    from ray_tracer_tpu.accel import native
+    from ray_tracer_tpu.accel.packed import EXT_CAP, greedy_empty_boxes
+
+    if not native.available() or native.empty_boxes_native(
+        np.zeros((1, 1, 1), bool), 1
+    ) is None:
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(11)
+    for shape, p in (((9, 7, 12), 0.1), ((20, 20, 20), 0.02),
+                     ((5, 40, 3), 0.3)):
+        occ = rng.random(shape) < p
+        want = _greedy_numpy(occ)
+        got = native.empty_boxes_native(occ, EXT_CAP)
+        np.testing.assert_array_equal(got, want, err_msg=str(shape))
+
+
+def _greedy_numpy(occ):
+    """Force the numpy reference path (bypassing the native fast path)."""
+    import unittest.mock as mock
+
+    from ray_tracer_tpu.accel import packed
+
+    with mock.patch("ray_tracer_tpu.accel.native.empty_boxes_native",
+                    return_value=None):
+        return packed.greedy_empty_boxes(occ)

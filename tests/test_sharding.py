@@ -498,3 +498,31 @@ def test_ring_render_texture_equals_replicated(texture, eight_device_mesh):
     got = np.asarray(render_sharded_geometry(prep, mesh=eight_device_mesh))
     assert np.isfinite(got).all()
     np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-4)
+
+
+def test_ring_render_soft_shadows_and_extra_lights(
+    tiny_prep, eight_device_mesh
+):
+    """Area-light soft shadows (one any-hit orbit per Fibonacci sample)
+    and extra point lights (one shadow orbit each) through the ring
+    renderer == the replicated packed render."""
+    import dataclasses
+
+    from ray_tracer_tpu.config import LightConfig
+    from ray_tracer_tpu.parallel.shard import render_sharded_geometry
+    from ray_tracer_tpu.render.renderer import prepare
+
+    cfg = dataclasses.replace(
+        tiny_prep.cfg,
+        extra_lights=(LightConfig(position=(-3.0, 6.0, 2.0), intensity=0.7),),
+        render=dataclasses.replace(
+            tiny_prep.cfg.render, faithful=False, det_dtype="float32",
+            traversal="packed", fused_shadow=False,
+            shadow_samples=4, light_radius=0.4,
+        ),
+    )
+    prep = prepare(cfg, scene=tiny_prep.scene)
+    want = np.asarray(render(prep))
+    got = np.asarray(render_sharded_geometry(prep, mesh=eight_device_mesh))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-4)
