@@ -514,9 +514,14 @@ def _ring_shade(rays, orbit, rcfg, materials, light_pos, light_intensity,
             )
 
         def one_shadow(lp):
-            """One hard-occlusion orbit toward light point lp (the
-            shared shadow policy: production direction quirk, shared
-            mint; any-hit hops)."""
+            """One occlusion orbit toward light point lp (the shared
+            shadow policy: production direction quirk, shared mint;
+            any-hit hops).  Returns bool occlusion — or, with soft
+            visibility on, the sigmoid-squashed barycentric margin of
+            the RING-CARRIED blocker vertices (sbest[tv*]): the same
+            differentiable-silhouette treatment as the replicated
+            renderer's soften(), with the blocker gathered by the orbit
+            instead of from a replicated vertex table."""
             to_light = lp - geom.poi
             nsd = vm.normalize(to_light)
             sdir = -nsd if rcfg.shadow_dir_away_from_light() else nsd
@@ -527,7 +532,19 @@ def _ring_shade(rays, orbit, rcfg, materials, light_pos, light_intensity,
                 RayBatch.make(sorig, sdir, mint=rcfg.shadow_mint()),
             )
             _, sbest = orbit(srays, eps, True)
-            return jnp.isfinite(sbest["t"]) & hit
+            s_hit = jnp.isfinite(sbest["t"])
+            occ = s_hit & hit
+            if rcfg.soft_visibility <= 0.0:
+                return occ
+            sbeta, sgamma = cramer_bg_safe(
+                srays.orig, srays.dirn, sbest["tv0"], sbest["tv1"],
+                sbest["tv2"], s_hit, det_dtype=ddt,
+            )
+            margin = jnp.minimum(
+                jnp.minimum(sbeta, sgamma), 1.0 - sbeta - sgamma
+            ).astype(jnp.float32)
+            f = jax.nn.sigmoid(margin / rcfg.soft_visibility)
+            return jnp.where(occ, f, 0.0)
 
         def occlusion_toward(lp):
             """bool occlusion (hard shadow), or the float mean over the
@@ -682,9 +699,11 @@ def _check_ring_cfg(rcfg) -> None:
     drop would break the documented bit-equality with the replicated
     render()."""
     assert not rcfg.faithful, "ring renderer has production semantics only"
-    if rcfg.soft_visibility > 0 or rcfg.soft_primary > 0:
+    if rcfg.soft_primary > 0:
         raise NotImplementedError(
-            "ring renderer: soft visibility not supported"
+            "ring renderer: soft PRIMARY silhouettes not supported (the "
+            "coverage blend needs the runner-up hit, which the ring "
+            "merge does not carry); soft_visibility works"
         )
 
 

@@ -113,6 +113,8 @@ def pathtrace_rays(
     if rcfg.faithful:
         raise ValueError("path tracing requires faithful=False")
     v0, v1, v2 = scene.triangle_soa()
+    # packed (F,9) rows: one gather per hit resolve (see renderer)
+    tri9 = jnp.concatenate([v0, v1, v2], axis=1)
     dt = v0.dtype
     trav = make_traversal(rcfg, grid, meta, v0, v1, v2)
     persistent = (rcfg.traversal == "packed"
@@ -282,7 +284,8 @@ def pathtrace_rays(
             )
 
             tri = jnp.maximum(res.tri_id, 0)
-            tv0, tv1, tv2 = v0[tri], v1[tri], v2[tri]
+            tv = tri9[tri]  # one packed row gather (see renderer)
+            tv0, tv1, tv2 = tv[:, 0:3], tv[:, 3:6], tv[:, 6:9]
             # differentiable hit distance from the stop-gradient topology
             # (the same recompute-t convention as render_rays)
             t_re = cramer_t_safe(cur.orig, cur.dirn, tv0, tv1, tv2,

@@ -526,3 +526,54 @@ def test_ring_render_soft_shadows_and_extra_lights(
     got = np.asarray(render_sharded_geometry(prep, mesh=eight_device_mesh))
     assert np.isfinite(got).all()
     np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-4)
+
+
+def test_ring_soft_visibility_equals_replicated(eight_device_mesh):
+    """Differentiable soft shadow silhouettes through the ring: the
+    sigmoid margin is computed from the RING-CARRIED blocker vertices.
+    Scene uses a single-triangle blocker so the blocker identity is
+    unambiguous (any-hit picks can differ between schedulers on
+    multi-triangle occluders) -> exact parity with the replicated
+    render."""
+    import dataclasses
+
+    from ray_tracer_tpu.config import (
+        CameraConfig, LightConfig, MaterialConfig, RenderConfig, SceneConfig,
+    )
+    from ray_tracer_tpu.io.obj import MeshArrays
+    from ray_tracer_tpu.models.scenes import scene_from_meshes
+    from ray_tracer_tpu.parallel.shard import render_sharded_geometry
+    from ray_tracer_tpu.render.renderer import prepare, render
+
+    _nouv = (np.zeros((0, 2), np.float32), np.zeros((0, 3), np.int32))
+    floor = MeshArrays(
+        np.array([[-3, 0, -3], [3, 0, -3], [3, 0, 3], [-3, 0, 3]],
+                 np.float32),
+        np.array([[0, 1, 2], [0, 2, 3]], np.int32), *_nouv,
+    )
+    blocker = MeshArrays(
+        np.array([[-0.8, 2.0, -0.8], [0.8, 2.0, -0.8], [0, 2.0, 0.9]],
+                 np.float32),
+        np.array([[0, 1, 2]], np.int32), *_nouv,
+    )
+    mat = MaterialConfig(base_color=(200.0, 120.0, 60.0), kd=2.0, ks=0.0,
+                         spec_alpha=4.0, ka=0.3)
+    light = LightConfig(position=(0.0, 8.0, 0.0), intensity=1.0)
+    scene = scene_from_meshes([(floor, 0), (blocker, 0)], [mat], light)
+    cfg = SceneConfig(
+        materials=(mat,),
+        camera=CameraConfig(position=(0.0, 5.0, 0.01), target=(0, 0, 0),
+                            up=(0, 0, 1), fov_degrees=45.0,
+                            width=16, height=16),
+        light=light,
+        render=RenderConfig(
+            shading="parallel", faithful=False, det_dtype="float32",
+            max_bounces=0, shadow_eps=1e-3, shadow_scale=0.5, ray_tile=256,
+            traversal="packed", fused_shadow=False, soft_visibility=0.05,
+        ),
+    )
+    prep = prepare(cfg, scene=scene)
+    want = np.asarray(render(prep))
+    got = np.asarray(render_sharded_geometry(prep, mesh=eight_device_mesh))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-4)
