@@ -357,8 +357,15 @@ def main() -> None:
         log(f"auto fused_shadow: {fused}")
     else:
         fused = args.fused == "on"
+    # depth-0 refill source: regen-from-camera vs ray-table gather —
+    # the same measured-probe pattern (render/metrics.choose_camera_refill)
+    from ray_tracer_tpu.render.metrics import choose_camera_refill
+
+    refill = "on" if choose_camera_refill(prep) else "off"
+    log(f"auto camera_refill: {refill}")
     cfg = dataclasses.replace(
-        cfg, render=dataclasses.replace(cfg.render, fused_shadow=fused)
+        cfg, render=dataclasses.replace(cfg.render, fused_shadow=fused,
+                                        camera_refill=refill)
     )
     prep = prep._replace(cfg=cfg)
 

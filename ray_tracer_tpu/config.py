@@ -171,6 +171,25 @@ class RenderConfig:
     # costs ~+5 ns amortized vs ~22-27 ns for a whole step.  Results
     # are chain-invariant (same cells, same hits; fewer steps).
     probe_chain: int = 1
+    # Extra pop attempts per persistent-wave refill for lanes whose
+    # popped camera ray fails the entry slab test (ops/persistent):
+    # None = the scheduler's auto (3 on the camera-regen path — the
+    # measured spot knee, where ~50% of camera rays miss the tight
+    # AABB; 0 on the gather path).  Full-coverage scenes whose camera
+    # rays nearly all enter (the dense stand-in) want 0-1: each retry
+    # re-runs the camera math for the whole wave.  Bit-identical
+    # output for any value.
+    refill_retries: "int | None" = None
+    # Persistent-wave depth-0 refill source: "on" = regenerate popped
+    # camera rays from their pixel index (zero-gather; wins when many
+    # camera rays die at the grid AABB slab — spot), "off" = gather
+    # from the packed (R,8) ray table (wins on full-coverage scenes —
+    # measured 148 vs 174 ms on the dense stand-in), "auto" = callers
+    # that hold a Prepared scene resolve it with the strided slab probe
+    # render/metrics.choose_camera_refill; the renderer treats an
+    # unresolved "auto" as "on" (the historical default).  Bit-identical
+    # image either way (camera_ray_at == the batch generator bitwise).
+    camera_refill: str = "auto"
     # Soft-edge visibility scale (0 = reference-exact hard shadows).
     # > 0: shadow attenuation becomes sigmoid(blocker barycentric margin
     # / scale) — differentiable across silhouettes (SURVEY hard part #2).
@@ -409,6 +428,7 @@ def apply_turbo(cfg: "SceneConfig", scene_family: "str | None") -> "SceneConfig"
             traversal="packed", scheduler="persistent",
             packed_block_tris=k["block_tris"],
             wave=k["wave"], pump=k["pump"],
+            refill_retries=k.get("retries"),
             grid_layout="auto",
             grid=dataclasses.replace(
                 cfg.render.grid,

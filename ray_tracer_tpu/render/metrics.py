@@ -127,6 +127,44 @@ def collect_render_metrics(prep) -> Dict[str, float]:
     return out
 
 
+def choose_camera_refill(prep, threshold: float = 0.45,
+                         stride: int = 8) -> bool:
+    """Measured policy for RenderConfig.camera_refill.
+
+    The persistent wave's zero-gather camera refill (regenerate popped
+    rays from their pixel index) wins when a large fraction of camera
+    rays never enter the grid AABB: failed pops re-run as pure VPU
+    retries instead of charging rounds (spot: 61% dead, +21% measured
+    for regen+retries).  At lower dead fractions the per-refill camera
+    math COSTS more than the (W,8) table gather it replaces — measured
+    174-182 ms regen vs 148 ms gather on nefertiti 1024^2 (33% dead;
+    the parallel scene sits at 35%).  Rule: regen iff the strided slab
+    probe finds >= threshold of camera rays never entering (0.45
+    separates the measured scenes)."""
+    import dataclasses
+
+    from ray_tracer_tpu.ops.traverse_packed import _slab_entry
+
+    cfg = prep.cfg
+    cam = dataclasses.replace(
+        cfg.camera,
+        width=max(cfg.camera.width // stride, 8),
+        height=max(cfg.camera.height // stride, 8),
+    )
+    rays = camera_rays(cam)
+    garr = (prep.packed.arrays if prep.packed is not None
+            else prep.grid.arrays)
+    import jax.numpy as jnp
+
+    _, entered = _slab_entry(
+        garr,
+        rays.orig.astype(jnp.float32), rays.dirn.astype(jnp.float32),
+        rays.mint.astype(jnp.float32), rays.maxt.astype(jnp.float32),
+    )
+    dead = 1.0 - float(np.asarray(entered).mean())
+    return dead >= threshold
+
+
 def estimate_coverage(prep, stride: int = 8) -> float:
     """Cheap scene-coverage probe: trace every `stride`-th pixel's
     primary ray (packed path) and return the hit rate.  One traversal

@@ -114,7 +114,10 @@ def pathtrace_rays(
         raise ValueError("path tracing requires faithful=False")
     v0, v1, v2 = scene.triangle_soa()
     # packed (F,9) rows: one gather per hit resolve (see renderer)
-    tri9 = jnp.concatenate([v0, v1, v2], axis=1)
+    tri9 = jnp.concatenate(
+        [v0, v1, v2,
+         scene.face_material.astype(v0.dtype)[:, None]], axis=1
+    )  # material index rides lane 9 (see renderer)
     dt = v0.dtype
     trav = make_traversal(rcfg, grid, meta, v0, v1, v2)
     persistent = (rcfg.traversal == "packed"
@@ -309,7 +312,7 @@ def pathtrace_rays(
             flip = jnp.sum(n * cur.dirn, axis=-1) > 0.0
             n = jnp.where(flip[:, None], -n, n)
 
-            mat = scene.face_material[tri]
+            mat = tv[:, 9].astype(jnp.int32)
             albedo = albedo_table[mat]
 
             # ---- Lambertian / mirror branch selection -----------------

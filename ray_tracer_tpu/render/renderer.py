@@ -224,6 +224,7 @@ def make_traversal(rcfg: RenderConfig, grid, meta, v0, v1, v2):
                     need_t=False,  # t is recomputed from tri_id by callers
                     camera=camera, spp=rcfg.spp if camera is not None else 1,
                     compact=compact, order_keys=order_keys,
+                    refill_retries=rcfg.refill_retries,
                 )
                 return _persistent_as_packed(res)
         else:
@@ -315,7 +316,13 @@ def render_rays(
     # resolve on the 261k-tri scene).  Values are the same floats, so
     # the image stays bit-identical; gradients flow through the
     # concatenate's split transpose into verts exactly as before.
-    tri9 = jnp.concatenate([v0, v1, v2], axis=1)
+    # the material index rides lane 9 of the same row (exact int<->f32
+    # roundtrip for any sane material count), saving the separate (R,)
+    # face_material gather
+    tri9 = jnp.concatenate(
+        [v0, v1, v2,
+         scene.face_material.astype(v0.dtype)[:, None]], axis=1
+    )
     background = jnp.asarray(rcfg.background, v0.dtype)
 
     # Hit/shadow policy comes from ONE place (RenderConfig.primary_gate
@@ -402,7 +409,10 @@ def render_rays(
                     # only soft visibility consumes it
                     need_shadow_tri=rcfg.soft_visibility > 0.0,
                     # depth-0 rays regenerate from the camera at refill
-                    camera=camera_cfg if depth == 0 else None,
+                    # (unless the scene-measured policy picked the
+                    # gather path — RenderConfig.camera_refill)
+                    camera=(camera_cfg if depth == 0
+                            and rcfg.camera_refill != "off" else None),
                     spp=rcfg.spp if (camera_cfg is not None and depth == 0)
                     else 1,
                     # queue compaction pays only on provably mostly-dead
@@ -411,6 +421,7 @@ def render_rays(
                     # (measured -4% on spot — docs/PERFORMANCE.md)
                     compact=depth > 0,
                     order_keys=okeys,
+                    refill_retries=rcfg.refill_retries,
                     **fkw,
                 )
             else:
@@ -424,7 +435,8 @@ def render_rays(
         else:
             tkw = {}
             if rcfg.scheduler == "persistent" and rcfg.traversal == "packed":
-                if depth == 0 and camera_cfg is not None:
+                if (depth == 0 and camera_cfg is not None
+                        and rcfg.camera_refill != "off"):
                     tkw["camera"] = camera_cfg
                 tkw["compact"] = depth > 0  # bounce batches are mostly dead
                 if okeys is not None:
@@ -451,7 +463,7 @@ def render_rays(
         # cotangent by t — inf * 0 = nan in the dirn (hence vertex)
         # gradients from bounce 1 on.
         t = jnp.where(res.hit, t_re.astype(res.t.dtype), jnp.zeros_like(res.t))
-        mat = scene.materials.gather(scene.face_material[tri])
+        mat = scene.materials.gather(tv[:, 9].astype(jnp.int32))
 
         # hit barycentrics, shared by texture sampling and smooth
         # normals; cramer_bg_safe sanitizes invalid lanes internally

@@ -144,12 +144,18 @@ def test_extra_lights_config_roundtrip(tmp_path):
     assert back.extra_lights == cfg.extra_lights
 
 
-def test_extra_lights_rejected_by_ring_renderer(eight_device_mesh):
+def test_extra_lights_through_ring_renderer(eight_device_mesh):
+    """Extra lights work in ring mode since round 4 (one shadow orbit
+    per extra light) — replaced the old rejection test; the ring image
+    must match the replicated render."""
     from ray_tracer_tpu.parallel.shard import render_sharded_geometry
 
-    prep = _prep(extra=[LightConfig((-4.0, 6.0, -2.0), 1.0)])
-    with pytest.raises(NotImplementedError, match="extra lights"):
-        render_sharded_geometry(prep, mesh=eight_device_mesh)
+    prep = _prep(extra=[LightConfig((-4.0, 6.0, -2.0), 1.0)],
+                 faithful=False, det_dtype="float32",
+                 traversal="packed", fused_shadow=False)
+    want = np.asarray(render(prep))
+    got = np.asarray(render_sharded_geometry(prep, mesh=eight_device_mesh))
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-4)
 
 
 def test_prepare_attaches_cfg_extra_lights_to_provided_scene():
