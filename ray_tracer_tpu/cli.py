@@ -214,9 +214,19 @@ def cmd_render(args) -> None:
     with profile_trace(logdir):  # None-safe; flushes even when we raise
         if args.devices and args.devices > 1:
             from ray_tracer_tpu.parallel.mesh import make_mesh
-            from ray_tracer_tpu.parallel.shard import render_sharded
 
-            img = render_sharded(prep, mesh=make_mesh(args.devices))
+            if getattr(args, "ring", False):
+                from ray_tracer_tpu.parallel.shard import (
+                    render_sharded_geometry,
+                )
+
+                img = render_sharded_geometry(
+                    prep, mesh=make_mesh(args.devices, ("rays", "tris"))
+                )
+            else:
+                from ray_tracer_tpu.parallel.shard import render_sharded
+
+                img = render_sharded(prep, mesh=make_mesh(args.devices))
         else:
             img = render(prep)
         jax.block_until_ready(img)
@@ -349,6 +359,12 @@ def main(argv=None) -> None:
                         "persistent wavefront (the bench.py path)")
     r.add_argument("--devices", type=int, default=0,
                    help="shard rays over this many devices")
+    r.add_argument("--ring", action="store_true",
+                   help="with --devices: shard the GEOMETRY over the "
+                        "device mesh and ring-pass ray bundles between "
+                        "neighbors (the memory-bound-scene path, "
+                        "parallel/shard.render_sharded_geometry) "
+                        "instead of sharding rays")
     r.add_argument("--profile", default=None,
                    help="write a jax.profiler trace to this directory")
     r.add_argument("--texture", default=None,

@@ -41,6 +41,21 @@ def test_render_sharded_command(tmp_path):
     np.testing.assert_array_equal(read_ppm(out), read_ppm(single))
 
 
+def test_render_ring_command(tmp_path):
+    """--ring shards the GEOMETRY and ring-passes rays; the image must
+    match the plain render to ring-grid tolerance (per-shard grids can
+    flip boundary pixels)."""
+    out = str(tmp_path / "ring8.ppm")
+    cli.main(["render", "--scene", "gradcheck", "--width", "16",
+              "--out", out, "--fast", "--devices", "8", "--ring"])
+    single = str(tmp_path / "ring1.ppm")
+    cli.main(["render", "--scene", "gradcheck", "--width", "16",
+              "--out", single, "--fast"])
+    a = read_ppm(out).astype(int)
+    b = read_ppm(single).astype(int)
+    assert (np.abs(a - b).max(axis=-1) > 2).mean() < 0.02
+
+
 def test_info_command(capsys):
     cli.main(["info"])
     info = json.loads(capsys.readouterr().out)

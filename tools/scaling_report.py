@@ -155,7 +155,7 @@ def main():
             "note": "nominal public v5e figures; the point is the RATIO: "
                     "the ray-sharded modes' per-frame collectives are "
                     "<= ~0.3 ms on ICI (~2 ms DCN) against a measured "
-                    ">= 200 ms/frame single-chip compute term, and even "
+                    ">= 160 ms/frame single-chip compute term, and even "
                     "the ring-pass mode's 8-hop bundle traffic is ~3.4 ms "
                     "on ICI — every mode is compute-bound, so the "
                     ">= 0.99 round-robin balance rows above bound "
