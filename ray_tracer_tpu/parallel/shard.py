@@ -600,6 +600,25 @@ def _ring_shade(rays, orbit, rcfg, materials, light_pos, light_intensity,
                 env_image, vm.normalize(cur.dirn)
             ).astype(color.dtype)
 
+        if rcfg.soft_primary > 0.0:
+            # differentiable primary silhouettes: blend each hit toward
+            # the background by its OWN barycentric margin (the
+            # replicated renderer's rule) — the margin comes from the
+            # ring-carried winner vertices, no replicated table needed
+            if smooth or textured:
+                phb, phg = hb, hg  # the shared pair computed above
+            else:
+                phb, phg = cramer_bg_safe(
+                    orig_safe, cur.dirn, tv0, tv1, tv2, hit, det_dtype=ddt,
+                )
+                phb = phb.astype(jnp.float32)
+                phg = phg.astype(jnp.float32)
+            hmargin = jnp.maximum(
+                jnp.minimum(jnp.minimum(phb, phg), 1.0 - phb - phg), 0.0
+            ).astype(color.dtype)
+            fh = jnp.tanh(hmargin / rcfg.soft_primary)[:, None]
+            color = fh * color + (1.0 - fh) * bg
+
         reflecting = hit & mat.reflective & (depth < rcfg.max_bounces)
         # local*base*(1-km) + bounced*km (raytracer.cu:519-520)
         local = jnp.where(
@@ -699,12 +718,6 @@ def _check_ring_cfg(rcfg) -> None:
     drop would break the documented bit-equality with the replicated
     render()."""
     assert not rcfg.faithful, "ring renderer has production semantics only"
-    if rcfg.soft_primary > 0:
-        raise NotImplementedError(
-            "ring renderer: soft PRIMARY silhouettes not supported (the "
-            "coverage blend needs the runner-up hit, which the ring "
-            "merge does not carry); soft_visibility works"
-        )
 
 
 def _ring_extra_specs(smooth, textured, has_tex, has_env, has_extra,

@@ -577,3 +577,31 @@ def test_ring_soft_visibility_equals_replicated(eight_device_mesh):
     got = np.asarray(render_sharded_geometry(prep, mesh=eight_device_mesh))
     assert np.isfinite(got).all()
     np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-4)
+
+
+def test_ring_soft_primary_equals_replicated(tiny_prep, eight_device_mesh):
+    """Differentiable primary silhouettes in ring mode: each hit blends
+    toward the background by its own barycentric margin computed from
+    the ring-carried winner vertices — must match the replicated
+    render (the nearest-hit merge is deterministic, unlike the any-hit
+    blocker of soft_visibility).  Tolerance is looser than the other
+    ring parity tests: per-shard Cramer FMA-contracts differently, and
+    the tanh(margin/scale) blend amplifies those last-ulp barycentric
+    differences near silhouettes (color units are 0-255)."""
+    import dataclasses
+
+    from ray_tracer_tpu.parallel.shard import render_sharded_geometry
+    from ray_tracer_tpu.render.renderer import prepare
+
+    cfg = dataclasses.replace(
+        tiny_prep.cfg,
+        render=dataclasses.replace(
+            tiny_prep.cfg.render, faithful=False, det_dtype="float32",
+            traversal="packed", fused_shadow=False, soft_primary=0.05,
+        ),
+    )
+    prep = prepare(cfg, scene=tiny_prep.scene)
+    want = np.asarray(render(prep))
+    got = np.asarray(render_sharded_geometry(prep, mesh=eight_device_mesh))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, atol=0.1, rtol=1e-3)
