@@ -220,8 +220,15 @@ def cmd_render(args) -> None:
                     render_sharded_geometry,
                 )
 
+                # ALL devices on the triangle axis — the memory-bound
+                # path exists to hold 1/N of the soup per device (the
+                # default two-axis factoring would put size 1 on tris
+                # and silently replicate the geometry)
                 img = render_sharded_geometry(
-                    prep, mesh=make_mesh(args.devices, ("rays", "tris"))
+                    prep,
+                    mesh=make_mesh(args.devices, ("tris",),
+                                   shape=(args.devices,)),
+                    rays_axis=None,
                 )
             else:
                 from ray_tracer_tpu.parallel.shard import render_sharded

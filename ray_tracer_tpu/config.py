@@ -428,7 +428,10 @@ def apply_turbo(cfg: "SceneConfig", scene_family: "str | None") -> "SceneConfig"
             traversal="packed", scheduler="persistent",
             packed_block_tris=k["block_tris"],
             wave=k["wave"], pump=k["pump"],
-            refill_retries=k.get("retries"),
+            # only override when the knob table actually records a
+            # value — otherwise an explicit user refill_retries would
+            # be silently reset to auto
+            **({"refill_retries": k["retries"]} if "retries" in k else {}),
             grid_layout="auto",
             grid=dataclasses.replace(
                 cfg.render.grid,

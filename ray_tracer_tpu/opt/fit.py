@@ -328,6 +328,13 @@ def make_ring_train_step(
     cfg = prep.cfg
     scene = prep.scene
     rcfg = cfg.render
+    # the ring TRAIN forward renders pixel centers only; silently
+    # optimizing a single-sample render against an spp-averaged target
+    # would converge to biased parameters (_check_ring_cfg no longer
+    # rejects spp since render_sharded_geometry grew spp support —
+    # the training path has not)
+    if rcfg.spp != 1:
+        raise NotImplementedError("ring training: spp > 1 not supported")
     n_tri_shards = mesh.shape[tris_axis]
     f = scene.faces.shape[0]
     fp = _pad_to(f, n_tri_shards)
