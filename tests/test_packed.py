@@ -511,3 +511,53 @@ def _greedy_numpy(occ):
     with mock.patch("ray_tracer_tpu.accel.native.empty_boxes_native",
                     return_value=None):
         return packed.greedy_empty_boxes(occ)
+
+
+@pytest.mark.parametrize("occ_kind", ["full", "empty", "single", "slab"])
+def test_empty_box_degenerate_grids(occ_kind):
+    """Box-field edge cases: fully occupied (all extents 0), fully
+    empty (cap everywhere), a single cell, and a 1-thick slab grid —
+    the safety property must hold on all of them."""
+    from ray_tracer_tpu.accel.packed import EXT_CAP, greedy_empty_boxes
+
+    if occ_kind == "full":
+        occ = np.ones((4, 3, 5), bool)
+    elif occ_kind == "empty":
+        occ = np.zeros((4, 3, 5), bool)
+    elif occ_kind == "single":
+        occ = np.zeros((1, 1, 1), bool)
+    else:  # 1-thick slab with a hole
+        occ = np.zeros((1, 6, 6), bool)
+        occ[0, 2:4, 2:4] = True
+    ext = greedy_empty_boxes(occ)
+    assert (ext >= 0).all() and (ext <= EXT_CAP).all()
+    assert (ext[:, occ] == 0).all()
+    if occ_kind == "empty":
+        # nothing blocks growth: every direction reaches the cap
+        assert (ext[:, ~occ] == EXT_CAP).all()
+    for z, y, x in np.argwhere(~occ):
+        xm, xp, ym, yp, zm, zp = ext[:, z, y, x]
+        box = occ[max(z - zm, 0): z + zp + 1,
+                  max(y - ym, 0): y + yp + 1,
+                  max(x - xm, 0): x + xp + 1]
+        assert not box.any(), (occ_kind, z, y, x)
+
+
+def test_box_leap_render_on_tiny_grids(tiny_prep):
+    """A 1-3 cell grid (coarse resolution clamp) still renders
+    identically under box and cheb leaps."""
+    from ray_tracer_tpu.accel.grid import build_grid
+
+    verts = np.asarray(tiny_prep.scene.verts)
+    faces = np.asarray(tiny_prep.scene.faces)
+    g = build_grid(verts, faces, resolution_multiplier=0.1, max_resolution=2)
+    assert max(g.meta.n_voxels) <= 2
+    box = pack_grid(g, verts, faces, leap="box")
+    cheb = pack_grid(g, verts, faces, leap="cheb")
+    rays = camera_rays(tiny_prep.cfg.camera)
+    a = traverse_packed(rays, box.arrays, box.meta, t_gate=1e-4)
+    b = traverse_packed(rays, cheb.arrays, cheb.meta, t_gate=1e-4)
+    for f in ("hit", "t", "tri_id"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, f)), np.asarray(getattr(b, f)), err_msg=f
+        )
