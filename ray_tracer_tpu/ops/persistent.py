@@ -263,6 +263,21 @@ def persistent_trace(
         work_ids = None
         n_work = jnp.asarray(r, jnp.int32)
 
+    # NEGATIVE RESULT (kept so it is not retried): baking the
+    # compaction/order INTO the ray table — queue position k's row
+    # pre-gathered to hold ray work_ids[k] plus its id, so pops skip
+    # the work_ids indirection — is a measured LOSS on every workload.
+    # Built by row scatter it costs ~+95 ms/frame (the repo's measured
+    # (N,k) row-scatter penalty); built by gather it still pays a full
+    # R-row table build PER SEGMENT, which dwarfs what it saves: the
+    # mostly-dead bounce batches it would serve have few LIVE pops (the
+    # per-pop indirection the build would amortize is nearly free), and
+    # full primaries' dead pops only shorten the queue drain, not the
+    # straggler-bound tail (nefertiti 151 -> 188 ms, parallel scene
+    # 9.2 -> 7.7, GI 8.4 -> 6.1 Mpaths/s).  The work_ids indirection
+    # below is the right cost model: O(R) 1-D build + one extra (W,)
+    # int gather per refill, paid only on live pops.
+
     # Under shard_map every while_loop carry leaf must have one uniform
     # varying-axes type; fresh constants (queue cursor, output buffers,
     # per-round latch resets) enter unvarying while ray-derived leaves

@@ -417,8 +417,11 @@ def render_rays(
                     else 1,
                     # queue compaction pays only on provably mostly-dead
                     # batches (bounce segments); on full primaries the
-                    # O(R) prefilter costs more than the pop savings
-                    # (measured -4% on spot — docs/PERFORMANCE.md)
+                    # O(R) prefilter costs more than the pop savings on
+                    # BOTH refill sources (measured -4% on spot regen;
+                    # -24% on nefertiti gather even with the baked-table
+                    # pops — dead pops only shorten the queue drain, not
+                    # the straggler-bound tail)
                     compact=depth > 0,
                     order_keys=okeys,
                     refill_retries=rcfg.refill_retries,
