@@ -168,3 +168,51 @@ def test_metrics_match_render_under_faithful_serial():
     lit = int(((img > 0).any(axis=-1)).sum())
     assert m["primary_hits"] == lit, (m["primary_hits"], lit)
     assert m["shadow_hits"] <= m["primary_hits"]
+
+
+def test_choose_camera_refill_policy():
+    """Mostly-dead camera frustum (tight AABB) -> regen+retries; a
+    full-coverage wall (every camera ray enters) -> gather refill."""
+    import dataclasses
+
+    import numpy as np
+
+    from ray_tracer_tpu.config import (
+        CameraConfig, LightConfig, MaterialConfig, SceneConfig,
+    )
+    from ray_tracer_tpu.io.obj import MeshArrays
+    from ray_tracer_tpu.models.scenes import scene_from_meshes, serial_scene_config
+    from ray_tracer_tpu.render.metrics import choose_camera_refill
+    from ray_tracer_tpu.render.renderer import prepare
+
+    cfg = serial_scene_config(128, 128)
+    cfg = dataclasses.replace(
+        cfg,
+        render=dataclasses.replace(
+            cfg.render, faithful=False, det_dtype="float32",
+            traversal="packed",
+        ),
+    )
+    # spot+blub occupy a small part of the frustum: 61% of camera rays
+    # miss the AABB (the measured number behind the 0.45 threshold)
+    assert choose_camera_refill(prepare(cfg)) is True
+
+    quad = MeshArrays(
+        verts=np.array([[-99, -99, 0], [99, -99, 0], [99, 99, 0],
+                        [-99, 99, 0]], np.float32),
+        faces=np.array([[0, 1, 2], [0, 2, 3]], np.int32),
+        uvs=np.zeros((1, 2), np.float32),
+        uv_faces=np.zeros((2, 3), np.int32),
+    )
+    mat = MaterialConfig()
+    light = LightConfig(position=(0.0, 0.0, 5.0), intensity=1.0)
+    wall = scene_from_meshes([(quad, 0)], [mat], light)
+    wcfg = SceneConfig(
+        materials=(mat,),
+        camera=CameraConfig(position=(0, 0, 3), target=(0, 0, 0),
+                            up=(0, 1, 0), fov_degrees=60.0,
+                            width=64, height=64),
+        light=light,
+        render=dataclasses.replace(cfg.render),
+    )
+    assert choose_camera_refill(prepare(wcfg, scene=wall)) is False
