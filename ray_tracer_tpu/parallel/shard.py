@@ -879,17 +879,31 @@ def render_sharded_geometry(
         feature_args += [scene.extra_light_pos,
                          scene.extra_light_intensity]
 
+    gi = cfg.render.gi_samples > 0
     if cfg.render.traversal == "packed":
         if ring_grids is None:
             ring_grids = build_ring_grids(prep, n_tri_shards)
         garr, gmeta, gfp = ring_grids
         assert gfp == fp, "ring_grids built for a different shard count"
-        fn = _ring_render_grid_fn(cfg, mesh, rays_axis, tris_axis, gmeta, fp,
-                                  textured, has_tex, has_env, has_extra)
+        if gi:
+            fn = _ring_pt_fn(cfg, mesh, rays_axis, tris_axis, gmeta, fp,
+                             has_env, has_extra)
+            feature_args = feature_args[-(int(has_env) + 2 * int(has_extra)):] \
+                if (has_env or has_extra) else []
+        else:
+            fn = _ring_render_grid_fn(cfg, mesh, rays_axis, tris_axis, gmeta,
+                                      fp, textured, has_tex, has_env,
+                                      has_extra)
         extra = (garr,)
     else:
-        fn = _ring_render_fn(cfg, mesh, rays_axis, tris_axis, fp,
-                             textured, has_tex, has_env, has_extra)
+        if gi:
+            fn = _ring_pt_fn(cfg, mesh, rays_axis, tris_axis, None, fp,
+                             has_env, has_extra)
+            feature_args = feature_args[-(int(has_env) + 2 * int(has_extra)):] \
+                if (has_env or has_extra) else []
+        else:
+            fn = _ring_render_fn(cfg, mesh, rays_axis, tris_axis, fp,
+                                 textured, has_tex, has_env, has_extra)
         extra = ()
 
     # spp rides the SAME sequential subsample accumulation as the
@@ -904,8 +918,14 @@ def render_sharded_geometry(
                   scene.light_pos, scene.light_intensity,
                   *feature_args)[:r]
 
-    colors = accumulate_spp(one, cfg.camera, cfg.render.spp,
-                            jnp.dtype(cfg.render.dtype))
+    if gi:
+        # the GI integrator renders pixel centers (gi_samples supersede
+        # spp — same rule as the replicated render_pt)
+        colors = one(camera_rays(cfg.camera,
+                                 dtype=jnp.dtype(cfg.render.dtype)), False)
+    else:
+        colors = accumulate_spp(one, cfg.camera, cfg.render.spp,
+                                jnp.dtype(cfg.render.dtype))
     return colors.reshape(cfg.camera.height, cfg.camera.width, 3)
 
 
@@ -1091,6 +1111,102 @@ def ring_loss_fn(cfg: SceneConfig, mesh: Mesh, rays_axis: Optional[str],
 
 
 @lru_cache(maxsize=16)
+@lru_cache(maxsize=16)
+def _ring_pt_fn(cfg: SceneConfig, mesh: Mesh, rays_axis: Optional[str],
+                tris_axis: str, meta, n_tris_padded: int,
+                has_env: bool = False, has_extra: bool = False):
+    """Path-traced GI with the GEOMETRY ring-sharded: every path
+    segment and occlusion query orbits the ring (grid hops when `meta`
+    is given, all-pairs otherwise), and the integrator consumes the
+    CARRIED winner vertices/material — the physics is the ONE
+    pathtrace_rays implementation (render/pathtrace.py, tracer
+    interface), so ring and replicated GI cannot diverge beyond
+    traversal arithmetic.  Extends the memory-bound-scene story to
+    global illumination: a scene too big to replicate can be path
+    traced."""
+    rcfg = cfg.render
+    _check_ring_cfg(rcfg)
+    ddt = jnp.dtype(rcfg.det_dtype)
+    eps = rcfg.shadow_eps
+    shard_tris = n_tris_padded // mesh.shape[tris_axis]
+    ray_axes = (rays_axis, tris_axis) if rays_axis else (tris_axis,)
+    grid_hops = meta is not None
+
+    def body(rays, *args):
+        if grid_hops:
+            garr, v0, v1, v2, fmat, materials, light_pos, light_intensity, \
+                *extra = args
+            garr = jax.tree.map(lambda x: x[0], garr)
+        else:
+            v0, v1, v2, fmat, materials, light_pos, light_intensity, \
+                *extra = args
+        _, _, _, _, env, elp, eli = _unpack_ring_extras(
+            extra, False, False, False, has_env, has_extra
+        )
+
+        def orbit(rb, t_gate, stop_first):
+            if grid_hops:
+                return _ring_orbit(
+                    rb,
+                    lambda r_, my: _grid_local_best(
+                        r_, my, garr, meta, v0, v1, v2, fmat, shard_tris,
+                        t_gate, stop_first,
+                    ),
+                    tris_axis,
+                )
+            return _ring_orbit(
+                rb,
+                lambda r_, my: _ring_local_best(
+                    r_, v0, v1, v2, fmat, my * shard_tris, t_gate, ddt
+                ),
+                tris_axis, t_dtype=ddt,
+            )
+
+        class _RingTracer:
+            @staticmethod
+            def trace(rb, t_gate):
+                _, b = orbit(rb, t_gate, False)
+                hit = jnp.isfinite(b["t"])
+                return (hit, b["tv0"].astype(jnp.float32),
+                        b["tv1"].astype(jnp.float32),
+                        b["tv2"].astype(jnp.float32), b["mat"])
+
+            @staticmethod
+            def occlude(rb):
+                _, b = orbit(rb, eps, True)
+                return jnp.isfinite(b["t"])
+
+        from ray_tracer_tpu.models.scenes import Scene
+        from ray_tracer_tpu.render.pathtrace import pathtrace_rays
+
+        # geometry-free scene stub: the tracer carries the vertices, so
+        # only the shading/lighting leaves are replicated
+        stub = Scene(
+            verts=jnp.zeros((1, 3), jnp.float32),
+            faces=jnp.zeros((1, 3), jnp.int32),
+            face_material=jnp.zeros((1,), jnp.int32),
+            materials=materials,
+            light_pos=light_pos,
+            light_intensity=light_intensity,
+            extra_light_pos=elp,
+            extra_light_intensity=eli,
+            env_image=env,
+        )
+        return pathtrace_rays(rays, stub, None, None, cfg,
+                              tracer=_RingTracer)
+
+    in_specs = (P(ray_axes),)
+    if grid_hops:
+        in_specs += (P(tris_axis),)
+    in_specs += (P(tris_axis), P(tris_axis), P(tris_axis), P(tris_axis),
+                 P(), P(), P())
+    in_specs += _ring_extra_specs(False, False, False, has_env, has_extra,
+                                  tris_axis)
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=in_specs, out_specs=P(ray_axes),
+    ))
+
+
 def _ring_render_grid_fn(cfg: SceneConfig, mesh: Mesh, rays_axis: Optional[str],
                          tris_axis: str, meta, n_tris_padded: int,
                          textured: bool = False, has_tex: bool = False,

@@ -104,28 +104,53 @@ def pathtrace_rays(
     grid,
     meta,
     cfg: SceneConfig,
+    tracer=None,
 ) -> jnp.ndarray:
     """Trace gi_samples Lambertian/mirror paths per input ray -> (R,3)
     linear radiance in the repo's 0-255 color units (reflective
-    materials take the mirror branch unless cfg disables gi_specular)."""
+    materials take the mirror branch unless cfg disables gi_specular).
+
+    `tracer`: optional traversal/geometry provider for sharded-geometry
+    (ring) execution.  When given, the replicated vertex table is never
+    touched — each path segment's nearest hit comes back with its
+    winning vertices and material CARRIED by the tracer (the ring
+    payload), and occlusion queries go through tracer.occlude.  The
+    physics (sampling, NEE, MIS, branch selection) is this ONE
+    integrator either way, so the ring and replicated images cannot
+    diverge beyond traversal arithmetic.  Interface:
+      tracer.trace(rays_sg, t_gate) -> (hit (R,) bool,
+                                        tv0/tv1/tv2 (R,3), mat (R,) i32)
+      tracer.occlude(rays_sg) -> (R,) bool (any accepted hit past eps)
+    """
     rcfg = cfg.render
     assert rcfg.gi_samples > 0, "pathtrace_rays needs gi_samples > 0"
     if rcfg.faithful:
         raise ValueError("path tracing requires faithful=False")
-    v0, v1, v2 = scene.triangle_soa()
-    # packed (F,9) rows: one gather per hit resolve (see renderer)
-    tri9 = jnp.concatenate(
-        [v0, v1, v2,
-         scene.face_material.astype(v0.dtype)[:, None]], axis=1
-    )  # material index rides lane 9 (see renderer)
-    dt = v0.dtype
-    trav = make_traversal(rcfg, grid, meta, v0, v1, v2)
-    persistent = (rcfg.traversal == "packed"
-                  and rcfg.scheduler == "persistent")
+    smooth = rcfg.normal_mode == "smooth"
+    if tracer is None:
+        v0, v1, v2 = scene.triangle_soa()
+        # packed (F,9) rows: one gather per hit resolve (see renderer)
+        tri9 = jnp.concatenate(
+            [v0, v1, v2,
+             scene.face_material.astype(v0.dtype)[:, None]], axis=1
+        )  # material index rides lane 9 (see renderer)
+        dt = v0.dtype
+        trav = make_traversal(rcfg, grid, meta, v0, v1, v2)
+        persistent = (rcfg.traversal == "packed"
+                      and rcfg.scheduler == "persistent")
+    else:
+        if smooth:
+            raise NotImplementedError(
+                "ring GI: smooth normals not supported (the orbit does "
+                "not carry corner normals on the GI path)"
+            )
+        dt = scene.materials.base_color.dtype
+        trav = None
+        persistent = False
     r = rays.count
     eps = rcfg.shadow_eps
-    smooth = rcfg.normal_mode == "smooth"
-    vn = vertex_normals(scene.verts, scene.faces, serial=False) if smooth else None
+    vn = (vertex_normals(scene.verts, scene.faces, serial=False)
+          if smooth and tracer is None else None)
     ddt = jnp.dtype(rcfg.det_dtype)
     background = jnp.asarray(rcfg.background, dt)
 
@@ -256,13 +281,20 @@ def pathtrace_rays(
 
         for depth in range(rcfg.gi_depth + 1):
             gate = rcfg.primary_gate() if depth == 0 else rcfg.bounce_gate()
-            if fuse_nee:
+            if tracer is not None:
+                res_hit, tv0, tv1, tv2, mat = tracer.trace(
+                    jax.lax.stop_gradient(cur),
+                    0.0 if gate is None else gate,
+                )
+            elif fuse_nee:
                 res = trav_fused(jax.lax.stop_gradient(cur), gate,
                                  compact=depth > 0)
+                res_hit = res.hit
             else:
                 tkw = {"compact": depth > 0} if persistent else {}
                 res = trav(jax.lax.stop_gradient(cur), t_gate=gate, **tkw)
-            hit = res.hit & path_alive
+                res_hit = res.hit
+            hit = res_hit & path_alive
 
             # escape: miss lanes pick up the environment by THIS
             # segment's direction, then the path ends
@@ -270,7 +302,7 @@ def pathtrace_rays(
                 env = scene.sample_env(vm.normalize(cur.dirn)).astype(dt)
             else:
                 env = jnp.broadcast_to(background, (rr, 3))
-            escaped = path_alive & ~res.hit
+            escaped = path_alive & ~res_hit
             if env_nee:
                 # balance-heuristic MIS: this escape direction could
                 # also have been produced by the env sampler at the
@@ -286,21 +318,32 @@ def pathtrace_rays(
                 escaped[:, None], throughput * env, 0.0
             )
 
-            tri = jnp.maximum(res.tri_id, 0)
-            tv = tri9[tri]  # one packed row gather (see renderer)
-            tv0, tv1, tv2 = tv[:, 0:3], tv[:, 3:6], tv[:, 6:9]
+            if tracer is None:
+                tri = jnp.maximum(res.tri_id, 0)
+                tv = tri9[tri]  # one packed row gather (see renderer)
+                tv0, tv1, tv2 = tv[:, 0:3], tv[:, 3:6], tv[:, 6:9]
+                mat = tv[:, 9].astype(jnp.int32)
+            else:
+                # carried payload; miss lanes hold zeros — substitute a
+                # constant non-degenerate triangle so normalize/cross
+                # stay NaN-free (every consumer is hit-gated)
+                ex = jnp.zeros_like(tv0).at[:, 0].set(1.0)
+                ey = jnp.zeros_like(tv0).at[:, 1].set(1.0)
+                tv0 = jnp.where(res_hit[:, None], tv0, 0.0).astype(dt)
+                tv1 = jnp.where(res_hit[:, None], tv1, ex).astype(dt)
+                tv2 = jnp.where(res_hit[:, None], tv2, ey).astype(dt)
             # differentiable hit distance from the stop-gradient topology
             # (the same recompute-t convention as render_rays)
             t_re = cramer_t_safe(cur.orig, cur.dirn, tv0, tv1, tv2,
-                                 res.hit, det_dtype=ddt)
-            t = jnp.where(res.hit, t_re.astype(dt), jnp.zeros_like(t_re).astype(dt))
-            orig_safe = jnp.where(res.hit[:, None], cur.orig,
+                                 res_hit, det_dtype=ddt)
+            t = jnp.where(res_hit, t_re.astype(dt), jnp.zeros_like(t_re).astype(dt))
+            orig_safe = jnp.where(res_hit[:, None], cur.orig,
                                   jnp.zeros_like(cur.orig))
             poi = orig_safe + cur.dirn * t[:, None]
             gn = vm.normalize(vm.cross(tv1 - tv0, tv2 - tv0))
             if smooth:
                 hb, hg = cramer_bg_safe(
-                    orig_safe, cur.dirn, tv0, tv1, tv2, res.hit, det_dtype=ddt
+                    orig_safe, cur.dirn, tv0, tv1, tv2, res_hit, det_dtype=ddt
                 )
                 sn = interpolate_normal(
                     vn, scene.faces, tri, hb.astype(dt), hg.astype(dt)
@@ -312,8 +355,7 @@ def pathtrace_rays(
             flip = jnp.sum(n * cur.dirn, axis=-1) > 0.0
             n = jnp.where(flip[:, None], -n, n)
 
-            mat = tv[:, 9].astype(jnp.int32)
-            albedo = albedo_table[mat]
+            albedo = albedo_table[jnp.clip(mat, 0, albedo_table.shape[0] - 1)]
 
             # ---- Lambertian / mirror branch selection -----------------
             # (config.RenderConfig.gi_specular) one deterministic hash
@@ -361,10 +403,13 @@ def pathtrace_rays(
                         jax.lax.stop_gradient,
                         shadow_rays_for(rcfg, lp, poi, hit),
                     )
-                    skw = {"compact": True} if persistent else {}
-                    sres = trav(srays, t_gate=eps, stop_on_first_hit=True,
-                                **skw)
-                    unoccluded = hit & ~spec & ~sres.hit
+                    if tracer is not None:
+                        occ = tracer.occlude(srays)
+                    else:
+                        skw = {"compact": True} if persistent else {}
+                        occ = trav(srays, t_gate=eps,
+                                   stop_on_first_hit=True, **skw).hit
+                    unoccluded = hit & ~spec & ~occ
                 direct = (
                     albedo * jnp.float32(_INV_PI)
                     * (li * cos_i / jnp.maximum(d2, 1e-20))[:, None]
@@ -391,10 +436,13 @@ def pathtrace_rays(
                 erays = jax.tree.map(jax.lax.stop_gradient, RayBatch.make(
                     eorig, edir.astype(dt), mint=jnp.asarray(eps, dt)
                 ))
-                skw = {"compact": True} if persistent else {}
-                eres = trav(erays, t_gate=eps, stop_on_first_hit=True,
-                            **skw)
-                clear = live_e & ~eres.hit
+                if tracer is not None:
+                    e_occ = tracer.occlude(erays)
+                else:
+                    skw = {"compact": True} if persistent else {}
+                    e_occ = trav(erays, t_gate=eps, stop_on_first_hit=True,
+                                 **skw).hit
+                clear = live_e & ~e_occ
                 L_env = scene.sample_env(edir.astype(dt)).astype(dt)
                 pc_e = jax.lax.stop_gradient(cos_e).astype(jnp.float32) \
                     * jnp.float32(_INV_PI)

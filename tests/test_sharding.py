@@ -605,3 +605,49 @@ def test_ring_soft_primary_equals_replicated(tiny_prep, eight_device_mesh):
     got = np.asarray(render_sharded_geometry(prep, mesh=eight_device_mesh))
     assert np.isfinite(got).all()
     np.testing.assert_allclose(got, want, atol=0.1, rtol=1e-3)
+
+
+@pytest.mark.parametrize("traversal", ["packed", "brute"])
+def test_ring_gi_matches_replicated(tiny_prep, eight_device_mesh, traversal):
+    """Path-traced GI over ring-sharded geometry: every path segment and
+    occlusion query orbits the ring; the integrator consumes the carried
+    winner vertices/material through pathtrace_rays' tracer interface —
+    the physics is the ONE replicated implementation, so for the SAME
+    input rays the images match to traversal arithmetic.
+
+    The reference here is pathtrace_rays on eagerly-generated camera
+    rays (the rays render_sharded_geometry feeds the ring).  render_pt
+    would NOT be bit-comparable: it generates camera rays inside its
+    own jit, whose last-ulp differences change the ray-BIT sample-key
+    hashes — a different (equally unbiased) Monte Carlo draw, not an
+    error."""
+    import dataclasses
+
+    from ray_tracer_tpu.ops.camera import camera_rays
+    from ray_tracer_tpu.parallel.shard import render_sharded_geometry
+    from ray_tracer_tpu.render.pathtrace import pathtrace_rays
+    from ray_tracer_tpu.render.renderer import prepare
+
+    env = jnp.asarray(
+        np.linspace(5.0, 80.0, 4 * 8 * 3, dtype=np.float32).reshape(4, 8, 3)
+    )
+    scene = tiny_prep.scene._replace(env_image=env)
+    cfg = dataclasses.replace(
+        tiny_prep.cfg,
+        render=dataclasses.replace(
+            tiny_prep.cfg.render, faithful=False, det_dtype="float32",
+            traversal=traversal, fused_shadow=False,
+            gi_samples=2, gi_depth=1,
+        ),
+    )
+    prep = prepare(cfg, scene=scene)
+    rays = camera_rays(cfg.camera, dtype=jnp.dtype(cfg.render.dtype))
+    garr = (prep.packed.arrays if prep.packed is not None
+            else prep.grid.arrays)
+    gmeta = prep.packed.meta if prep.packed is not None else prep.grid.meta
+    want = np.asarray(
+        pathtrace_rays(rays, prep.scene, garr, gmeta, cfg)
+    ).reshape(cfg.camera.height, cfg.camera.width, 3)
+    got = np.asarray(render_sharded_geometry(prep, mesh=eight_device_mesh))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, atol=5e-3, rtol=1e-3)
