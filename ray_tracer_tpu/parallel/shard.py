@@ -880,6 +880,17 @@ def render_sharded_geometry(
                          scene.extra_light_intensity]
 
     gi = cfg.render.gi_samples > 0
+    if gi:
+        # the GI integrator consumes only the env image and extra
+        # lights (albedo comes from the carried material index) —
+        # rebuild the feature list from the scene fields rather than
+        # slicing the Whitted list (whose order would be fragile)
+        feature_args = []
+        if has_env:
+            feature_args.append(scene.env_image)
+        if has_extra:
+            feature_args += [scene.extra_light_pos,
+                             scene.extra_light_intensity]
     if cfg.render.traversal == "packed":
         if ring_grids is None:
             ring_grids = build_ring_grids(prep, n_tri_shards)
@@ -888,8 +899,6 @@ def render_sharded_geometry(
         if gi:
             fn = _ring_pt_fn(cfg, mesh, rays_axis, tris_axis, gmeta, fp,
                              has_env, has_extra)
-            feature_args = feature_args[-(int(has_env) + 2 * int(has_extra)):] \
-                if (has_env or has_extra) else []
         else:
             fn = _ring_render_grid_fn(cfg, mesh, rays_axis, tris_axis, gmeta,
                                       fp, textured, has_tex, has_env,
@@ -899,8 +908,6 @@ def render_sharded_geometry(
         if gi:
             fn = _ring_pt_fn(cfg, mesh, rays_axis, tris_axis, None, fp,
                              has_env, has_extra)
-            feature_args = feature_args[-(int(has_env) + 2 * int(has_extra)):] \
-                if (has_env or has_extra) else []
         else:
             fn = _ring_render_fn(cfg, mesh, rays_axis, tris_axis, fp,
                                  textured, has_tex, has_env, has_extra)
@@ -1111,7 +1118,6 @@ def ring_loss_fn(cfg: SceneConfig, mesh: Mesh, rays_axis: Optional[str],
 
 
 @lru_cache(maxsize=16)
-@lru_cache(maxsize=16)
 def _ring_pt_fn(cfg: SceneConfig, mesh: Mesh, rays_axis: Optional[str],
                 tris_axis: str, meta, n_tris_padded: int,
                 has_env: bool = False, has_extra: bool = False):
@@ -1207,6 +1213,7 @@ def _ring_pt_fn(cfg: SceneConfig, mesh: Mesh, rays_axis: Optional[str],
     ))
 
 
+@lru_cache(maxsize=16)
 def _ring_render_grid_fn(cfg: SceneConfig, mesh: Mesh, rays_axis: Optional[str],
                          tris_axis: str, meta, n_tris_padded: int,
                          textured: bool = False, has_tex: bool = False,
