@@ -104,6 +104,26 @@ def merge_scene(params: SceneParams, scene: Scene) -> Scene:
     )
 
 
+def pixel_major_rays(rays: RayBatch, r: int, spp: int, padded: int) -> RayBatch:
+    """Regroup a subsample-major camera batch (camera_rays layout:
+    index = s*r + pixel) PIXEL-major (index = pixel*spp^2 + s) and pad
+    by WHOLE pixels, so a contiguous shard split hands each device every
+    subsample of its pixels (cross-shard subsample averaging would
+    otherwise need a collective mid-loss).  Padding pixels get inf
+    origins — the loss masks them explicitly."""
+    fills = dict(orig=jnp.inf, dirn=1.0, mint=0.0, maxt=0.0)
+
+    def one(x, fill):
+        x2 = jnp.swapaxes(x.reshape((spp * spp, r) + x.shape[1:]), 0, 1)
+        if padded != r:
+            pad_block = jnp.full((padded - r,) + x2.shape[1:], fill, x.dtype)
+            x2 = jnp.concatenate([x2, pad_block])
+        return x2.reshape((padded * spp * spp,) + x2.shape[2:])
+
+    return RayBatch(**{f: one(getattr(rays, f), fills[f])
+                       for f in ("orig", "dirn", "mint", "maxt")})
+
+
 def _render_flat(params: SceneParams, scene: Scene, grid: GridArrays,
                  meta: GridMeta, cfg: SceneConfig, rays: RayBatch,
                  camera_ok: bool = False) -> jnp.ndarray:
@@ -209,26 +229,11 @@ def _train_step_fn(meta: GridMeta, cfg: SceneConfig, optimizer_name: str,
             rays = pad_rays(rays, padded)
         elif mesh is not None:
             # Regroup the subsample-major batch PIXEL-major and pad by
-            # WHOLE pixels, so the shard split hands each device every
-            # subsample of its pixels (cross-shard subsample averaging
-            # would otherwise need a collective mid-loss).
-            fills = dict(orig=jnp.inf, dirn=1.0, mint=0.0, maxt=0.0)
-
-            def pixel_major(x, fill):
-                x2 = jnp.swapaxes(
-                    x.reshape((spp * spp, r) + x.shape[1:]), 0, 1
-                )
-                if padded != r:
-                    pad_block = jnp.full(
-                        (padded - r,) + x2.shape[1:], fill, x.dtype
-                    )
-                    x2 = jnp.concatenate([x2, pad_block])
-                return x2.reshape((padded * spp * spp,) + x2.shape[2:])
-
-            rays = RayBatch(**{
-                f: pixel_major(getattr(rays, f), fills[f])
-                for f in ("orig", "dirn", "mint", "maxt")
-            })
+            # WHOLE pixels (pixel_major_rays), so the shard split hands
+            # each device every subsample of its pixels (cross-shard
+            # subsample averaging would otherwise need a collective
+            # mid-loss).
+            rays = pixel_major_rays(rays, r, spp, padded)
         tgt = target.reshape(-1, 3)
         if padded != r:
             # padding rays render as the BACKGROUND color; pad the target
@@ -328,13 +333,7 @@ def make_ring_train_step(
     cfg = prep.cfg
     scene = prep.scene
     rcfg = cfg.render
-    # the ring TRAIN forward renders pixel centers only; silently
-    # optimizing a single-sample render against an spp-averaged target
-    # would converge to biased parameters (_check_ring_cfg no longer
-    # rejects spp since render_sharded_geometry grew spp support —
-    # the training path has not)
-    if rcfg.spp != 1:
-        raise NotImplementedError("ring training: spp > 1 not supported")
+    spp = rcfg.spp
     n_tri_shards = mesh.shape[tris_axis]
     f = scene.faces.shape[0]
     fp = _pad_to(f, n_tri_shards)
@@ -373,8 +372,12 @@ def make_ring_train_step(
     @jax.jit
     def step(params: SceneParams, opt_state, ring_scene: RingSceneArrays,
              target: jnp.ndarray):
-        rays = camera_rays(cfg.camera, dtype=jnp.dtype(rcfg.dtype))
-        rays_p = pad_rays(rays, rp)
+        rays = camera_rays(cfg.camera, dtype=jnp.dtype(rcfg.dtype), spp=spp)
+        # spp > 1 regroups PIXEL-major and pads whole pixels — each ray
+        # shard then owns every subsample of its pixels, the same rule
+        # as the replicated sharded step (pixel_major_rays)
+        rays_p = (pad_rays(rays, rp) if spp == 1
+                  else pixel_major_rays(rays, r, spp, rp))
         tgt = target.reshape(-1, 3)
         if rp != r:
             bg = jnp.broadcast_to(

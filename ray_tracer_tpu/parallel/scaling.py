@@ -63,7 +63,14 @@ def scaling_report(
             "mrays_per_s": round(mrays, 4),
             "efficiency": round((mrays / n) / base_per_device, 4),
         })
-    return {"rays_per_frame": rays, "rows": rows}
+    out = {"rays_per_frame": rays, "rows": rows}
+    if jax.devices()[0].platform == "cpu":
+        # make the record self-describing: a CPU-simulation efficiency
+        # column is NOT hardware evidence and must say so in the JSON
+        # itself, not just in this docstring
+        out["note"] = ("virtual CPU devices share host cores; validates "
+                       "machinery+balance, not hardware")
+    return out
 
 
 def balance_report(prep, n_shards: int) -> Dict[str, float]:

@@ -1102,10 +1102,19 @@ def ring_loss_fn(cfg: SceneConfig, mesh: Mesh, rays_axis: Optional[str],
 
         colors = _ring_shade(rays, orbit, rcfg, materials,
                              params.light_pos, params.light_intensity)
+        if rcfg.spp > 1:
+            # rays arrive PIXEL-major (opt/fit.pixel_major_rays), so
+            # each shard averages its own pixels' spp^2 subsamples
+            # locally — same rule as the replicated sharded step
+            ss = rcfg.spp * rcfg.spp
+            colors = colors.reshape(-1, ss, 3).mean(axis=1)
+            po = rays.orig.reshape(-1, ss, 3)[:, 0, :]
+        else:
+            po = rays.orig
         d = (colors - target.astype(colors.dtype)) / 255.0
         # padding lanes (inf origins) are masked explicitly — same rule
         # as the replicated fit's local_loss
-        d = jnp.where(jnp.isfinite(rays.orig[:, :1]), d, 0.0)
+        d = jnp.where(jnp.isfinite(po[:, :1]), d, 0.0)
         return jax.lax.psum(jnp.sum(d * d), ray_axes)
 
     return jax.shard_map(

@@ -380,6 +380,50 @@ def test_ring_train_step_all_pairs(tiny_prep, eight_device_mesh):
     )
 
 
+def test_ring_train_step_spp(tiny_prep, eight_device_mesh):
+    """spp > 1 ring training (round 5): the tris-sharded step regroups
+    the subsample-major camera batch PIXEL-major so each ray shard owns
+    every subsample of its pixels and averages them shard-locally
+    (opt/fit.pixel_major_rays); loss and SGD update must match the
+    replicated spp=2 step.  All-pairs hops (exact parity) — grid hops
+    at spp>1 inherit the documented per-shard probe-nudge boundary
+    flips on subsample rays (see the render spp test above)."""
+    from ray_tracer_tpu.opt.fit import (
+        make_ring_train_step, make_train_step, split_scene,
+    )
+
+    prep = _reflective_prep(
+        tiny_prep, traversal="brute", det_dtype="float32",
+        fused_shadow=False, spp=2, max_bounces=1,
+    )
+    target = jnp.full((16, 16, 3), 40.0, jnp.float32)
+    trainable = ("verts", "base_color", "light_pos")
+    params0 = split_scene(prep.scene)
+    rstep, rinit = make_train_step(
+        prep.grid.meta, prep.cfg, optimizer="sgd", lr=1e-3,
+        trainable=trainable,
+    )
+    rp, _, rloss = rstep(params0, rinit(params0), prep.scene,
+                         prep.grid.arrays, target)
+    sstep, sinit, ring_scene = make_ring_train_step(
+        prep, eight_device_mesh, optimizer="sgd", lr=1e-3,
+        trainable=trainable,
+    )
+    sp, _, sloss = sstep(params0, sinit(params0), ring_scene, target)
+    np.testing.assert_allclose(float(sloss), float(rloss), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(sp.verts), np.asarray(rp.verts), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(sp.base_color), np.asarray(rp.base_color), rtol=1e-4,
+        atol=1e-8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sp.light_pos), np.asarray(rp.light_pos), rtol=1e-4,
+        atol=1e-8,
+    )
+
+
 def test_sharded_persistent_render_equals_single(tiny_prep, eight_device_mesh):
     """Ray sharding with the persistent wavefront: one wave per shard,
     image == single-device persistent render."""

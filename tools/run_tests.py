@@ -20,6 +20,11 @@ Usage:
 Exit code 0 iff every batch is green.  Multi-process tests
 (test_multiprocess.py, test_multihost_scaling.py) already spawn their own
 subprocesses and are placed in their own batch.
+
+The crash itself is packaged as a standalone repro + environment pin:
+``python tools/repro_xla_segfault.py`` (suite mode replays the one-process
+protocol; --synthetic isolates the compiled-program-count trigger).  Re-run
+it after any jaxlib bump — rc 0 there means this batched runner can retire.
 """
 
 from __future__ import annotations
