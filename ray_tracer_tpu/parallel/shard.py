@@ -854,12 +854,16 @@ def render_sharded_geometry(
     has_env = scene.env_image is not None
     has_extra = scene.extra_light_pos is not None
     nf = scene.num_faces
+    gi = cfg.render.gi_samples > 0
     feature_args = []
     if smooth:
         from ray_tracer_tpu.ops.shade import vertex_normals
 
+        # the GI integrator interpolates serial=False normals (the
+        # replicated pathtrace_rays convention); Whitted follows the
+        # shading variant
         vn = vertex_normals(scene.verts, scene.faces,
-                            cfg.render.serial_shading)
+                            False if gi else cfg.render.serial_shading)
         fvn = vn[scene.faces].astype(v0.dtype)  # (F,3,3) corner normals
         feature_args.append(jnp.concatenate(
             [fvn, jnp.zeros((fp - nf, 3, 3), fvn.dtype)]
@@ -879,18 +883,6 @@ def render_sharded_geometry(
         feature_args += [scene.extra_light_pos,
                          scene.extra_light_intensity]
 
-    gi = cfg.render.gi_samples > 0
-    if gi:
-        # the GI integrator consumes only the env image and extra
-        # lights (albedo comes from the carried material index) —
-        # rebuild the feature list from the scene fields rather than
-        # slicing the Whitted list (whose order would be fragile)
-        feature_args = []
-        if has_env:
-            feature_args.append(scene.env_image)
-        if has_extra:
-            feature_args += [scene.extra_light_pos,
-                             scene.extra_light_intensity]
     if cfg.render.traversal == "packed":
         if ring_grids is None:
             ring_grids = build_ring_grids(prep, n_tri_shards)
@@ -898,7 +890,7 @@ def render_sharded_geometry(
         assert gfp == fp, "ring_grids built for a different shard count"
         if gi:
             fn = _ring_pt_fn(cfg, mesh, rays_axis, tris_axis, gmeta, fp,
-                             has_env, has_extra)
+                             smooth, textured, has_tex, has_env, has_extra)
         else:
             fn = _ring_render_grid_fn(cfg, mesh, rays_axis, tris_axis, gmeta,
                                       fp, textured, has_tex, has_env,
@@ -907,7 +899,7 @@ def render_sharded_geometry(
     else:
         if gi:
             fn = _ring_pt_fn(cfg, mesh, rays_axis, tris_axis, None, fp,
-                             has_env, has_extra)
+                             smooth, textured, has_tex, has_env, has_extra)
         else:
             fn = _ring_render_fn(cfg, mesh, rays_axis, tris_axis, fp,
                                  textured, has_tex, has_env, has_extra)
@@ -1129,7 +1121,9 @@ def ring_loss_fn(cfg: SceneConfig, mesh: Mesh, rays_axis: Optional[str],
 @lru_cache(maxsize=16)
 def _ring_pt_fn(cfg: SceneConfig, mesh: Mesh, rays_axis: Optional[str],
                 tris_axis: str, meta, n_tris_padded: int,
-                has_env: bool = False, has_extra: bool = False):
+                smooth: bool = False, textured: bool = False,
+                has_tex: bool = False, has_env: bool = False,
+                has_extra: bool = False):
     """Path-traced GI with the GEOMETRY ring-sharded: every path
     segment and occlusion query orbits the ring (grid hops when `meta`
     is given, all-pairs otherwise), and the integrator consumes the
@@ -1138,7 +1132,9 @@ def _ring_pt_fn(cfg: SceneConfig, mesh: Mesh, rays_axis: Optional[str],
     interface), so ring and replicated GI cannot diverge beyond
     traversal arithmetic.  Extends the memory-bound-scene story to
     global illumination: a scene too big to replicate can be path
-    traced."""
+    traced.  Round 5: smooth normals and textures ride the same
+    per-face corner payload as the Whitted ring (_shade_payload) —
+    tracer.carries advertises them to the integrator."""
     rcfg = cfg.render
     _check_ring_cfg(rcfg)
     ddt = jnp.dtype(rcfg.det_dtype)
@@ -1155,36 +1151,52 @@ def _ring_pt_fn(cfg: SceneConfig, mesh: Mesh, rays_axis: Optional[str],
         else:
             v0, v1, v2, fmat, materials, light_pos, light_intensity, \
                 *extra = args
-        _, _, _, _, env, elp, eli = _unpack_ring_extras(
-            extra, False, False, False, has_env, has_extra
+        fvn, fuv, fhuv, tex, env, elp, eli = _unpack_ring_extras(
+            extra, smooth, textured, has_tex, has_env, has_extra
         )
 
         def orbit(rb, t_gate, stop_first):
+            # occlusion orbits carry no shading payload (any-hit only)
+            ex = (None, None, None) if stop_first else (fvn, fuv, fhuv)
+            carry = dict(smooth=smooth and not stop_first,
+                         textured=textured and not stop_first)
             if grid_hops:
                 return _ring_orbit(
                     rb,
                     lambda r_, my: _grid_local_best(
                         r_, my, garr, meta, v0, v1, v2, fmat, shard_tris,
-                        t_gate, stop_first,
+                        t_gate, stop_first, extras=ex,
                     ),
-                    tris_axis,
+                    tris_axis, **carry,
                 )
             return _ring_orbit(
                 rb,
                 lambda r_, my: _ring_local_best(
-                    r_, v0, v1, v2, fmat, my * shard_tris, t_gate, ddt
+                    r_, v0, v1, v2, fmat, my * shard_tris, t_gate, ddt,
+                    extras=ex,
                 ),
-                tris_axis, t_dtype=ddt,
+                tris_axis, t_dtype=ddt, **carry,
             )
 
         class _RingTracer:
+            carries = ((("smooth",) if smooth else ())
+                       + (("uv",) if textured else ()))
+
             @staticmethod
             def trace(rb, t_gate):
                 _, b = orbit(rb, t_gate, False)
                 hit = jnp.isfinite(b["t"])
+                payload = {}
+                if smooth:
+                    payload.update(
+                        vn0=b["vn0"], vn1=b["vn1"], vn2=b["vn2"]
+                    )
+                if textured:
+                    payload.update(uv0=b["uv0"], uv1=b["uv1"],
+                                   uv2=b["uv2"], huv=b["huv"])
                 return (hit, b["tv0"].astype(jnp.float32),
                         b["tv1"].astype(jnp.float32),
-                        b["tv2"].astype(jnp.float32), b["mat"])
+                        b["tv2"].astype(jnp.float32), b["mat"], payload)
 
             @staticmethod
             def occlude(rb):
@@ -1203,6 +1215,7 @@ def _ring_pt_fn(cfg: SceneConfig, mesh: Mesh, rays_axis: Optional[str],
             materials=materials,
             light_pos=light_pos,
             light_intensity=light_intensity,
+            texture_image=tex,
             extra_light_pos=elp,
             extra_light_intensity=eli,
             env_image=env,
@@ -1215,8 +1228,8 @@ def _ring_pt_fn(cfg: SceneConfig, mesh: Mesh, rays_axis: Optional[str],
         in_specs += (P(tris_axis),)
     in_specs += (P(tris_axis), P(tris_axis), P(tris_axis), P(tris_axis),
                  P(), P(), P())
-    in_specs += _ring_extra_specs(False, False, False, has_env, has_extra,
-                                  tris_axis)
+    in_specs += _ring_extra_specs(smooth, textured, has_tex, has_env,
+                                  has_extra, tris_axis)
     return jax.jit(jax.shard_map(
         body, mesh=mesh, in_specs=in_specs, out_specs=P(ray_axes),
     ))

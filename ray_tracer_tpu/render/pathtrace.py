@@ -8,7 +8,11 @@ the persistent wave on the packed grid in production) to estimate the
 rendering equation for Lambertian and mirror surfaces:
 
   * albedo = base_color / 255 clamped to [0, 1) — the reference's
-    0-255 color convention mapped to a physical reflectance;
+    0-255 color convention mapped to a physical reflectance; with a
+    texture configured the sampled texel modulates base_color BEFORE
+    the clamp, exactly as the Whitted epilogue's `base_color * tex`
+    (the reference's carried-but-unread vt data,
+    Serial/raytracer.cpp:251-257);
   * cosine-weighted hemisphere importance sampling, so the BRDF x cos
     / pdf weight collapses to the albedo exactly (zero-variance for
     constant environments — see the furnace test);
@@ -119,8 +123,13 @@ def pathtrace_rays(
     integrator either way, so the ring and replicated images cannot
     diverge beyond traversal arithmetic.  Interface:
       tracer.trace(rays_sg, t_gate) -> (hit (R,) bool,
-                                        tv0/tv1/tv2 (R,3), mat (R,) i32)
+                                        tv0/tv1/tv2 (R,3), mat (R,) i32,
+                                        payload dict)
       tracer.occlude(rays_sg) -> (R,) bool (any accepted hit past eps)
+      tracer.carries -> tuple of optional payload groups: "smooth"
+        (payload carries corner normals vn0/vn1/vn2) and "uv" (corner
+        uvs uv0/uv1/uv2 + has-uv flags huv) — the same per-face data
+        the Whitted ring rides (parallel/shard._shade_payload).
     """
     rcfg = cfg.render
     assert rcfg.gi_samples > 0, "pathtrace_rays needs gi_samples > 0"
@@ -138,12 +147,17 @@ def pathtrace_rays(
         trav = make_traversal(rcfg, grid, meta, v0, v1, v2)
         persistent = (rcfg.traversal == "packed"
                       and rcfg.scheduler == "persistent")
+        # texture silently off without uv data — the Whitted epilogue's
+        # rule (render/renderer.py)
+        textured = rcfg.texture != "none" and scene.uvs is not None
     else:
-        if smooth:
+        carries = getattr(tracer, "carries", ())
+        if smooth and "smooth" not in carries:
             raise NotImplementedError(
-                "ring GI: smooth normals not supported (the orbit does "
-                "not carry corner normals on the GI path)"
+                "ring GI: this tracer does not carry the corner-normal "
+                "payload smooth normals need"
             )
+        textured = rcfg.texture != "none" and "uv" in carries
         dt = scene.materials.base_color.dtype
         trav = None
         persistent = False
@@ -155,6 +169,12 @@ def pathtrace_rays(
     background = jnp.asarray(rcfg.background, dt)
 
     albedo_table = jnp.clip(scene.materials.base_color / 255.0, 0.0, 1.0)
+    if textured:
+        # the texture modulates the RAW base_color exactly as the
+        # Whitted epilogue does (mat.base_color * tex, renderer.py /
+        # reference vt plumbing Serial/raytracer.cpp:251-257), so the
+        # clip to physical [0,1] reflectance happens AFTER modulation
+        bc255_table = scene.materials.base_color / 255.0
     # mirror mix weight: km gated by the reference's `reflective` flag
     # (Parallel/raytracer.cu:449-453 palette; km is meaningless on
     # non-reflective entries there)
@@ -282,7 +302,7 @@ def pathtrace_rays(
         for depth in range(rcfg.gi_depth + 1):
             gate = rcfg.primary_gate() if depth == 0 else rcfg.bounce_gate()
             if tracer is not None:
-                res_hit, tv0, tv1, tv2, mat = tracer.trace(
+                res_hit, tv0, tv1, tv2, mat, payload = tracer.trace(
                     jax.lax.stop_gradient(cur),
                     0.0 if gate is None else gate,
                 )
@@ -341,13 +361,32 @@ def pathtrace_rays(
                                   jnp.zeros_like(cur.orig))
             poi = orig_safe + cur.dirn * t[:, None]
             gn = vm.normalize(vm.cross(tv1 - tv0, tv2 - tv0))
-            if smooth:
+            if smooth or textured:
+                # hit barycentrics shared by texture sampling and smooth
+                # normals — same topology/arithmetic split as the
+                # Whitted epilogue
                 hb, hg = cramer_bg_safe(
                     orig_safe, cur.dirn, tv0, tv1, tv2, res_hit, det_dtype=ddt
                 )
-                sn = interpolate_normal(
-                    vn, scene.faces, tri, hb.astype(dt), hg.astype(dt)
-                )
+            if smooth:
+                if tracer is None:
+                    sn = interpolate_normal(
+                        vn, scene.faces, tri, hb.astype(dt), hg.astype(dt)
+                    )
+                else:
+                    # ring payload: Phong-interpolate the CARRIED corner
+                    # normals (parallel/shard._shade_payload) — the same
+                    # arithmetic as _ring_shade; miss lanes' zero payload
+                    # is substituted before normalize (NaN-free backward)
+                    alf = (1.0 - hb - hg).astype(jnp.float32)
+                    hbf, hgf = hb.astype(jnp.float32), hg.astype(jnp.float32)
+                    sn_raw = (alf[:, None] * payload["vn0"]
+                              + hbf[:, None] * payload["vn1"]
+                              + hgf[:, None] * payload["vn2"])
+                    sn = vm.normalize(jnp.where(
+                        res_hit[:, None], sn_raw,
+                        jnp.zeros_like(sn_raw).at[:, 0].set(1.0)
+                    )).astype(dt)
                 n = vm.normalize(sn)
             else:
                 n = gn
@@ -355,7 +394,43 @@ def pathtrace_rays(
             flip = jnp.sum(n * cur.dirn, axis=-1) > 0.0
             n = jnp.where(flip[:, None], -n, n)
 
-            albedo = albedo_table[jnp.clip(mat, 0, albedo_table.shape[0] - 1)]
+            mat_c = jnp.clip(mat, 0, albedo_table.shape[0] - 1)
+            if textured:
+                # barycentric uv -> texture factor, the Whitted
+                # epilogue's exact expressions (renderer.py; ring:
+                # parallel/shard._ring_shade) modulating the albedo
+                if tracer is None:
+                    uv = scene.interpolate_uv(tri, hb.astype(dt), hg.astype(dt))
+                    has_uv = scene.uv_faces[tri][:, 0] >= 0
+                else:
+                    ald = (1.0 - hb - hg).astype(dt)
+                    uv = (ald[:, None] * payload["uv0"]
+                          + hb.astype(dt)[:, None] * payload["uv1"]
+                          + hg.astype(dt)[:, None] * payload["uv2"])
+                    has_uv = payload["huv"]
+                nrep = jnp.asarray(rcfg.texture_scale, uv.dtype)
+                if rcfg.texture == "checker":
+                    checker = (jnp.floor(uv[:, 0] * nrep)
+                               + jnp.floor(uv[:, 1] * nrep)) % 2.0
+                    tex = jnp.where(
+                        has_uv & hit, 1.0 - 0.5 * checker, 1.0
+                    )[:, None]
+                elif rcfg.texture == "image":
+                    if scene.texture_image is None:
+                        raise ValueError(
+                            'cfg.render.texture == "image" but the scene '
+                            "has no texture_image"
+                        )
+                    uv_s = jnp.where(hit[:, None], uv, jnp.zeros_like(uv)) * nrep
+                    rgb = scene.sample_texture(uv_s).astype(dt)
+                    tex = jnp.where(
+                        (has_uv & hit)[:, None], rgb, jnp.ones_like(rgb)
+                    )
+                else:
+                    raise ValueError(f"unknown texture mode {rcfg.texture!r}")
+                albedo = jnp.clip(bc255_table[mat_c] * tex, 0.0, 1.0)
+            else:
+                albedo = albedo_table[mat_c]
 
             # ---- Lambertian / mirror branch selection -----------------
             # (config.RenderConfig.gi_specular) one deterministic hash

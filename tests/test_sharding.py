@@ -695,3 +695,71 @@ def test_ring_gi_matches_replicated(tiny_prep, eight_device_mesh, traversal):
     got = np.asarray(render_sharded_geometry(prep, mesh=eight_device_mesh))
     assert np.isfinite(got).all()
     np.testing.assert_allclose(got, want, atol=5e-3, rtol=1e-3)
+
+
+@pytest.mark.parametrize("traversal", ["packed", "brute"])
+def test_ring_gi_smooth_matches_replicated(tiny_prep, eight_device_mesh,
+                                           traversal):
+    """Ring GI smooth normals (round 5): the corner-normal payload rides
+    the orbit (same _shade_payload rows as the Whitted ring) and the
+    integrator Phong-interpolates it — must match the replicated smooth
+    GI for the same input rays (same reference convention as the GI
+    parity test above)."""
+    import dataclasses
+
+    from ray_tracer_tpu.ops.camera import camera_rays
+    from ray_tracer_tpu.parallel.shard import render_sharded_geometry
+    from ray_tracer_tpu.render.pathtrace import pathtrace_rays
+    from ray_tracer_tpu.render.renderer import prepare
+
+    cfg = dataclasses.replace(
+        tiny_prep.cfg,
+        render=dataclasses.replace(
+            tiny_prep.cfg.render, faithful=False, det_dtype="float32",
+            traversal=traversal, fused_shadow=False,
+            gi_samples=2, gi_depth=1, normal_mode="smooth",
+        ),
+    )
+    prep = prepare(cfg, scene=tiny_prep.scene)
+    rays = camera_rays(cfg.camera, dtype=jnp.dtype(cfg.render.dtype))
+    garr = (prep.packed.arrays if prep.packed is not None
+            else prep.grid.arrays)
+    gmeta = prep.packed.meta if prep.packed is not None else prep.grid.meta
+    want = np.asarray(
+        pathtrace_rays(rays, prep.scene, garr, gmeta, cfg)
+    ).reshape(cfg.camera.height, cfg.camera.width, 3)
+    got = np.asarray(render_sharded_geometry(prep, mesh=eight_device_mesh))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, atol=5e-3, rtol=1e-3)
+
+
+@pytest.mark.parametrize("texture", ["checker", "image"])
+def test_ring_gi_texture_matches_replicated(texture, eight_device_mesh):
+    """Ring GI textures (round 5): corner uvs + has-uv flags ride the
+    orbit, the texel grid replicates, and the integrator's albedo
+    modulation matches the replicated textured GI."""
+    import dataclasses
+
+    from ray_tracer_tpu.ops.camera import camera_rays
+    from ray_tracer_tpu.parallel.shard import render_sharded_geometry
+    from ray_tracer_tpu.render.pathtrace import pathtrace_rays
+    from ray_tracer_tpu.render.renderer import prepare
+
+    tex_img = (np.linspace(0.1, 1.0, 4 * 4 * 3, dtype=np.float32)
+               .reshape(4, 4, 3) if texture == "image" else None)
+    prep0 = _textured_quad_prep(texture, texture_image=tex_img)
+    cfg = dataclasses.replace(
+        prep0.cfg,
+        render=dataclasses.replace(
+            prep0.cfg.render, gi_samples=2, gi_depth=1,
+        ),
+    )
+    prep = prepare(cfg, scene=prep0.scene)
+    rays = camera_rays(cfg.camera, dtype=jnp.dtype(cfg.render.dtype))
+    want = np.asarray(
+        pathtrace_rays(rays, prep.scene, prep.packed.arrays,
+                       prep.packed.meta, cfg)
+    ).reshape(cfg.camera.height, cfg.camera.width, 3)
+    got = np.asarray(render_sharded_geometry(prep, mesh=eight_device_mesh))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, atol=5e-3, rtol=1e-3)
