@@ -126,9 +126,14 @@ def _bench_gi(prep, args, size: int) -> None:
         prep.cfg,
         render=_dc.replace(
             prep.cfg.render, gi_samples=args.gi, gi_depth=args.gi_depth,
+            gi_wave=args.gi_wave,
         ),
     )
     prep = prep._replace(cfg=cfg)
+    from ray_tracer_tpu.render.pathtrace import gi_wave_eligible
+
+    log(f"gi_wave: {args.gi_wave} -> "
+        f"{'wave' if gi_wave_eligible(prep) else 'segments'}")
 
     def sync(x):
         return float(jax.device_get(x[0, 0, 0]))
@@ -194,6 +199,11 @@ def main() -> None:
                          "many samples/pixel instead of the Whitted forward")
     ap.add_argument("--gi-depth", type=int, default=2,
                     help="GI bounce depth (with --gi)")
+    ap.add_argument("--gi-wave", default="auto",
+                    choices=["auto", "on", "off"],
+                    help="cross-depth GI wave (ops/gi_wave.py): the bench "
+                         "opts in ('auto'); 'off' = the per-(sample,depth) "
+                         "segment loop for A/B")
     ap.add_argument("--trainable",
                     default="base_color,kd,ks,ka,light_pos",
                     help="comma list of SceneParams fields to differentiate "

@@ -306,13 +306,30 @@ def cmd_stats(args) -> None:
     print(json.dumps(collect_render_metrics(prep), indent=2))
 
 
+def _inspect_mesh(args):
+    """--devices/--ring mesh for the aov/debug inspection commands:
+    None = single-device; otherwise a ("rays","tris") mesh whose tris
+    axis carries the geometry shards when --ring is set."""
+    n = getattr(args, "devices", 0)
+    if not n:
+        return None, False
+    from ray_tracer_tpu.parallel.mesh import make_mesh
+
+    if getattr(args, "ring", False):
+        return make_mesh(n, ("rays", "tris"), shape=(1, n)), True
+    return make_mesh(n, ("rays", "tris"), shape=(n, 1)), False
+
+
 def cmd_debug(args) -> None:
     from ray_tracer_tpu.render.debug import trace_pixel
     from ray_tracer_tpu.render.renderer import prepare
 
     cfg, scene = _build_cfg(args)
     prep = prepare(cfg, scene=scene)
-    print(json.dumps(trace_pixel(prep, args.x, args.y), indent=2))
+    mesh, ring = _inspect_mesh(args)
+    print(json.dumps(trace_pixel(
+        prep, args.x, args.y, mesh=mesh if ring else None
+    ), indent=2))
 
 
 def cmd_aov(args) -> None:
@@ -323,12 +340,15 @@ def cmd_aov(args) -> None:
 
     cfg, scene = _build_cfg(args)
     prep = prepare(cfg, scene=scene)
-    aovs = {k: np.asarray(v) for k, v in render_aovs(prep).items()}
+    mesh, ring = _inspect_mesh(args)
+    aovs = {k: np.asarray(v)
+            for k, v in render_aovs(prep, mesh=mesh, ring=ring).items()}
     if getattr(args, "ao_samples", 0):
         from ray_tracer_tpu.render.aov import render_ao
 
         aovs["ao"] = np.asarray(render_ao(
-            prep, samples=args.ao_samples, radius=args.ao_radius
+            prep, samples=args.ao_samples, radius=args.ao_radius,
+            mesh=mesh, ring=ring,
         ))
     np.savez(args.out, **aovs)
     print(f"wrote {args.out}: " + ", ".join(
@@ -465,6 +485,12 @@ def main(argv=None) -> None:
     dbg.add_argument("--x", type=int, required=True)
     dbg.add_argument("--y", type=int, required=True)
     dbg.add_argument("--fast", action="store_true")
+    dbg.add_argument("--devices", type=int, default=0,
+                     help="with --ring: ring-shard the geometry over "
+                          "this many devices for the debug queries")
+    dbg.add_argument("--ring", action="store_true",
+                     help="trace the pixel through ring orbits over "
+                          "sharded geometry (steps not recorded)")
     dbg.set_defaults(fn=cmd_debug)
 
     av = sub.add_parser("aov", help="export geometry buffers (depth/normal/ids)")
@@ -478,6 +504,11 @@ def main(argv=None) -> None:
     av.add_argument("--ao-radius", type=float, default=1.0,
                     help="ambient-occlusion ray length")
     av.add_argument("--fast", action="store_true")
+    av.add_argument("--devices", type=int, default=0,
+                    help="shard the AOV/AO rays over this many devices")
+    av.add_argument("--ring", action="store_true",
+                    help="with --devices: shard the GEOMETRY and run "
+                         "ring orbits instead (memory-bound scenes)")
     av.set_defaults(fn=cmd_aov)
 
     i = sub.add_parser("info", help="device / build info")

@@ -304,6 +304,26 @@ class RenderConfig:
     # Mirror radiance is UNtinted, matching the reference blend's
     # `recurse * km` term.  km == 0 scenes are bitwise unaffected.
     gi_specular: bool = True
+    # Cross-depth GI wave (round 5, ops/gi_wave.py): fold the WHOLE
+    # path-traced estimate into one persistent while_loop — a lane pops
+    # a pixel and serves primary -> NEE -> bounce -> ... -> next sample
+    # in place, sharing the depth-0 hit across samples on Lambertian
+    # scenes.  "auto" = use it for eligible forward renders (packed +
+    # persistent, one point light, no env map/extra lights/smooth/
+    # texture, float32 dets, no reflective km) and fall back to the
+    # per-(sample,depth) segment loop otherwise; "on" = require it
+    # (error when ineligible); "off" (default) = always the segment
+    # loop.  FORWARD-ONLY: the wave is a stop-gradient island --
+    # gradient consumers (and pathtrace_rays itself) always use the
+    # segment loop.  OFF BY DEFAULT because the wave relaxes ONE
+    # documented invariant: its Monte-Carlo draws hash the ray bits
+    # its own program computes, so images are deterministic run-to-run
+    # but can differ from the segment loop's on silhouette-grazing
+    # bounce pixels (last-ulp direction differences flip hit topology
+    # there -- the ring grids' boundary-flip class).  On direction-
+    # independent scenes the two are exactly equal
+    # (tests/test_pathtrace.py); bench.py and `cli --turbo` opt in.
+    gi_wave: str = "off"
     # Packed path: fuse the shadow pass into the primary march (lanes
     # rearm as their own shadow ray on primary retirement) — fewer
     # while-loop instances, shadow work overlaps the primary tail.
@@ -426,6 +446,7 @@ def apply_turbo(cfg: "SceneConfig", scene_family: "str | None") -> "SceneConfig"
             cfg.render,
             faithful=False, det_dtype="float32",
             traversal="packed", scheduler="persistent",
+            gi_wave="auto",  # the tuned pipeline opts into the GI wave
             packed_block_tris=k["block_tris"],
             wave=k["wave"], pump=k["pump"],
             # only override when the knob table actually records a

@@ -1,0 +1,530 @@
+"""Cross-depth GI wave: ONE persistent while_loop for the whole
+path-traced frame.
+
+The segment-loop integrator (render/pathtrace.py) dispatches one
+traversal per (sample-batch, depth) — S*(D+1) fused marches whose
+queue sweeps, refill passes and per-depth epilogues run over the FULL
+(B*R)-lane batch even when 95% of bounce lanes are dead.  This module
+folds the whole estimator into the persistent scheduler instead (the
+round-4 verdict's "extend the rearm to bounce->NEE->next-sample"): a
+lane pops a PIXEL and serves its entire estimate —
+
+    primary march -> NEE shadow -> bounce(sample 0) -> NEE -> ... ->
+    bounce(sample 1) -> ... -> scatter ONE radiance record
+
+— rearming in place at every transition, exactly like the Whitted
+fused wave rearms primary->shadow (ops/persistent.py).  Three
+structural wins over the segment loop:
+
+  * the primary march runs ONCE per pixel, not once per sample: on a
+    Lambertian scene every sample of a pixel shares the same depth-0
+    hit, normal, albedo and NEE visibility, so the per-sample work is
+    only the bounce sub-paths (the segment loop re-marches S identical
+    primaries);
+  * zero inter-segment overhead: no per-traversal queue sweeps over
+    mostly-dead bounce batches, no O(R) compaction prefilters, no
+    per-depth shading epilogues over dead lanes — integrator math runs
+    only at retirement events on the lanes that retire;
+  * occupancy: a lane that finishes a bounce immediately starts its
+    next segment (or the next sample, or the next pixel) in the same
+    round — live lanes from every depth and sample share one wave.
+
+Scope (the eligibility gate lives in render/pathtrace.render_pt):
+packed grid + persistent scheduler, ONE point light, no environment
+map / env NEE / extra lights, face normals, no texture, float32 dets,
+Lambertian only (gi_specular scenes with any reflective km > 0 fall
+back).  This covers the official GI benchmark configuration
+(bench.py --gi); everything else takes the segment loop, whose physics
+this module reproduces contribution-for-contribution in the same
+chronological order (radiance associates as sum_s v_s with v_s built
+escape/NEE-in-depth-order — pinned by the wave-vs-segments parity
+test, tests/test_pathtrace.py).
+
+FORWARD-ONLY: the whole estimator lives inside a while_loop carry, so
+the output is one big stop-gradient island.  Training/gradient paths
+must use the segment integrator (render_pt only routes here for plain
+forward renders; pathtrace_rays never does).
+
+Reference anchor: this replaces the CUDA reference's per-thread
+recursion (Parallel/raytracer.cu:508-520) at production scale the same
+way persistent_trace replaces its wavefront queues (:32-130).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ray_tracer_tpu.accel.packed import PackedGridArrays, PackedGridMeta
+from ray_tracer_tpu.ops.camera import camera_ray_at
+from ray_tracer_tpu.ops.traverse_packed import _march_step, _slab_entry
+
+_INF = float("inf")
+_INV_PI = 0.3183098861837907
+_SALT = 0x632BE59B  # per-sample key stride (render/pathtrace.py)
+
+
+def _hash_u01_dyn(x: jnp.ndarray, salt: jnp.ndarray) -> jnp.ndarray:
+    """pathtrace._hash_u01 with a TRACED salt (the lane's depth is a
+    carry value here, not a Python loop index).  uint32 arithmetic
+    wraps identically, so values match the Python-salt version bit for
+    bit."""
+    x = (x.astype(jnp.uint32) + salt.astype(jnp.uint32)) ^ jnp.uint32(
+        0x9E3779B9
+    )
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return (x >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+
+
+def _cosine_sample_dyn(n, u1, u2):
+    """pathtrace._cosine_sample (Duff et al. ONB), same arithmetic."""
+    s = jnp.where(n[:, 2] >= 0.0, 1.0, -1.0)
+    a = -1.0 / (s + n[:, 2])
+    b = n[:, 0] * n[:, 1] * a
+    b1 = jnp.stack(
+        [1.0 + s * n[:, 0] * n[:, 0] * a, s * b, -s * n[:, 0]], axis=-1
+    )
+    b2 = jnp.stack([b, s + n[:, 1] * n[:, 1] * a, -n[:, 1]], axis=-1)
+    r = jnp.sqrt(u1)
+    phi = (2.0 * jnp.pi) * u2
+    x = r * jnp.cos(phi)
+    y = r * jnp.sin(phi)
+    z = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
+    return x[:, None] * b1 + y[:, None] * b2 + z[:, None] * n
+
+
+def _normalize(a):
+    n2 = jnp.sum(a * a, axis=-1)
+    inv = jnp.where(n2 > 0, 1.0 / jnp.sqrt(jnp.where(n2 > 0, n2, 1.0)), 0.0)
+    return a * inv[..., None]
+
+
+def _cross(a, b):
+    ax, ay, az = a[..., 0], a[..., 1], a[..., 2]
+    bx, by, bz = b[..., 0], b[..., 1], b[..., 2]
+    return jnp.stack(
+        [ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx], axis=-1
+    )
+
+
+def _ray_key(orig, dirn):
+    """Per-ray sample key: hash of the ray's own bits (pathtrace.py's
+    padding/permutation/sharding-invariant convention)."""
+    ob = jax.lax.bitcast_convert_type(orig.astype(jnp.float32), jnp.uint32)
+    db = jax.lax.bitcast_convert_type(dirn.astype(jnp.float32), jnp.uint32)
+    return (
+        db[:, 0] * jnp.uint32(0x85EBCA6B)
+        ^ db[:, 1] * jnp.uint32(0xC2B2AE35)
+        ^ db[:, 2] * jnp.uint32(0x27D4EB2F)
+        ^ ob[:, 0] * jnp.uint32(0x165667B1)
+        ^ ob[:, 1] * jnp.uint32(0x9E3779B1)
+        ^ ob[:, 2] * jnp.uint32(0xFC0589B5)
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "meta", "camera", "S", "D", "wave", "pump", "gate0", "gate_b",
+        "eps", "smint", "quirk", "bg", "refill_retries", "max_iters",
+    ),
+)
+def gi_wave_trace(
+    light_pos: jnp.ndarray,
+    light_intensity: jnp.ndarray,
+    albedo_table: jnp.ndarray,
+    tri9: jnp.ndarray,
+    grid: PackedGridArrays,
+    meta: PackedGridMeta,
+    *,
+    camera,
+    S: int,
+    D: int,
+    wave: int = 12288,
+    pump: int = 1,
+    gate0: float = 0.0,
+    gate_b: float = 1e-4,
+    eps: float = 1e-4,
+    smint: float = 1e-4,
+    quirk: bool = False,
+    bg: tuple = (0.0, 0.0, 0.0),
+    refill_retries: int = 3,
+    max_iters=None,
+) -> jnp.ndarray:
+    """SUMMED radiance over S samples per pixel -> (H*W, 3) f32 (the
+    caller divides by S).  Contribution order per pixel matches the
+    segment integrator: rad = ((v_0 + v_1) + ...) with each v_s built
+    escape/NEE-in-depth-order.
+
+    gate0/gate_b/eps/smint/quirk: the shared hit/shadow policy
+    (config.RenderConfig.primary_gate / bounce_gate / shadow_eps /
+    shadow_mint / shadow_dir_away_from_light), so the wave's visibility
+    topology is the segment loop's exactly."""
+    r = camera.width * camera.height
+    w = min(wave, r)
+    bt = meta.block_tris
+    n_slots = grid.slot_tri.shape[0]
+    n_faces = tri9.shape[0]
+    n_mats = albedo_table.shape[0]
+    inf = jnp.float32(_INF)
+    light = light_pos.astype(jnp.float32)
+    li = light_intensity.astype(jnp.float32)
+    alb_tab = albedo_table.astype(jnp.float32)
+    bg3 = jnp.asarray(bg, jnp.float32)
+    # depth-0 miss: v_s = bg for every sample, summed sequentially in
+    # f32 (the segment loop's acc association)
+    bg_acc = np.zeros(3, np.float32)
+    for _ in range(S):
+        bg_acc = (bg_acc + np.asarray(bg, np.float32)).astype(np.float32)
+
+    from ray_tracer_tpu.ops.traverse_packed import _default_max_steps
+
+    if max_iters is None:
+        per_ray = _default_max_steps(meta) * 2 * (D + 1) * S
+        max_iters = -(-r * per_ray // w) + per_ray + 64
+    max_rounds = -(-max_iters // pump)
+
+    zf = jnp.zeros((w,), jnp.float32)
+    zi = zf.astype(jnp.int32)
+    zb = zi != 0
+    z3 = jnp.zeros((w, 3), jnp.float32)
+
+    state = dict(
+        # march core (ops/traverse_packed._march_step contract)
+        o=z3, d=jnp.ones((w, 3), jnp.float32),
+        alive=zb, testing=zb,
+        t_cur=zf, t_exit_cell=zf,
+        first_blk=zi, n_blk=zi, cursor=zi,
+        best_t=zf + inf, best_blk=zi, best_slot=zi,
+        gate=zf, maxt=zf,
+        # estimator state machine
+        ray_id=jnp.full((w,), r, jnp.int32),
+        phase=zb,            # False = path segment, True = NEE shadow
+        depth=zi,            # current vertex/segment depth
+        samp=zi,             # current sample index
+        key0=zf.astype(jnp.uint32),
+        rad=z3,              # pixel radiance (sum over finished samples)
+        vcur=z3,             # current sample's radiance
+        tpt=jnp.ones((w, 3), jnp.float32),  # current throughput
+        pend=z3,             # staged NEE contribution (awaiting shadow)
+        nrm=z3,              # current vertex oriented normal
+        alb=z3,              # current vertex albedo
+        vpos=z3,             # current vertex position (recomputed t)
+        d0=z3,               # shared depth-0 NEE contribution
+        poi0=z3, n0=z3, alb0=z3,  # shared depth-0 vertex (sample restarts)
+        # emit latch + output buffers (per-lane dump rows keep scatters
+        # unique-index; 1-D per channel — the measured fast lowering)
+        done_acc=zb,
+        rl0=zf, rl1=zf, rl2=zf,
+        out0=jnp.full((r + w,), float(bg_acc[0]), jnp.float32),
+        out1=jnp.full((r + w,), float(bg_acc[1]), jnp.float32),
+        out2=jnp.full((r + w,), float(bg_acc[2]), jnp.float32),
+        next=jnp.asarray(0, jnp.int32),
+        i=jnp.asarray(0, jnp.int32),
+    )
+
+    def pop_once(s):
+        """Idle lanes pop the next unserved pixels (the deterministic
+        cumsum queue) and regenerate their camera ray from the index —
+        pure VPU math, zero gathers (ops/persistent.py)."""
+        idle = ~s["alive"]
+        order = jnp.cumsum(idle.astype(jnp.int32))
+        new_id = jnp.where(idle, s["next"] + order - 1, s["ray_id"])
+        got = idle & (new_id < r)
+        rid = jnp.where(got, new_id, jnp.where(idle, r, s["ray_id"]))
+        gen = camera_ray_at(camera, jnp.clip(rid, 0, r - 1))
+        o = jnp.where(got[:, None], gen.orig.astype(jnp.float32), s["o"])
+        d = jnp.where(got[:, None], gen.dirn.astype(jnp.float32), s["d"])
+        t0, entered = _slab_entry(
+            grid, o, d, gen.mint.astype(jnp.float32),
+            gen.maxt.astype(jnp.float32),
+        )
+        live = got & entered
+        key0 = _ray_key(gen.orig, gen.dirn)
+        return dict(
+            s,
+            o=o, d=d,
+            maxt=jnp.where(got, gen.maxt.astype(jnp.float32), s["maxt"]),
+            gate=jnp.where(got, jnp.float32(gate0), s["gate"]),
+            ray_id=rid,
+            alive=jnp.where(idle, live, s["alive"]),
+            testing=jnp.where(got, False, s["testing"]),
+            t_cur=jnp.where(got, t0, s["t_cur"]),
+            cursor=jnp.where(got, 0, s["cursor"]),
+            best_t=jnp.where(got, inf, s["best_t"]),
+            best_blk=jnp.where(got, 0, s["best_blk"]),
+            best_slot=jnp.where(got, 0, s["best_slot"]),
+            phase=jnp.where(got, False, s["phase"]),
+            depth=jnp.where(got, 0, s["depth"]),
+            samp=jnp.where(got, 0, s["samp"]),
+            key0=jnp.where(got, key0, s["key0"]),
+            rad=jnp.where(got[:, None], 0.0, s["rad"]),
+            vcur=jnp.where(got[:, None], 0.0, s["vcur"]),
+            tpt=jnp.where(got[:, None], 1.0, s["tpt"]),
+            pend=jnp.where(got[:, None], 0.0, s["pend"]),
+            next=jnp.minimum(s["next"] + order[-1], r),
+        )
+
+    def refill(s):
+        # AABB-rejected pixels keep the miss-initialized output (bg
+        # summed S times) — they cost re-pops, not wave rounds
+        for _ in range(1 + refill_retries):
+            s = pop_once(s)
+        return s
+
+    state = refill(state)
+
+    def cond(s):
+        return (s["i"] < max_rounds) & (
+            jnp.any(s["alive"]) | (s["next"] < r)
+        )
+
+    def transition(s, pre_alive):
+        """All retirement events of one round: segment retirements
+        resolve their vertex (the round's ONE tri9 gather) and rearm as
+        NEE shadows; shadow retirements settle their contribution; the
+        sample-end cascade restarts the next sample or retires the
+        pixel."""
+        alive, testing = s["alive"], s["testing"]
+        best_t = s["best_t"]
+        hit_now = jnp.isfinite(best_t)
+        walked = pre_alive & ~alive
+        phase = s["phase"]
+
+        # ---- segment retirement (path phase) --------------------------
+        limit = jnp.minimum(s["maxt"], best_t)
+        seg_done = ~phase & (
+            (alive & ~testing & (s["t_cur"] > limit)) | walked
+        )
+        hitP = seg_done & hit_now
+        missP = seg_done & ~hit_now
+
+        # ---- vertex resolve (the gathers; gated lanes read row 0) -----
+        slotidx = jnp.clip(s["best_blk"] * bt + s["best_slot"], 0, n_slots - 1)
+        tri = grid.slot_tri[jnp.where(hitP, slotidx, 0)]
+        row = tri9[jnp.clip(tri, 0, n_faces - 1)]
+        tv0, tv1, tv2 = row[:, 0:3], row[:, 3:6], row[:, 6:9]
+        matid = row[:, 9].astype(jnp.int32)
+        # TWO hit points, matching the segment loop exactly: the
+        # integrator's poi is the RECOMPUTED Cramer t over the gathered
+        # triangle (cramer_t_safe — last-ulp different contraction from
+        # the march's bt-wide batch), while the fused NEE's shadow ray
+        # originates from the MARCH t (_fused_retire_rearm's poi).
+        # Using one for the other flips edge-case bounce topology
+        # (measured: 45/366 hits differ by ~1e-6 in t on CPU).
+        from ray_tracer_tpu.ops.intersect import cramer_t_safe
+
+        t_re = cramer_t_safe(
+            s["o"], s["d"], tv0, tv1, tv2, hitP, det_dtype=jnp.float32
+        )
+        t_r = jnp.where(hitP, t_re, 0.0)
+        o_safe = jnp.where(hitP[:, None], s["o"], 0.0)
+        poi_r = o_safe + s["d"] * t_r[:, None]  # integrator vertex
+        t_m = jnp.where(hit_now, best_t, 0.0)
+        poi_m = s["o"] + s["d"] * t_m[:, None]  # fused-shadow origin
+        gn = _normalize(_cross(tv1 - tv0, tv2 - tv0))
+        flip = jnp.sum(gn * s["d"], axis=-1) > 0.0
+        n = jnp.where(flip[:, None], -gn, gn)
+        alb = alb_tab[jnp.clip(matid, 0, n_mats - 1)]
+        # NEE geometry — the segment integrator's exact expressions
+        to_l = light - poi_r
+        d2 = jnp.sum(to_l * to_l, axis=-1)
+        wl = to_l / jnp.sqrt(jnp.maximum(d2, 1e-20))[:, None]
+        cos_i = jnp.maximum(jnp.sum(n * wl, axis=-1), 0.0)
+        direct = alb * jnp.float32(_INV_PI) * (
+            li * cos_i / jnp.maximum(d2, 1e-20)
+        )[:, None]
+        pend_new = s["tpt"] * direct
+        # shadow DIRECTION: the fused-rearm formula from the MARCH poi
+        # (visibility topology == the segment loop's fused NEE)
+        to_l_m = light - poi_m
+        norm = jnp.sqrt(jnp.sum(to_l_m * to_l_m, axis=-1, keepdims=True))
+        sdir = to_l_m / jnp.where(norm > 0, norm, 1.0)
+        if quirk:  # Serial/raytracer.cpp:106 — away from the light
+            sdir = -sdir
+        st0, s_entered = _slab_entry(
+            grid, poi_m, sdir, jnp.full((w,), jnp.float32(smint)),
+            jnp.full((w,), inf),
+        )
+        # cos_i == 0 makes the contribution an exact zero — skip the
+        # shadow march outright (bit-identical; the segment loop's
+        # fused NEE marches it and multiplies by the same zero)
+        want_nee = hitP & (cos_i > 0.0)
+        shadow_go = want_nee & s_entered
+        imm = hitP & ~shadow_go  # NEE resolved without a march: visible
+        vcur = s["vcur"] + jnp.where(imm[:, None], pend_new, 0.0)
+
+        # ---- shadow retirement ----------------------------------------
+        sh_done = phase & ((alive & hit_now) | walked)
+        occ = sh_done & hit_now
+        vcur = vcur + jnp.where(
+            (sh_done & ~occ)[:, None], s["pend"], 0.0
+        )
+
+        # ---- at-vertex merge (post-NEE) -------------------------------
+        # hitP lanes (imm AND shadow-bound) store their fresh vertex;
+        # sh_done lanes read back what they stored when entering the
+        # shadow march; everyone else passes through
+        av = imm | sh_done
+        nrm_v = jnp.where(hitP[:, None], n, s["nrm"])
+        alb_v = jnp.where(hitP[:, None], alb, s["alb"])
+        vpos_v = jnp.where(hitP[:, None], poi_r, s["vpos"])
+        depth_v = s["depth"]
+        at0 = av & (depth_v == 0)
+        d0 = jnp.where(at0[:, None], vcur, s["d0"])  # vcur == the d0 add
+        poi0 = jnp.where(at0[:, None], vpos_v, s["poi0"])
+        n0 = jnp.where(at0[:, None], nrm_v, s["n0"])
+        alb0 = jnp.where(at0[:, None], alb_v, s["alb0"])
+
+        # ---- bounce (vertex depth < D) --------------------------------
+        saltd = (depth_v + 1).astype(jnp.uint32)
+        key_s = s["key0"] + jnp.uint32(_SALT) * (
+            s["samp"].astype(jnp.uint32) + 1
+        )
+        u1 = _hash_u01_dyn(key_s, jnp.uint32(0x1000193) * saltd)
+        u2 = _hash_u01_dyn(key_s, jnp.uint32(0x5BD1E995) * saltd + 7)
+        ndir = _cosine_sample_dyn(nrm_v, u1, u2)
+        tpt_b = s["tpt"] * alb_v
+        stb, entb = _slab_entry(
+            grid, vpos_v, ndir, jnp.full((w,), jnp.float32(eps)),
+            jnp.full((w,), inf),
+        )
+        bounce = av & (depth_v < D)
+        bounce_go = bounce & entb
+        bounce_esc = bounce & ~entb
+        vcur = vcur + jnp.where(bounce_esc[:, None], tpt_b * bg3, 0.0)
+
+        # bounce-escape at the NEXT depth and deep-miss escapes both end
+        # the sample; vertex at depth == D ends it after its NEE
+        esc = missP & (depth_v >= 1)
+        vcur = vcur + jnp.where(esc[:, None], s["tpt"] * bg3, 0.0)
+        prim_miss = missP & (depth_v == 0)
+        E = (av & (depth_v == D)) | bounce_esc | esc
+
+        # ---- apply the non-cascade rearms -----------------------------
+        new = dict(s)
+        new["vcur"] = vcur
+        new["d0"], new["poi0"], new["n0"], new["alb0"] = d0, poi0, n0, alb0
+        new["nrm"] = nrm_v
+        new["alb"] = alb_v
+        new["vpos"] = vpos_v
+        new["pend"] = jnp.where(shadow_go[:, None], pend_new, s["pend"])
+
+        def rearm(cur, mask, o_n, d_n, t0_n, gate_n, phase_n, depth_n,
+                  tpt_n):
+            m1 = mask[:, None]
+            return dict(
+                cur,
+                o=jnp.where(m1, o_n, cur["o"]),
+                d=jnp.where(m1, d_n, cur["d"]),
+                t_cur=jnp.where(mask, t0_n, cur["t_cur"]),
+                gate=jnp.where(mask, jnp.float32(gate_n), cur["gate"]),
+                maxt=jnp.where(mask, inf, cur["maxt"]),
+                best_t=jnp.where(mask, inf, cur["best_t"]),
+                best_blk=jnp.where(mask, 0, cur["best_blk"]),
+                best_slot=jnp.where(mask, 0, cur["best_slot"]),
+                cursor=jnp.where(mask, 0, cur["cursor"]),
+                testing=cur["testing"] & ~mask,
+                phase=jnp.where(mask, phase_n, cur["phase"]),
+                depth=jnp.where(mask, depth_n, cur["depth"]),
+                tpt=jnp.where(m1, tpt_n, cur["tpt"]),
+                alive=cur["alive"] | mask,
+            )
+
+        new = rearm(new, shadow_go, poi_m, sdir, st0, eps, True, depth_v,
+                    s["tpt"])
+        new = rearm(new, bounce_go, vpos_v, ndir, stb, gate_b, False,
+                    depth_v + 1, tpt_b)
+        # retire lanes that ended a march this round without rearming
+        # (they either cascade below or idle for the refill)
+        ended = (seg_done | sh_done) & ~shadow_go & ~bounce_go
+        new["alive"] = new["alive"] & ~ended
+        new["testing"] = new["testing"] & ~ended
+
+        # ---- sample-end cascade (static S unroll) ---------------------
+        # each iteration finishes one sample: bank vcur, then restart
+        # the next sample from the shared depth-0 vertex — restarts
+        # whose bounce escapes immediately loop again, so the cascade
+        # fully resolves within the round (no pending states)
+        pix_done = prim_miss
+        rad = new["rad"]
+        vcur = new["vcur"]
+        samp = new["samp"]
+        for _ in range(S):
+            rad = rad + jnp.where(E[:, None], vcur, 0.0)
+            samp_n = samp + E.astype(jnp.int32)
+            fin = E & (samp_n >= S)
+            pix_done = pix_done | fin
+            re = E & ~fin
+            if D == 0:
+                # v_s == d0 for every sample; no march between samples
+                vcur = jnp.where(re[:, None], new["d0"], vcur)
+                E = re
+                samp = samp_n
+                continue
+            key_r = new["key0"] + jnp.uint32(_SALT) * (
+                samp_n.astype(jnp.uint32) + 1
+            )
+            u1r = _hash_u01_dyn(key_r, jnp.uint32(0x1000193))
+            u2r = _hash_u01_dyn(key_r, jnp.uint32(0x5BD1E995) + 7)
+            ndir_r = _cosine_sample_dyn(new["n0"], u1r, u2r)
+            str_, entr = _slab_entry(
+                grid, new["poi0"], ndir_r,
+                jnp.full((w,), jnp.float32(eps)), jnp.full((w,), inf),
+            )
+            goes = re & entr
+            esc_r = re & ~entr
+            vcur = jnp.where(re[:, None], new["d0"], vcur)
+            vcur = vcur + jnp.where(
+                esc_r[:, None], new["alb0"] * bg3, 0.0
+            )
+            new = rearm(new, goes, new["poi0"], ndir_r, str_, gate_b,
+                        False, jnp.ones_like(samp), new["alb0"])
+            E = esc_r
+            samp = samp_n
+        new["rad"] = rad
+        new["vcur"] = vcur
+        new["samp"] = samp
+
+        # ---- latch finished pixels ------------------------------------
+        new["done_acc"] = new["done_acc"] | pix_done
+        new["rl0"] = jnp.where(pix_done, rad[:, 0], new["rl0"])
+        new["rl1"] = jnp.where(pix_done, rad[:, 1], new["rl1"])
+        new["rl2"] = jnp.where(pix_done, rad[:, 2], new["rl2"])
+        new["alive"] = new["alive"] & ~pix_done
+        new["testing"] = new["testing"] & ~pix_done
+        return new
+
+    def body(s):
+        pre_alive = s["alive"]
+        for _ in range(pump):
+            s = _march_step(
+                s, o=s["o"], d=s["d"], invd=1.0 / s["d"], gate=s["gate"],
+                maxt=s["maxt"], grid=grid, meta=meta,
+            )
+        s = transition(s, pre_alive)
+        # ---- one scatter per round flushes the latches ----------------
+        flushed = s["done_acc"]
+        idx = jnp.where(
+            flushed, s["ray_id"], r + jnp.arange(w, dtype=jnp.int32)
+        )
+        s = dict(
+            s,
+            done_acc=zb,
+            out0=s["out0"].at[idx].set(s["rl0"], unique_indices=True),
+            out1=s["out1"].at[idx].set(s["rl1"], unique_indices=True),
+            out2=s["out2"].at[idx].set(s["rl2"], unique_indices=True),
+        )
+        s = refill(s)
+        return dict(s, i=s["i"] + 1)
+
+    out = jax.lax.while_loop(cond, body, state)
+    return jnp.stack([out["out0"][:r], out["out1"][:r], out["out2"][:r]],
+                     axis=-1)

@@ -44,43 +44,74 @@ def _trace(prep, rays, stop_on_first_hit=False, gate=None, soa=None):
     )
 
 
-def render_aovs(prep) -> Dict[str, jnp.ndarray]:
-    """-> dict of (H, W, ...) buffers: 'depth' (f32, inf on miss),
-    'hit' (bool), 'tri_id' (i32, -1 on miss), 'material_id' (i32, -1),
-    'normal' (f32 unit, 0 on miss), 'position' (f32, 0 on miss)."""
-    cfg = prep.cfg
-    rcfg = cfg.render
-    h, w = cfg.camera.height, cfg.camera.width
-    rays = camera_rays(cfg.camera)
-    serial = rcfg.shading == "serial"
-    res = _trace(prep, rays)
-
-    tri = jnp.maximum(res.tri_id, 0)
-    v0, v1, v2 = prep.scene.triangle_soa()
-    tv0, tv1, tv2 = v0[tri], v1[tri], v2[tri]
+def _aov_buffers(rays, hit, t, tid, mat_ids, tv0, tv1, tv2, serial, h, w):
+    """Shared buffer derivation from per-ray hit data — ONE epilogue for
+    the single-device, ray-sharded and ring AOV paths."""
     # geometric normal per the active shading convention
     # (Serial/geometry.h:234-240 vs Parallel/geometry.cuh:160), normalized
     if serial:
         n = vm.normalize(vm.cross(tv0 - tv1, tv2 - tv0))
     else:
         n = vm.normalize(vm.cross(tv2 - tv1, tv0 - tv1))
-    hit3 = res.hit[:, None]
-    t_safe = jnp.where(res.hit, res.t, 0.0)
+    hit3 = hit[:, None]
+    t_safe = jnp.where(hit, t, 0.0)
     pos = jnp.where(hit3, rays.at(t_safe), 0.0)
 
     def img(x, ch=None):
         return x.reshape((h, w) if ch is None else (h, w, ch))
 
     return {
-        "depth": img(jnp.where(res.hit, res.t, jnp.inf)),
-        "hit": img(res.hit),
-        "tri_id": img(jnp.where(res.hit, res.tri_id, -1)),
-        "material_id": img(jnp.where(
-            res.hit, prep.scene.face_material[tri], -1
-        )),
+        "depth": img(jnp.where(hit, t, jnp.inf)),
+        "hit": img(hit),
+        "tri_id": img(jnp.where(hit, tid, -1)),
+        "material_id": img(jnp.where(hit, mat_ids, -1)),
         "normal": img(jnp.where(hit3, n, 0.0), 3),
         "position": img(pos, 3),
     }
+
+
+def render_aovs(prep, mesh=None, ring: bool = False,
+                ring_grids=None) -> Dict[str, jnp.ndarray]:
+    """-> dict of (H, W, ...) buffers: 'depth' (f32, inf on miss),
+    'hit' (bool), 'tri_id' (i32, -1 on miss), 'material_id' (i32, -1),
+    'normal' (f32 unit, 0 on miss), 'position' (f32, 0 on miss).
+
+    mesh: shard the rays over its "rays" axis (replicated geometry;
+    bitwise equal to the single-device buffers).  mesh + ring=True:
+    ring-sharded GEOMETRY (each device holds 1/D of the triangles) —
+    the inspection path for scenes too big to replicate; ids/flags are
+    exact, float buffers match to traversal arithmetic."""
+    cfg = prep.cfg
+    rcfg = cfg.render
+    h, w = cfg.camera.height, cfg.camera.width
+    rays = camera_rays(cfg.camera)
+    serial = rcfg.shading == "serial"
+    gate = 0.0 if serial else rcfg.shadow_eps
+
+    if mesh is not None and ring:
+        from ray_tracer_tpu.parallel.shard import trace_ring
+
+        b = trace_ring(prep, rays, mesh, t_gate=gate,
+                       ring_grids=ring_grids)
+        return _aov_buffers(rays, b["hit"], b["t"], b["tri_id"], b["mat"],
+                            b["tv0"], b["tv1"], b["tv2"], serial, h, w)
+    if mesh is not None:
+        from ray_tracer_tpu.parallel.shard import trace_sharded
+
+        hit, t, tid = trace_sharded(prep, rays, mesh, t_gate=gate)
+
+        class res:  # quack like the traversal result for the epilogue
+            pass
+
+        res.hit, res.t, res.tri_id = hit, t, tid
+    else:
+        res = _trace(prep, rays)
+
+    tri = jnp.maximum(res.tri_id, 0)
+    v0, v1, v2 = prep.scene.triangle_soa()
+    return _aov_buffers(rays, res.hit, res.t, res.tri_id,
+                        prep.scene.face_material[tri],
+                        v0[tri], v1[tri], v2[tri], serial, h, w)
 
 
 def hemisphere_dirs(n: int) -> np.ndarray:
@@ -97,7 +128,8 @@ def hemisphere_dirs(n: int) -> np.ndarray:
     )
 
 
-def render_ao(prep, samples: int = 16, radius: float = 1.0) -> jnp.ndarray:
+def render_ao(prep, samples: int = 16, radius: float = 1.0,
+              mesh=None, ring: bool = False, ring_grids=None) -> jnp.ndarray:
     """Ambient-occlusion map -> (H, W) f32 in [0, 1].
 
     For each primary hit, `samples` occlusion rays over a deterministic
@@ -107,19 +139,51 @@ def render_ao(prep, samples: int = 16, radius: float = 1.0) -> jnp.ndarray:
     by maxt = radius, so a triangle in the final voxel can be tested
     slightly past the radius — the explicit t gate makes the cutoff
     exact).  Production/diagnostic buffer; no reference counterpart.
-    """
+
+    mesh: shard rays over its "rays" axis; mesh + ring=True runs every
+    hemisphere sample as a ring OCCLUSION ORBIT over sharded geometry
+    (normals come from the ring-carried winner vertices) — AO for
+    scenes too big to replicate."""
     cfg = prep.cfg
     rcfg = cfg.render
     h, w = cfg.camera.height, cfg.camera.width
     eps = rcfg.shadow_eps
     rays = camera_rays(cfg.camera)
-    res = _trace(prep, rays)
-    hit = res.hit
+    serial = rcfg.shading == "serial"
+    gate0 = 0.0 if serial else eps
+    if mesh is not None and ring:
+        from ray_tracer_tpu.parallel.shard import trace_ring
 
-    tri = jnp.maximum(res.tri_id, 0)
-    v0, v1, v2 = prep.scene.triangle_soa()
-    tv0, tv1, tv2 = v0[tri], v1[tri], v2[tri]
-    if rcfg.shading == "serial":
+        if rcfg.traversal == "packed" and ring_grids is None:
+            from ray_tracer_tpu.parallel.shard import build_ring_grids
+
+            ring_grids = build_ring_grids(prep, mesh.shape["tris"])
+        b = trace_ring(prep, rays, mesh, t_gate=gate0,
+                       ring_grids=ring_grids)
+        hit = b["hit"]
+
+        class res:
+            pass
+
+        res.hit, res.t = hit, b["t"]
+        tv0, tv1, tv2 = b["tv0"], b["tv1"], b["tv2"]
+    else:
+        if mesh is not None:
+            from ray_tracer_tpu.parallel.shard import trace_sharded
+
+            _h, _t, _tid = trace_sharded(prep, rays, mesh, t_gate=gate0)
+
+            class res:
+                pass
+
+            res.hit, res.t, res.tri_id = _h, _t, _tid
+        else:
+            res = _trace(prep, rays)
+        hit = res.hit
+        tri = jnp.maximum(res.tri_id, 0)
+        v0, v1, v2 = prep.scene.triangle_soa()
+        tv0, tv1, tv2 = v0[tri], v1[tri], v2[tri]
+    if serial:
         n = vm.normalize(vm.cross(tv0 - tv1, tv2 - tv0))
     else:
         n = vm.normalize(vm.cross(tv2 - tv1, tv0 - tv1))
@@ -143,12 +207,26 @@ def render_ao(prep, samples: int = 16, radius: float = 1.0) -> jnp.ndarray:
     # renderer's shadow traces (the serial primary gate of 0 would
     # re-accept the origin triangle at t ~ 1e-7 and read AO ~ 0.5
     # everywhere); any-hit is enough, and the soa gathers are hoisted
-    soa = prep.scene.triangle_soa()
+    soa = None if (mesh is not None) else prep.scene.triangle_soa()
     occ = jnp.zeros((rays.count,), jnp.float32)
     for d in hemisphere_dirs(samples):
         dirn = d[0] * t1 + d[1] * t2 + d[2] * n
         srays = RayBatch.make(orig, dirn, mint=eps, maxt=radius)
-        sres = _trace(prep, srays, stop_on_first_hit=True, gate=eps, soa=soa)
-        occ = occ + (sres.hit & (sres.t <= radius) & hit).astype(jnp.float32)
+        if mesh is not None and ring:
+            from ray_tracer_tpu.parallel.shard import trace_ring
+
+            sb = trace_ring(prep, srays, mesh, t_gate=eps,
+                            stop_first=True, ring_grids=ring_grids)
+            s_hit, s_t = sb["hit"], sb["t"]
+        elif mesh is not None:
+            from ray_tracer_tpu.parallel.shard import trace_sharded
+
+            s_hit, s_t, _ = trace_sharded(prep, srays, mesh, t_gate=eps,
+                                          stop_first=True)
+        else:
+            sres = _trace(prep, srays, stop_on_first_hit=True, gate=eps,
+                          soa=soa)
+            s_hit, s_t = sres.hit, sres.t
+        occ = occ + (s_hit & (s_t <= radius) & hit).astype(jnp.float32)
     ao = jnp.where(hit, 1.0 - occ / samples, 1.0)
     return ao.reshape(h, w)

@@ -22,9 +22,18 @@ from ray_tracer_tpu.ops.traverse import traverse_grid
 from ray_tracer_tpu.ops.traverse_packed import traverse_packed
 
 
-def trace_pixel(prep, x: int, y: int) -> Dict[str, Any]:
+def trace_pixel(prep, x: int, y: int, mesh=None,
+                ring_grids=None) -> Dict[str, Any]:
     """Full diagnostic trace of pixel (x, y): camera ray, grid entry,
-    traversal result, hit geometry, shadow query, shading inputs."""
+    traversal result, hit geometry, shadow query, shading inputs.
+
+    mesh: run the primary and shadow queries as RING ORBITS over
+    geometry sharded on the mesh's "tris" axis (parallel/shard.trace_
+    ring) — the debug hook for scenes too big to replicate (the
+    reference's debug thread, Parallel/raytracer.cu:367, now works on
+    the memory-bound path too).  The ring reports no per-ray step
+    count ("steps" = -1); every other field matches the single-device
+    trace (ids exactly, floats to traversal arithmetic)."""
     cfg = prep.cfg
     rcfg = cfg.render
     # refuse configs whose shading this trace would misreport, instead
@@ -52,7 +61,25 @@ def trace_pixel(prep, x: int, y: int) -> Dict[str, Any]:
     # renderer consumes — they cannot diverge (the class of bug fixed in
     # commits 6ec7515 and efb71f5)
     primary_gate = rcfg.primary_gate()
-    if packed:
+    if mesh is not None:
+        from ray_tracer_tpu.parallel.shard import trace_ring
+
+        if packed and ring_grids is None:
+            from ray_tracer_tpu.parallel.shard import build_ring_grids
+
+            ring_grids = build_ring_grids(prep, mesh.shape["tris"])
+        b = trace_ring(
+            prep, ray, mesh,
+            t_gate=0.0 if primary_gate is None else primary_gate,
+            ring_grids=ring_grids,
+        )
+
+        class res:  # quacks like the traversal result below
+            pass
+
+        res.hit, res.t, res.tri_id = b["hit"], b["t"], b["tri_id"]
+        res.steps = jnp.full((1,), -1, jnp.int32)  # ring: not recorded
+    elif packed:
         res = traverse_packed(
             ray, prep.packed.arrays, prep.packed.meta,
             t_gate=0.0 if primary_gate is None else primary_gate,
@@ -97,7 +124,13 @@ def trace_pixel(prep, x: int, y: int) -> Dict[str, Any]:
     smint = rcfg.shadow_mint()
     srays = RayBatch.make(jnp.asarray(poi[None]), jnp.asarray(sdir[None]),
                           mint=smint)
-    if packed:
+    if mesh is not None:
+        from ray_tracer_tpu.parallel.shard import trace_ring
+
+        sb = trace_ring(prep, srays, mesh, t_gate=rcfg.shadow_eps,
+                        stop_first=True, ring_grids=ring_grids)
+        in_shadow = bool(np.asarray(sb["hit"])[0])
+    elif packed:
         sres = traverse_packed(
             srays, prep.packed.arrays, prep.packed.meta,
             t_gate=rcfg.shadow_eps, stop_on_first_hit=True,

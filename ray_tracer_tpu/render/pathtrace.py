@@ -612,18 +612,91 @@ def _render_pt_jit(scene, grid, meta, cfg):
     return colors.reshape(cam.height, cam.width, 3)
 
 
+def gi_wave_eligible(prep) -> bool:
+    """Can this forward render take the cross-depth GI wave
+    (ops/gi_wave.py)?  Decided here, OUTSIDE any jit, from the concrete
+    scene: the wave covers the packed+persistent single-point-light
+    Lambertian configuration (the official GI benchmark class); every
+    other feature combination falls back to the segment loop.
+    RenderConfig.gi_wave: "auto" | "on" (error if ineligible) | "off".
+    """
+    import numpy as np
+
+    cfg = prep.cfg
+    rcfg = cfg.render
+    scene = prep.scene
+    knob = rcfg.gi_wave
+    if knob == "off":
+        return False
+    ok = (
+        rcfg.gi_samples > 0
+        and rcfg.traversal == "packed"
+        and rcfg.scheduler == "persistent"
+        and not rcfg.faithful
+        and rcfg.det_dtype == "float32"
+        and jnp.dtype(rcfg.dtype) == jnp.dtype(jnp.float32)
+        and rcfg.normal_mode != "smooth"
+        and (rcfg.texture == "none" or scene.uvs is None)
+        and scene.env_image is None
+        and scene.extra_light_pos is None
+    )
+    if ok and rcfg.gi_specular:
+        # Lambertian-only: any reflective km > 0 would take the mirror
+        # branch the wave does not implement
+        km = np.asarray(scene.materials.km) * np.asarray(
+            scene.materials.reflective
+        ).astype(np.float32)
+        ok = bool((km == 0.0).all())
+    if knob == "on" and not ok:
+        raise ValueError(
+            "gi_wave='on' but the configuration is ineligible (needs "
+            "packed+persistent, one point light, no env/extra lights/"
+            "smooth/texture, float32 dets, no reflective km)"
+        )
+    return ok
+
+
+def _render_pt_wave(prep) -> jnp.ndarray:
+    """Forward GI through the cross-depth wave (ops/gi_wave.py)."""
+    from ray_tracer_tpu.ops.gi_wave import gi_wave_trace
+
+    cfg = prep.cfg
+    rcfg = cfg.render
+    scene = prep.scene
+    v0, v1, v2 = scene.triangle_soa()
+    tri9 = jnp.concatenate(
+        [v0, v1, v2, scene.face_material.astype(v0.dtype)[:, None]], axis=1
+    )
+    albedo_table = jnp.clip(scene.materials.base_color / 255.0, 0.0, 1.0)
+    pg = rcfg.primary_gate()
+    rad = gi_wave_trace(
+        scene.light_pos, scene.light_intensity, albedo_table, tri9,
+        prep.packed.arrays, prep.packed.meta,
+        camera=cfg.camera, S=rcfg.gi_samples, D=rcfg.gi_depth,
+        wave=rcfg.wave, pump=rcfg.pump,
+        gate0=0.0 if pg is None else pg, gate_b=rcfg.bounce_gate(),
+        eps=rcfg.shadow_eps, smint=rcfg.shadow_mint(),
+        quirk=rcfg.shadow_dir_away_from_light(),
+        bg=tuple(rcfg.background),
+    )
+    cam = cfg.camera
+    return (rad / rcfg.gi_samples).reshape(cam.height, cam.width, 3)
+
+
 def render_pt(prep) -> jnp.ndarray:
     """Path-traced render of a Prepared scene -> (H, W, 3) linear color
     (same units/shape contract as renderer.render).
 
-    The whole integrator runs under ONE jit (like the sharded image
-    fn), so single-device and sharded renders compile to the same
-    fused arithmetic and stay bitwise equal.  The jit wrapper is
-    module-level with static (meta, cfg) — an inner `@jax.jit def run`
-    closure would be a FRESH jit cache per call, re-tracing the whole
+    Eligible forward renders take the cross-depth persistent wave
+    (gi_wave_eligible above — forward-only, no gradients); everything
+    else runs the segment-loop integrator under ONE module-level jit
+    with static (meta, cfg) — an inner `@jax.jit def run` closure
+    would be a FRESH jit cache per call, re-tracing the whole
     multi-traversal graph every frame (measured: ~6 s/frame re-trace
     vs ~40 ms of device work at 512², gi_depth=0)."""
     cfg = prep.cfg
+    if gi_wave_eligible(prep):
+        return _render_pt_wave(prep)
     if cfg.render.traversal == "packed":
         grid, meta = prep.packed.arrays, prep.packed.meta
     else:

@@ -109,3 +109,100 @@ def test_render_ao_serial_no_self_occlusion():
                               radius=1.0))
     # open plane regions far from the spheres must be fully unoccluded
     assert (ao > 0.99).any(), f"max ao {ao.max()} — self-occlusion?"
+
+
+# ---------------------------------------------------------------------------
+# Sharded / ring AOV, AO and pixel debug (round 5)
+# ---------------------------------------------------------------------------
+
+
+def _packed_prep(tiny_prep):
+    cfg = dataclasses.replace(
+        tiny_prep.cfg,
+        render=dataclasses.replace(
+            tiny_prep.cfg.render, faithful=False, det_dtype="float32",
+            traversal="packed", ray_tile=64,
+        ),
+    )
+    return prepare(cfg, scene=tiny_prep.scene)
+
+
+def test_aovs_sharded_equals_single(tiny_prep, eight_device_mesh):
+    """Ray-sharded AOVs (replicated geometry) are bitwise equal to the
+    single-device buffers — the same invariant render_sharded pins."""
+    prep = _packed_prep(tiny_prep)
+    a = render_aovs(prep)
+    b = render_aovs(prep, mesh=eight_device_mesh)
+    for k in a:
+        np.testing.assert_array_equal(
+            np.asarray(a[k]), np.asarray(b[k]), err_msg=k
+        )
+
+
+def test_aovs_ring_equals_single(tiny_prep, eight_device_mesh):
+    """Ring-sharded AOVs (geometry sharded, winners carried): ids and
+    flags exact, float buffers to traversal arithmetic."""
+    prep = _packed_prep(tiny_prep)
+    a = render_aovs(prep)
+    b = render_aovs(prep, mesh=eight_device_mesh, ring=True)
+    hit = np.asarray(a["hit"])
+    np.testing.assert_array_equal(hit, np.asarray(b["hit"]))
+    np.testing.assert_array_equal(
+        np.asarray(a["tri_id"]), np.asarray(b["tri_id"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a["material_id"]), np.asarray(b["material_id"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(a["depth"])[hit], np.asarray(b["depth"])[hit],
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(a["normal"]), np.asarray(b["normal"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(a["position"]), np.asarray(b["position"]), atol=1e-4
+    )
+
+
+def test_ao_sharded_and_ring_equal_single(tiny_prep, eight_device_mesh):
+    """AO counts occluded hemisphere samples (integers per pixel), so
+    the sharded and ring variants must match the single-device map
+    exactly up to boundary samples; the ring runs every hemisphere
+    sample as an occlusion orbit."""
+    from ray_tracer_tpu.render.aov import render_ao
+
+    prep = _packed_prep(tiny_prep)
+    a = np.asarray(render_ao(prep, samples=8, radius=1.5))
+    s = np.asarray(render_ao(prep, samples=8, radius=1.5,
+                             mesh=eight_device_mesh))
+    np.testing.assert_array_equal(a, s)
+    g = np.asarray(render_ao(prep, samples=8, radius=1.5,
+                             mesh=eight_device_mesh, ring=True))
+    # per-pixel AO is k/8: allow at most one boundary sample to flip
+    assert np.abs(a - g).max() <= 1.0 / 8 + 1e-6
+    assert (np.abs(a - g) > 1e-6).mean() < 0.05
+
+
+def test_trace_pixel_ring_matches_single(tiny_prep, eight_device_mesh):
+    """The pixel debugger over ring-sharded geometry reports the same
+    hit topology and shading inputs as the single-device trace (steps
+    excepted — the orbit does not record them)."""
+    from ray_tracer_tpu.render.debug import trace_pixel
+
+    prep = _packed_prep(tiny_prep)
+    # pick a hit pixel
+    hit = np.asarray(render_aovs(prep)["hit"])
+    ys, xs = np.nonzero(hit)
+    y, x = int(ys[0]), int(xs[0])
+    a = trace_pixel(prep, x, y)
+    b = trace_pixel(prep, x, y, mesh=eight_device_mesh)
+    assert b["steps"] == -1
+    for k in ("pixel", "hit", "tri_id", "material_index", "in_shadow"):
+        assert a[k] == b[k], k
+    np.testing.assert_allclose(a["t"], b["t"], rtol=1e-5)
+    np.testing.assert_allclose(a["poi"], b["poi"], rtol=1e-4, atol=1e-5)
+    # and a miss pixel reports miss through the ring too
+    ys2, xs2 = np.nonzero(~hit)
+    m = trace_pixel(prep, int(xs2[0]), int(ys2[0]), mesh=eight_device_mesh)
+    assert m["hit"] is False

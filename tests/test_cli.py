@@ -131,3 +131,39 @@ def test_fit_command_with_feature_flags(tmp_path):
     cli.main(["fit", "--scene", "gradcheck", "--width", "8", "--steps", "2",
               "--fast", "--smooth-normals", "--extra-light", "0,8,0,0.5",
               "--env-file", env, "--trainable", "base_color"])
+
+
+def test_aov_sharded_and_ring_commands(tmp_path):
+    """Round 5: `aov --devices N [--ring]` — sharded and ring AOV/AO
+    export through the CLI, equal to the single-device buffers."""
+    single = str(tmp_path / "aov1.npz")
+    cli.main(["aov", "--scene", "gradcheck", "--width", "16", "--fast",
+              "--ao-samples", "4", "--out", single])
+    sharded = str(tmp_path / "aov8.npz")
+    cli.main(["aov", "--scene", "gradcheck", "--width", "16", "--fast",
+              "--ao-samples", "4", "--devices", "8", "--out", sharded])
+    ring = str(tmp_path / "aovr.npz")
+    cli.main(["aov", "--scene", "gradcheck", "--width", "16", "--fast",
+              "--ao-samples", "4", "--devices", "8", "--ring",
+              "--out", ring])
+    a, s, g = (np.load(p) for p in (single, sharded, ring))
+    for k in ("hit", "tri_id", "material_id"):
+        np.testing.assert_array_equal(a[k], s[k], err_msg=k)
+        np.testing.assert_array_equal(a[k], g[k], err_msg=k)
+    np.testing.assert_array_equal(a["ao"], s["ao"])
+    assert np.abs(a["ao"] - g["ao"]).max() <= 0.25 + 1e-6
+
+
+def test_debug_ring_command(capsys):
+    """`debug --devices N --ring` traces the pixel through ring orbits."""
+    cli.main(["debug", "--scene", "gradcheck", "--x", "8", "--y", "8",
+              "--fast"])
+    single = json.loads(capsys.readouterr().out)
+    cli.main(["debug", "--scene", "gradcheck", "--x", "8", "--y", "8",
+              "--fast", "--devices", "8", "--ring"])
+    ring = json.loads(capsys.readouterr().out)
+    assert ring["hit"] == single["hit"]
+    if single["hit"]:
+        assert ring["tri_id"] == single["tri_id"]
+        assert ring["in_shadow"] == single["in_shadow"]
+        assert ring["steps"] == -1
