@@ -142,14 +142,16 @@ def _bench_gi(prep, args, size: int) -> None:
     sync(render(prep))
     log(f"first GI render (incl compile): {_time.perf_counter() - t0:.1f}s")
     n = max(args.repeat, 2)
-    sec = float("inf")
+    chains = []
     for _ in range(max(args.rounds, 1)):
         t0 = _time.perf_counter()
         img = None
         for _ in range(n):
             img = render(prep)
         sync(img)
-        sec = min(sec, (_time.perf_counter() - t0) / n)
+        chains.append((_time.perf_counter() - t0) / n)
+    sec = min(chains)
+    med = sorted(chains)[len(chains) // 2]
     segments = size * size * args.gi * 2 * (args.gi_depth + 1)
     print(json.dumps({
         "metric": f"gi_mrays_per_s_{args.scene}",
@@ -157,11 +159,62 @@ def _bench_gi(prep, args, size: int) -> None:
         "unit": "Mrays/s (path+NEE segments)",
         "vs_baseline": 0.0,  # the reference has no GI integrator
         "seconds_per_frame": round(sec, 4),
+        "secs_chains": [round(c, 4) for c in chains],
         "size": size,
         "gi_samples": args.gi,
         "gi_depth": args.gi_depth,
         "paths_per_s_m": round(size * size * args.gi / sec / 1e6, 4),
+        "paths_per_s_m_median": round(
+            size * size * args.gi / med / 1e6, 4
+        ),
     }))
+
+
+SUITE = (
+    # the recorded per-round benchmark table (BENCH_r{N}.json "rows"):
+    # both flagship resolutions incl. the BASELINE config-5 2048^2, the
+    # reflective CUDA-variant scene and the official GI configuration
+    {"workload": "spot_1024", "args": ["--scene", "spot", "--size", "1024"]},
+    {"workload": "spot_2048", "args": ["--scene", "spot", "--size", "2048"]},
+    {"workload": "nefertiti_1024",
+     "args": ["--scene", "nefertiti", "--size", "1024"]},
+    {"workload": "nefertiti_2048",
+     "args": ["--scene", "nefertiti", "--size", "2048"]},
+    {"workload": "parallel_1024",
+     "args": ["--scene", "parallel", "--size", "1024"]},
+    {"workload": "gi_spot_1024_s4d2",
+     "args": ["--scene", "spot", "--size", "1024", "--gi", "4"]},
+)
+
+
+def run_suite(timeout_s: float) -> None:
+    """One row per workload, each measured in its own subprocess (a
+    failure or hang in one cannot lose the others' numbers), emitted as
+    ONE JSON line whose headline fields are the primary spot 1024^2
+    metric and whose "rows" list carries every workload with best +
+    median + per-chain spread (the round-4 verdict's recorded-evidence
+    ask)."""
+    rows = []
+    for w in SUITE:
+        cmd = [sys.executable, os.path.abspath(__file__)] + w["args"]
+        log(f"suite: {w['workload']} ...")
+        try:
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 timeout=timeout_s)
+            line = (out.stdout or "").strip().splitlines()[-1]
+            row = json.loads(line)
+            if out.returncode != 0 and "error" not in row:
+                row["error"] = f"rc={out.returncode}"
+        except Exception as e:
+            row = {"error": f"{type(e).__name__}: {e}"}
+        row["workload"] = w["workload"]
+        rows.append(row)
+        log(f"suite: {w['workload']} -> "
+            f"{row.get('value', row.get('error'))}")
+    head = next((r for r in rows if r["workload"] == "spot_1024"), rows[0])
+    rec = dict(head)
+    rec["rows"] = rows
+    print(json.dumps(rec))
 
 
 def main() -> None:
@@ -176,7 +229,15 @@ def main() -> None:
         except Exception:
             pass
     ap = argparse.ArgumentParser()
-    ap.add_argument("--size", type=int, default=1024)
+    ap.add_argument("--size", type=int, default=None,
+                    help="render resolution (default 1024)")
+    ap.add_argument("--suite", default="auto", choices=["auto", "on", "off"],
+                    help="run the full recorded workload table (one row "
+                         "per workload with best/median/spread) instead "
+                         "of a single measurement; 'auto' = suite when "
+                         "invoked bare (the driver's `python bench.py`), "
+                         "single when --scene/--size/--gi/--grad given")
+    ap.add_argument("--suite-timeout", type=float, default=1500.0)
     ap.add_argument("--oracle-size", type=int, default=None,
                     help="oracle baseline resolution (default: same as "
                          "--size, so vs_baseline is same-scene-same-size)")
@@ -187,7 +248,7 @@ def main() -> None:
     ap.add_argument("--rounds", type=int, default=3,
                     help="timed chains; the fastest is reported (transient "
                          "shared-host stalls only ever slow a chain)")
-    ap.add_argument("--scene", default="spot",
+    ap.add_argument("--scene", default=None,
                     choices=["spot", "nefertiti", "parallel"],
                     help="spot = BASELINE config 3 (primary metric); "
                          "nefertiti = config 4 (260k-tri stand-in); "
@@ -204,6 +265,12 @@ def main() -> None:
                     help="cross-depth GI wave (ops/gi_wave.py): the bench "
                          "opts in ('auto'); 'off' = the per-(sample,depth) "
                          "segment loop for A/B")
+    ap.add_argument("--whitted-wave", default=None,
+                    choices=["auto", "on", "off"],
+                    help="cross-depth Whitted wave (ops/whitted_wave.py): "
+                         "default = the per-scene tuned policy (on for "
+                         "the mirror scene, off for single-depth scenes "
+                         "where the fused march already is one wave)")
     ap.add_argument("--trainable",
                     default="base_color,kd,ks,ka,light_pos",
                     help="comma list of SceneParams fields to differentiate "
@@ -246,6 +313,14 @@ def main() -> None:
                          "the axon relay has been seen hanging init for "
                          "40+ minutes when the TPU is unreachable")
     args = ap.parse_args()
+    suite = args.suite == "on" or (
+        args.suite == "auto" and args.scene is None and args.size is None
+        and args.gi == 0 and not args.grad
+    )
+    if args.scene is None:
+        args.scene = "spot"
+    if args.size is None:
+        args.size = 1024
 
     # Fail FAST with a diagnostic line instead of hanging the driver
     # when the tunneled backend is down: probe device init in a child
@@ -283,6 +358,10 @@ def main() -> None:
             }))
             sys.exit(1)
 
+    if suite:
+        run_suite(args.suite_timeout)
+        return
+
     # Per-scene tuned defaults from the ONE shared knob table
     # (ray_tracer_tpu.config.TUNED_KNOBS, also behind the CLI's --turbo;
     # sweep-measured on v5e, docs/PERFORMANCE.md): sparse spot wants
@@ -307,6 +386,8 @@ def main() -> None:
     exact = (_tuned["exact"] if args.exact is None else args.exact == "on")
     if args.order is None:
         args.order = _tuned.get("order", "fifo")
+    if args.whitted_wave is None:
+        args.whitted_wave = "auto" if _tuned.get("wwave") else "off"
     if args.probe_chain is None:
         args.probe_chain = _tuned.get("chain", 1)
 
@@ -375,9 +456,15 @@ def main() -> None:
     log(f"auto camera_refill: {refill}")
     cfg = dataclasses.replace(
         cfg, render=dataclasses.replace(cfg.render, fused_shadow=fused,
-                                        camera_refill=refill)
+                                        camera_refill=refill,
+                                        whitted_wave=args.whitted_wave)
     )
     prep = prep._replace(cfg=cfg)
+    if not args.grad and args.gi == 0:
+        from ray_tracer_tpu.render.renderer import whitted_wave_eligible
+
+        log(f"whitted_wave: {args.whitted_wave} -> "
+            f"{'wave' if whitted_wave_eligible(prep) else 'bounce loop'}")
 
     if args.grad:
         _bench_grad(prep, args, size)
@@ -399,14 +486,16 @@ def main() -> None:
     # Chain N dispatches, sync once: amortizes the ~45 ms relay round-trip.
     # Best-of over a few chains: relay/host noise only ever slows a chain.
     n = max(args.repeat, 2)
-    sec = float("inf")
+    chains = []
     for _ in range(max(args.rounds, 1)):
         t0 = time.perf_counter()
         img = None
         for _ in range(n):
             img = render(prep)
         sync(img)
-        sec = min(sec, (time.perf_counter() - t0) / n)
+        chains.append((time.perf_counter() - t0) / n)
+    sec = min(chains)
+    med = sorted(chains)[len(chains) // 2]
 
     rays = size * size * 2  # primary + shadow (BASELINE.md primary metric)
     mrays = rays / sec / 1e6
@@ -418,6 +507,11 @@ def main() -> None:
         "unit": "Mrays/s",
         "vs_baseline": round(vs, 4),
         "seconds_per_frame": round(sec, 4),
+        # per-chain spread: best-of is the record (host noise only ever
+        # slows a chain), median + the raw chains expose the spread so
+        # a regression cannot hide inside host variance
+        "value_median": round(rays / med / 1e6, 4),
+        "secs_chains": [round(c, 4) for c in chains],
         "size": size,
         "oracle_mrays_per_s": round(base, 4),
         "device": str(jax.devices()[0]),

@@ -324,6 +324,19 @@ class RenderConfig:
     # independent scenes the two are exactly equal
     # (tests/test_pathtrace.py); bench.py and `cli --turbo` opt in.
     gi_wave: str = "off"
+    # Cross-depth WHITTED wave (round 5, ops/whitted_wave.py): the
+    # mirror recursion's twin of gi_wave — one persistent while_loop
+    # serves primary -> shadow -> shade -> mirror bounce -> ... per
+    # pixel, with the Blinn-Phong vertex shading evaluated in-wave at
+    # retirement.  Same contract as gi_wave: "auto" for eligible
+    # forward renders (packed+persistent, one point light, spp 1, face
+    # normals, no texture/env/extra lights, no soft shadows/silhouette
+    # softening, float32 dets), "on" requires it, "off" (default) keeps
+    # the per-depth bounce loop.  Forward-only; images match the bounce
+    # loop to float association (the km blend accumulates forward
+    # instead of folding deepest-first) — the bit-faithful goldens stay
+    # on the default path.  bench.py and `cli --turbo` opt in.
+    whitted_wave: str = "off"
     # Packed path: fuse the shadow pass into the primary march (lanes
     # rearm as their own shadow ray on primary retirement) — fewer
     # while-loop instances, shadow work overlaps the primary tail.
@@ -422,14 +435,20 @@ TUNED_KNOBS = {
     # Sparse spot keeps its knobs (w12288 still the measured knee);
     # parallel keeps w8192 (the w6144 +5% was measured on the
     # primary-only sweep harness, not the full bounce pipeline).
+    # wwave: the cross-depth Whitted wave (ops/whitted_wave.py) is a
+    # MIRROR-scene win (+25% on the 3-bounce parallel scene: the
+    # per-depth queue sweeps and dead-lane epilogues it deletes).  On
+    # single-depth scenes the fused persistent march already is one
+    # wave, so the wave's per-round vertex-resolve gathers only add
+    # cost (nefertiti 12.4 -> 9.0 measured) — tuned off there.
     "serial": dict(block_tris=14, rm=2.0, max_res=128, wave=12288, pump=4,
-                   exact=True),
+                   exact=True, wwave=False),
     "nefertiti": dict(block_tris=14, rm=2.0, max_res=128, wave=4608, pump=4,
-                      exact=True),
+                      exact=True, wwave=False),
     "parallel": dict(block_tris=14, rm=2.0, max_res=64, wave=8192, pump=4,
-                     exact=True),
+                     exact=True, wwave=True),
     None: dict(block_tris=0, rm=3.0, max_res=64, wave=8192, pump=2,
-               exact=True),
+               exact=True, wwave=False),
 }
 
 
@@ -446,7 +465,8 @@ def apply_turbo(cfg: "SceneConfig", scene_family: "str | None") -> "SceneConfig"
             cfg.render,
             faithful=False, det_dtype="float32",
             traversal="packed", scheduler="persistent",
-            gi_wave="auto",  # the tuned pipeline opts into the GI wave
+            gi_wave="auto",  # the tuned pipeline opts into the waves
+            whitted_wave="auto" if k.get("wwave") else "off",
             packed_block_tris=k["block_tris"],
             wave=k["wave"], pump=k["pump"],
             # only override when the knob table actually records a

@@ -678,6 +678,8 @@ def _render_pt_wave(prep) -> jnp.ndarray:
         eps=rcfg.shadow_eps, smint=rcfg.shadow_mint(),
         quirk=rcfg.shadow_dir_away_from_light(),
         bg=tuple(rcfg.background),
+        refill_retries=(3 if rcfg.refill_retries is None
+                        else rcfg.refill_retries),
     )
     cam = cfg.camera
     return (rad / rcfg.gi_samples).reshape(cam.height, cam.width, 3)

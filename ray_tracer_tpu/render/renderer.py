@@ -843,15 +843,90 @@ def _render_image(scene: Scene, grid, meta, cfg: SceneConfig):
     return colors.reshape(cfg.camera.height, cfg.camera.width, 3)
 
 
+def whitted_wave_eligible(prep: Prepared) -> bool:
+    """Can this forward render take the cross-depth Whitted wave
+    (ops/whitted_wave.py)?  Same opt-in contract as the GI wave:
+    RenderConfig.whitted_wave "auto" | "on" (error if ineligible) |
+    "off" (default)."""
+    cfg = prep.cfg
+    rcfg = cfg.render
+    scene = prep.scene
+    knob = rcfg.whitted_wave
+    if knob == "off":
+        return False
+    ok = (
+        rcfg.gi_samples == 0
+        and rcfg.traversal == "packed"
+        and rcfg.scheduler == "persistent"
+        and not rcfg.faithful
+        and rcfg.det_dtype == "float32"
+        and jnp.dtype(rcfg.dtype) == jnp.dtype(jnp.float32)
+        and rcfg.spp == 1
+        and rcfg.normal_mode != "smooth"
+        and (rcfg.texture == "none" or scene.uvs is None)
+        and scene.env_image is None
+        and scene.extra_light_pos is None
+        and rcfg.soft_visibility <= 0.0
+        and rcfg.soft_primary <= 0.0
+        and not (rcfg.shadow_samples > 1 and rcfg.light_radius > 0)
+        and cfg.camera.aperture == 0.0
+    )
+    if knob == "on" and not ok:
+        raise ValueError(
+            "whitted_wave='on' but the configuration is ineligible "
+            "(needs packed+persistent forward, one point light, spp 1, "
+            "face normals, no texture/env/extra lights, no softening, "
+            "float32 dets)"
+        )
+    return ok
+
+
+def _render_whitted_wave(prep: Prepared) -> jnp.ndarray:
+    from ray_tracer_tpu.ops.whitted_wave import whitted_wave_trace
+
+    cfg = prep.cfg
+    rcfg = cfg.render
+    scene = prep.scene
+    v0, v1, v2 = scene.triangle_soa()
+    tri9 = jnp.concatenate(
+        [v0, v1, v2, scene.face_material.astype(v0.dtype)[:, None]], axis=1
+    )
+    m = scene.materials
+    mat10 = jnp.stack(
+        [m.base_color[:, 0], m.base_color[:, 1], m.base_color[:, 2],
+         m.kd, m.ks, m.spec_alpha, m.ka, m.km,
+         m.reflective.astype(jnp.float32)], axis=1
+    )
+    pg = rcfg.primary_gate()
+    col = whitted_wave_trace(
+        scene.light_pos, scene.light_intensity, mat10, tri9,
+        prep.packed.arrays, prep.packed.meta,
+        camera=cfg.camera, max_bounces=rcfg.max_bounces,
+        serial=rcfg.serial_shading,
+        wave=rcfg.wave, pump=rcfg.pump,
+        gate0=0.0 if pg is None else pg, gate_b=rcfg.bounce_gate(),
+        eps=rcfg.shadow_eps, smint=rcfg.shadow_mint(),
+        quirk=rcfg.shadow_dir_away_from_light(),
+        shadow_scale=rcfg.shadow_scale, bg=tuple(rcfg.background),
+        refill_retries=(3 if rcfg.refill_retries is None
+                        else rcfg.refill_retries),
+    )
+    return col.reshape(cfg.camera.height, cfg.camera.width, 3)
+
+
 def render(prep: Prepared) -> jnp.ndarray:
     """Render the prepared scene -> (H, W, 3) float32 linear color.
 
     gi_samples > 0 switches to the path-traced global-illumination
-    integrator (render/pathtrace.py) over the same traversal backend."""
+    integrator (render/pathtrace.py) over the same traversal backend;
+    eligible forward renders with whitted_wave on take the cross-depth
+    persistent wave (ops/whitted_wave.py, forward-only)."""
     if prep.cfg.render.gi_samples > 0:
         from ray_tracer_tpu.render.pathtrace import render_pt
 
         return render_pt(prep)
+    if whitted_wave_eligible(prep):
+        return _render_whitted_wave(prep)
     if prep.cfg.render.traversal == "packed":
         return _render_image(
             prep.scene, prep.packed.arrays, prep.packed.meta, prep.cfg
