@@ -388,6 +388,14 @@ def main() -> None:
         args.order = _tuned.get("order", "fifo")
     if args.whitted_wave is None:
         args.whitted_wave = "auto" if _tuned.get("wwave") else "off"
+    if args.whitted_wave != "off" and _tuned.get("wwave"):
+        # the cross-depth wave's own measured knee (see TUNED_KNOBS):
+        # the transition pass amortizes over pump, so its knee sits far
+        # beyond the plain fused march's
+        if "--pump" not in sys.argv:
+            args.pump = _tuned.get("wwave_pump", args.pump)
+        if "--wave" not in sys.argv:
+            args.wave = _tuned.get("wwave_wave", args.wave)
     if args.probe_chain is None:
         args.probe_chain = _tuned.get("chain", 1)
 

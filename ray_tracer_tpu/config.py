@@ -445,8 +445,14 @@ TUNED_KNOBS = {
                    exact=True, wwave=False),
     "nefertiti": dict(block_tris=14, rm=2.0, max_res=128, wave=4608, pump=4,
                       exact=True, wwave=False),
+    # wwave_pump/wwave_wave: the cross-depth wave's own knee — its
+    # per-round transition (vertex resolve + in-wave shading) amortizes
+    # over pump march steps, pushing the knee far beyond the plain
+    # fused march's (sweep: pump 4/6/8/10/12/14/16 = 11.2/10.8/11.3/
+    # 13.1/11.6/11.3/10.6 at wave 8192; wave 12288 at pump 10 = 13.7)
     "parallel": dict(block_tris=14, rm=2.0, max_res=64, wave=8192, pump=4,
-                     exact=True, wwave=True),
+                     exact=True, wwave=True, wwave_pump=10,
+                     wwave_wave=12288),
     None: dict(block_tris=0, rm=3.0, max_res=64, wave=8192, pump=2,
                exact=True, wwave=False),
 }
@@ -459,6 +465,7 @@ def apply_turbo(cfg: "SceneConfig", scene_family: "str | None") -> "SceneConfig"
     import dataclasses
 
     k = TUNED_KNOBS.get(scene_family, TUNED_KNOBS[None])
+    wwave = bool(k.get("wwave"))
     return dataclasses.replace(
         cfg,
         render=dataclasses.replace(
@@ -466,9 +473,10 @@ def apply_turbo(cfg: "SceneConfig", scene_family: "str | None") -> "SceneConfig"
             faithful=False, det_dtype="float32",
             traversal="packed", scheduler="persistent",
             gi_wave="auto",  # the tuned pipeline opts into the waves
-            whitted_wave="auto" if k.get("wwave") else "off",
+            whitted_wave="auto" if wwave else "off",
             packed_block_tris=k["block_tris"],
-            wave=k["wave"], pump=k["pump"],
+            wave=k.get("wwave_wave", k["wave"]) if wwave else k["wave"],
+            pump=k.get("wwave_pump", k["pump"]) if wwave else k["pump"],
             # only override when the knob table actually records a
             # value — otherwise an explicit user refill_retries would
             # be silently reset to auto
