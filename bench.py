@@ -398,6 +398,9 @@ def main() -> None:
             args.wave = _tuned.get("wwave_wave", args.wave)
     if args.probe_chain is None:
         args.probe_chain = _tuned.get("chain", 1)
+    if args.gi > 0 and "--pump" not in sys.argv:
+        # the GI wave's own pump knee (TUNED_KNOBS gi_pump)
+        args.pump = _tuned.get("gi_pump", args.pump)
 
     import dataclasses
 

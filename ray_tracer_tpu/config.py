@@ -441,8 +441,10 @@ TUNED_KNOBS = {
     # single-depth scenes the fused persistent march already is one
     # wave, so the wave's per-round vertex-resolve gathers only add
     # cost (nefertiti 12.4 -> 9.0 measured) — tuned off there.
+    # gi_pump: the GI wave's own pump knee (sweep at the official GI
+    # config: pump 4/6/8 = 43.3/47.8/45.6 Mpaths/s; wave 16384 loses)
     "serial": dict(block_tris=14, rm=2.0, max_res=128, wave=12288, pump=4,
-                   exact=True, wwave=False),
+                   exact=True, wwave=False, gi_pump=6),
     "nefertiti": dict(block_tris=14, rm=2.0, max_res=128, wave=4608, pump=4,
                       exact=True, wwave=False),
     # wwave_pump/wwave_wave: the cross-depth wave's own knee — its
@@ -476,7 +478,10 @@ def apply_turbo(cfg: "SceneConfig", scene_family: "str | None") -> "SceneConfig"
             whitted_wave="auto" if wwave else "off",
             packed_block_tris=k["block_tris"],
             wave=k.get("wwave_wave", k["wave"]) if wwave else k["wave"],
-            pump=k.get("wwave_pump", k["pump"]) if wwave else k["pump"],
+            pump=(k.get("gi_pump", k["pump"])
+                  if cfg.render.gi_samples > 0
+                  else (k.get("wwave_pump", k["pump"]) if wwave
+                        else k["pump"])),
             # only override when the knob table actually records a
             # value — otherwise an explicit user refill_retries would
             # be silently reset to auto
