@@ -388,10 +388,13 @@ def main() -> None:
         args.order = _tuned.get("order", "fifo")
     if args.whitted_wave is None:
         args.whitted_wave = "auto" if _tuned.get("wwave") else "off"
-    if args.whitted_wave != "off" and _tuned.get("wwave"):
-        # the cross-depth wave's own measured knee (see TUNED_KNOBS):
+    if (args.whitted_wave != "off" and _tuned.get("wwave")
+            and args.gi == 0 and not args.grad):
+        # the cross-depth Whitted wave's own measured knee (TUNED_KNOBS):
         # the transition pass amortizes over pump, so its knee sits far
-        # beyond the plain fused march's
+        # beyond the plain fused march's.  Forward renders only — GI and
+        # grad runs never take the Whitted wave, so they keep their own
+        # tuned knobs.
         if "--pump" not in sys.argv:
             args.pump = _tuned.get("wwave_pump", args.pump)
         if "--wave" not in sys.argv:

@@ -477,7 +477,10 @@ def apply_turbo(cfg: "SceneConfig", scene_family: "str | None") -> "SceneConfig"
             gi_wave="auto",  # the tuned pipeline opts into the waves
             whitted_wave="auto" if wwave else "off",
             packed_block_tris=k["block_tris"],
-            wave=k.get("wwave_wave", k["wave"]) if wwave else k["wave"],
+            # the wwave knobs apply only to renders that actually take
+            # the Whitted wave (gi_samples > 0 never does)
+            wave=(k.get("wwave_wave", k["wave"])
+                  if wwave and cfg.render.gi_samples == 0 else k["wave"]),
             pump=(k.get("gi_pump", k["pump"])
                   if cfg.render.gi_samples > 0
                   else (k.get("wwave_pump", k["pump"]) if wwave

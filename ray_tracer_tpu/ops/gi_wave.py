@@ -67,66 +67,15 @@ _INV_PI = 0.3183098861837907
 _SALT = 0x632BE59B  # per-sample key stride (render/pathtrace.py)
 
 
-def _hash_u01_dyn(x: jnp.ndarray, salt: jnp.ndarray) -> jnp.ndarray:
-    """pathtrace._hash_u01 with a TRACED salt (the lane's depth is a
-    carry value here, not a Python loop index).  uint32 arithmetic
-    wraps identically, so values match the Python-salt version bit for
-    bit."""
-    x = (x.astype(jnp.uint32) + salt.astype(jnp.uint32)) ^ jnp.uint32(
-        0x9E3779B9
-    )
-    x = x ^ (x >> 16)
-    x = x * jnp.uint32(0x7FEB352D)
-    x = x ^ (x >> 15)
-    x = x * jnp.uint32(0x846CA68B)
-    x = x ^ (x >> 16)
-    return (x >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
-
-
-def _cosine_sample_dyn(n, u1, u2):
-    """pathtrace._cosine_sample (Duff et al. ONB), same arithmetic."""
-    s = jnp.where(n[:, 2] >= 0.0, 1.0, -1.0)
-    a = -1.0 / (s + n[:, 2])
-    b = n[:, 0] * n[:, 1] * a
-    b1 = jnp.stack(
-        [1.0 + s * n[:, 0] * n[:, 0] * a, s * b, -s * n[:, 0]], axis=-1
-    )
-    b2 = jnp.stack([b, s + n[:, 1] * n[:, 1] * a, -n[:, 1]], axis=-1)
-    r = jnp.sqrt(u1)
-    phi = (2.0 * jnp.pi) * u2
-    x = r * jnp.cos(phi)
-    y = r * jnp.sin(phi)
-    z = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
-    return x[:, None] * b1 + y[:, None] * b2 + z[:, None] * n
-
-
-def _normalize(a):
-    n2 = jnp.sum(a * a, axis=-1)
-    inv = jnp.where(n2 > 0, 1.0 / jnp.sqrt(jnp.where(n2 > 0, n2, 1.0)), 0.0)
-    return a * inv[..., None]
-
-
-def _cross(a, b):
-    ax, ay, az = a[..., 0], a[..., 1], a[..., 2]
-    bx, by, bz = b[..., 0], b[..., 1], b[..., 2]
-    return jnp.stack(
-        [ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx], axis=-1
-    )
-
-
-def _ray_key(orig, dirn):
-    """Per-ray sample key: hash of the ray's own bits (pathtrace.py's
-    padding/permutation/sharding-invariant convention)."""
-    ob = jax.lax.bitcast_convert_type(orig.astype(jnp.float32), jnp.uint32)
-    db = jax.lax.bitcast_convert_type(dirn.astype(jnp.float32), jnp.uint32)
-    return (
-        db[:, 0] * jnp.uint32(0x85EBCA6B)
-        ^ db[:, 1] * jnp.uint32(0xC2B2AE35)
-        ^ db[:, 2] * jnp.uint32(0x27D4EB2F)
-        ^ ob[:, 0] * jnp.uint32(0x165667B1)
-        ^ ob[:, 1] * jnp.uint32(0x9E3779B1)
-        ^ ob[:, 2] * jnp.uint32(0xFC0589B5)
-    )
+# Parity-critical sampling arithmetic is imported from the segment
+# integrator — ONE definition (render/pathtrace.py), so the wave's
+# bitwise agreement with the segment loop's draws cannot drift.
+from ray_tracer_tpu.core import vecmath as vm
+from ray_tracer_tpu.render.pathtrace import (
+    _cosine_sample,
+    _hash_u01,
+    ray_sample_keys,
+)
 
 
 @partial(
@@ -183,11 +132,18 @@ def gi_wave_trace(
     bg_acc = np.zeros(3, np.float32)
     for _ in range(S):
         bg_acc = (bg_acc + np.asarray(bg, np.float32)).astype(np.float32)
+    bg_acc_j = jnp.asarray(bg_acc)
 
     from ray_tracer_tpu.ops.traverse_packed import _default_max_steps
 
+    # per-SEGMENT lane-step bound: a lane caught in the march's
+    # boundary-creep (the relative probe nudge can advance ~4e-6/step
+    # on degenerate boundary rays) retires as its best-so-far at the
+    # tiled traversal's own worst-case bound instead of spinning the
+    # whole wave to max_rounds and silently discarding its pixel.
+    seg_bound = _default_max_steps(meta)
     if max_iters is None:
-        per_ray = _default_max_steps(meta) * 2 * (D + 1) * S
+        per_ray = seg_bound * 2 * (D + 1) * S
         max_iters = -(-r * per_ray // w) + per_ray + 64
     max_rounds = -(-max_iters // pump)
 
@@ -207,6 +163,7 @@ def gi_wave_trace(
         # estimator state machine
         ray_id=jnp.full((w,), r, jnp.int32),
         phase=zb,            # False = path segment, True = NEE shadow
+        lsteps=zi,           # steps in the CURRENT segment (see seg_bound)
         depth=zi,            # current vertex/segment depth
         samp=zi,             # current sample index
         key0=zf.astype(jnp.uint32),
@@ -247,7 +204,7 @@ def gi_wave_trace(
             gen.maxt.astype(jnp.float32),
         )
         live = got & entered
-        key0 = _ray_key(gen.orig, gen.dirn)
+        key0 = ray_sample_keys(gen.orig, gen.dirn)
         return dict(
             s,
             o=o, d=d,
@@ -262,6 +219,7 @@ def gi_wave_trace(
             best_blk=jnp.where(got, 0, s["best_blk"]),
             best_slot=jnp.where(got, 0, s["best_slot"]),
             phase=jnp.where(got, False, s["phase"]),
+            lsteps=jnp.where(got, 0, s["lsteps"]),
             depth=jnp.where(got, 0, s["depth"]),
             samp=jnp.where(got, 0, s["samp"]),
             key0=jnp.where(got, key0, s["key0"]),
@@ -297,11 +255,12 @@ def gi_wave_trace(
         hit_now = jnp.isfinite(best_t)
         walked = pre_alive & ~alive
         phase = s["phase"]
+        timeout = alive & (s["lsteps"] > seg_bound)
 
         # ---- segment retirement (path phase) --------------------------
         limit = jnp.minimum(s["maxt"], best_t)
         seg_done = ~phase & (
-            (alive & ~testing & (s["t_cur"] > limit)) | walked
+            (alive & ~testing & (s["t_cur"] > limit)) | walked | timeout
         )
         hitP = seg_done & hit_now
         missP = seg_done & ~hit_now
@@ -329,7 +288,7 @@ def gi_wave_trace(
         poi_r = o_safe + s["d"] * t_r[:, None]  # integrator vertex
         t_m = jnp.where(hit_now, best_t, 0.0)
         poi_m = s["o"] + s["d"] * t_m[:, None]  # fused-shadow origin
-        gn = _normalize(_cross(tv1 - tv0, tv2 - tv0))
+        gn = vm.normalize(vm.cross(tv1 - tv0, tv2 - tv0))
         flip = jnp.sum(gn * s["d"], axis=-1) > 0.0
         n = jnp.where(flip[:, None], -gn, gn)
         alb = alb_tab[jnp.clip(matid, 0, n_mats - 1)]
@@ -362,7 +321,7 @@ def gi_wave_trace(
         vcur = s["vcur"] + jnp.where(imm[:, None], pend_new, 0.0)
 
         # ---- shadow retirement ----------------------------------------
-        sh_done = phase & ((alive & hit_now) | walked)
+        sh_done = phase & ((alive & hit_now) | walked | timeout)
         occ = sh_done & hit_now
         vcur = vcur + jnp.where(
             (sh_done & ~occ)[:, None], s["pend"], 0.0
@@ -388,9 +347,9 @@ def gi_wave_trace(
         key_s = s["key0"] + jnp.uint32(_SALT) * (
             s["samp"].astype(jnp.uint32) + 1
         )
-        u1 = _hash_u01_dyn(key_s, jnp.uint32(0x1000193) * saltd)
-        u2 = _hash_u01_dyn(key_s, jnp.uint32(0x5BD1E995) * saltd + 7)
-        ndir = _cosine_sample_dyn(nrm_v, u1, u2)
+        u1 = _hash_u01(key_s, jnp.uint32(0x1000193) * saltd)
+        u2 = _hash_u01(key_s, jnp.uint32(0x5BD1E995) * saltd + 7)
+        ndir = _cosine_sample(nrm_v, u1, u2)
         tpt_b = s["tpt"] * alb_v
         stb, entb = _slab_entry(
             grid, vpos_v, ndir, jnp.full((w,), jnp.float32(eps)),
@@ -433,6 +392,7 @@ def gi_wave_trace(
                 cursor=jnp.where(mask, 0, cur["cursor"]),
                 testing=cur["testing"] & ~mask,
                 phase=jnp.where(mask, phase_n, cur["phase"]),
+                lsteps=jnp.where(mask, 0, cur["lsteps"]),
                 depth=jnp.where(mask, depth_n, cur["depth"]),
                 tpt=jnp.where(m1, tpt_n, cur["tpt"]),
                 alive=cur["alive"] | mask,
@@ -455,6 +415,10 @@ def gi_wave_trace(
         # fully resolves within the round (no pending states)
         pix_done = prim_miss
         rad = new["rad"]
+        # depth-0 miss: EVERY sample sees the background — latch the
+        # sequential S-sum (rad is still 0 here; without this the flush
+        # scattered 0 over the correctly-initialized output row)
+        rad = jnp.where(prim_miss[:, None], bg_acc_j, rad)
         vcur = new["vcur"]
         samp = new["samp"]
         for _ in range(S):
@@ -472,9 +436,9 @@ def gi_wave_trace(
             key_r = new["key0"] + jnp.uint32(_SALT) * (
                 samp_n.astype(jnp.uint32) + 1
             )
-            u1r = _hash_u01_dyn(key_r, jnp.uint32(0x1000193))
-            u2r = _hash_u01_dyn(key_r, jnp.uint32(0x5BD1E995) + 7)
-            ndir_r = _cosine_sample_dyn(new["n0"], u1r, u2r)
+            u1r = _hash_u01(key_r, jnp.uint32(0x1000193))
+            u2r = _hash_u01(key_r, jnp.uint32(0x5BD1E995) + 7)
+            ndir_r = _cosine_sample(new["n0"], u1r, u2r)
             str_, entr = _slab_entry(
                 grid, new["poi0"], ndir_r,
                 jnp.full((w,), jnp.float32(eps)), jnp.full((w,), inf),
@@ -509,6 +473,7 @@ def gi_wave_trace(
                 s, o=s["o"], d=s["d"], invd=1.0 / s["d"], gate=s["gate"],
                 maxt=s["maxt"], grid=grid, meta=meta,
             )
+        s = dict(s, lsteps=s["lsteps"] + jnp.where(pre_alive, pump, 0))
         s = transition(s, pre_alive)
         # ---- one scatter per round flushes the latches ----------------
         flushed = s["done_acc"]

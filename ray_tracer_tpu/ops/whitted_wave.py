@@ -45,25 +45,10 @@ from ray_tracer_tpu.ops.traverse_packed import _march_step, _slab_entry
 _INF = float("inf")
 
 
-def _normalize(a):
-    n2 = jnp.sum(a * a, axis=-1)
-    inv = jnp.where(n2 > 0, 1.0 / jnp.sqrt(jnp.where(n2 > 0, n2, 1.0)), 0.0)
-    return a * inv[..., None]
-
-
-def _cross(a, b):
-    ax, ay, az = a[..., 0], a[..., 1], a[..., 2]
-    bx, by, bz = b[..., 0], b[..., 1], b[..., 2]
-    return jnp.stack(
-        [ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx], axis=-1
-    )
-
-
-def _pow_safe(base, exponent):
-    pos = base > 0
-    safe = jnp.where(pos, base, 1.0)
-    zero_pow = jnp.where(exponent == 0, 1.0, 0.0)
-    return jnp.where(pos, jnp.power(safe, exponent), zero_pow)
+# Shared arithmetic — ONE definition each (core/vecmath, ops/shade),
+# so the wave's shading cannot drift from the renderer's.
+from ray_tracer_tpu.core import vecmath as vm
+from ray_tracer_tpu.ops.shade import _pow_safe
 
 
 @partial(
@@ -77,7 +62,7 @@ def _pow_safe(base, exponent):
 def whitted_wave_trace(
     light_pos: jnp.ndarray,
     light_intensity: jnp.ndarray,
-    mat10: jnp.ndarray,
+    mat9: jnp.ndarray,
     tri9: jnp.ndarray,
     grid: PackedGridArrays,
     meta: PackedGridMeta,
@@ -99,15 +84,15 @@ def whitted_wave_trace(
 ) -> jnp.ndarray:
     """Whitted-shaded color per pixel -> (H*W, 3) f32.
 
-    mat10: (M, 10) material rows [base rgb, kd, ks, spec_alpha, ka, km,
-    reflective, pad]; tri9: (F, 10) packed triangle rows with the
+    mat9: (M, 9) material rows [base r, g, b, kd, ks, spec_alpha, ka,
+    km, reflective]; tri9: (F, 10) packed triangle rows with the
     material index in lane 9 (the renderer's layout)."""
     r = camera.width * camera.height
     w = min(wave, r)
     bt = meta.block_tris
     n_slots = grid.slot_tri.shape[0]
     n_faces = tri9.shape[0]
-    n_mats = mat10.shape[0]
+    n_mats = mat9.shape[0]
     inf = jnp.float32(_INF)
     light = light_pos.astype(jnp.float32)
     li = light_intensity.astype(jnp.float32)
@@ -116,8 +101,11 @@ def whitted_wave_trace(
 
     from ray_tracer_tpu.ops.traverse_packed import _default_max_steps
 
+    # per-SEGMENT lane-step bound (see ops/gi_wave.py): boundary-creep
+    # lanes retire as their best-so-far instead of spinning the wave
+    seg_bound = _default_max_steps(meta)
     if max_iters is None:
-        per_ray = _default_max_steps(meta) * 2 * (max_bounces + 1)
+        per_ray = seg_bound * 2 * (max_bounces + 1)
         max_iters = -(-r * per_ray // w) + per_ray + 64
     max_rounds = -(-max_iters // pump)
 
@@ -135,6 +123,7 @@ def whitted_wave_trace(
         gate=zf, maxt=zf,
         ray_id=jnp.full((w,), r, jnp.int32),
         phase=zb,            # False = path segment, True = shadow
+        lsteps=zi,           # steps in the CURRENT segment (seg_bound)
         depth=zi,
         col=z3,              # accumulated pixel color
         wgt=jnp.ones((w,), jnp.float32),  # km-product weight
@@ -191,6 +180,7 @@ def whitted_wave_trace(
             best_blk=jnp.where(got, 0, s["best_blk"]),
             best_slot=jnp.where(got, 0, s["best_slot"]),
             phase=jnp.where(got, False, s["phase"]),
+            lsteps=jnp.where(got, 0, s["lsteps"]),
             depth=jnp.where(got, 0, s["depth"]),
             col=jnp.where(got[:, None], 0.0, s["col"]),
             wgt=jnp.where(got, 1.0, s["wgt"]),
@@ -215,11 +205,12 @@ def whitted_wave_trace(
         hit_now = jnp.isfinite(best_t)
         walked = pre_alive & ~alive
         phase = s["phase"]
+        timeout = alive & (s["lsteps"] > seg_bound)
 
         # ---- segment retirement --------------------------------------
         limit = jnp.minimum(s["maxt"], best_t)
         seg_done = ~phase & (
-            (alive & ~testing & (s["t_cur"] > limit)) | walked
+            (alive & ~testing & (s["t_cur"] > limit)) | walked | timeout
         )
         hitP = seg_done & hit_now
         missP = seg_done & ~hit_now
@@ -230,7 +221,7 @@ def whitted_wave_trace(
         row = tri9[jnp.clip(tri, 0, n_faces - 1)]
         tv0, tv1, tv2 = row[:, 0:3], row[:, 3:6], row[:, 6:9]
         matid = row[:, 9].astype(jnp.int32)
-        m = mat10[jnp.clip(matid, 0, n_mats - 1)]
+        m = mat9[jnp.clip(matid, 0, n_mats - 1)]
         base = m[:, 0:3]
         kd, ks, alpha, ka, km_m, refl = (
             m[:, 3], m[:, 4], m[:, 5], m[:, 6], m[:, 7], m[:, 8] > 0.5
@@ -250,14 +241,14 @@ def whitted_wave_trace(
         t_m = jnp.where(hit_now, best_t, 0.0)
         poi_m = s["o"] + s["d"] * t_m[:, None]
         if serial:  # getNormalMod, Serial/geometry.h:234-240
-            n = _cross(tv0 - tv1, tv2 - tv0)
+            n = vm.cross(tv0 - tv1, tv2 - tv0)
         else:  # Parallel/geometry.cuh:160
-            n = _cross(tv2 - tv1, tv0 - tv1)
-        view = _normalize(-s["d"])
-        l = _normalize(light - poi_r)
+            n = vm.cross(tv2 - tv1, tv0 - tv1)
+        view = vm.normalize(-s["d"])
+        l = vm.normalize(light - poi_r)
         # Blinn-Phong per variant (ops/shade.py verbatim): serial keeps
         # h UNnormalized (raytracer.cpp:95), parallel normalizes
-        h = (view + l) if serial else _normalize(view + l)
+        h = (view + l) if serial else vm.normalize(view + l)
         ndl = jnp.maximum(0.0, jnp.sum(n * l, axis=-1))
         ndh = jnp.maximum(0.0, jnp.sum(n * h, axis=-1))
         if serial:
@@ -294,7 +285,7 @@ def whitted_wave_trace(
         imm = hitP & ~shadow_go  # unoccluded without a march
 
         # ---- shadow retirement ---------------------------------------
-        sh_done = phase & ((alive & hit_now) | walked)
+        sh_done = phase & ((alive & hit_now) | walked | timeout)
         occ = sh_done & hit_now
 
         # ---- at-vertex (post-shadow) shading + blend -----------------
@@ -324,9 +315,9 @@ def whitted_wave_trace(
 
         # ---- mirror bounce -------------------------------------------
         # rdir = normalize(reflect(normalize(incident), normalize(n)))
-        nd = _normalize(idir_v)
-        nn = _normalize(nrm_v)
-        rdir = _normalize(
+        nd = vm.normalize(idir_v)
+        nn = vm.normalize(nrm_v)
+        rdir = vm.normalize(
             nd - nn * (2.0 * jnp.sum(nd * nn, axis=-1))[:, None]
         )
         stb, entb = _slab_entry(
@@ -363,6 +354,7 @@ def whitted_wave_trace(
                 cursor=jnp.where(mask, 0, cur["cursor"]),
                 testing=cur["testing"] & ~mask,
                 phase=jnp.where(mask, phase_n, cur["phase"]),
+                lsteps=jnp.where(mask, 0, cur["lsteps"]),
                 depth=jnp.where(mask, depth_n, cur["depth"]),
                 alive=cur["alive"] | mask,
             )
@@ -390,6 +382,7 @@ def whitted_wave_trace(
                 s, o=s["o"], d=s["d"], invd=1.0 / s["d"], gate=s["gate"],
                 maxt=s["maxt"], grid=grid, meta=meta,
             )
+        s = dict(s, lsteps=s["lsteps"] + jnp.where(pre_alive, pump, 0))
         s = transition(s, pre_alive)
         flushed = s["done_acc"]
         idx = jnp.where(

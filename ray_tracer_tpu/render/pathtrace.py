@@ -64,10 +64,16 @@ from ray_tracer_tpu.render.renderer import make_traversal, shadow_rays_for
 _INV_PI = 0.3183098861837907
 
 
-def _hash_u01(x: jnp.ndarray, salt: int) -> jnp.ndarray:
+def _hash_u01(x: jnp.ndarray, salt) -> jnp.ndarray:
     """lowbias32 integer hash -> f32 in [0, 1).  Deterministic, stateless,
-    vectorized — the whole sampler."""
-    x = (x.astype(jnp.uint32) + jnp.uint32(salt & 0xFFFFFFFF)) ^ jnp.uint32(
+    vectorized — the whole sampler.  `salt` may be a Python int OR a
+    traced uint32 array (the GI wave carries the depth in its loop
+    state); uint32 arithmetic wraps identically either way, so the two
+    forms agree bit for bit — the ONE definition both integrators use
+    (parity would silently break if they diverged)."""
+    if not isinstance(salt, jnp.ndarray):
+        salt = jnp.uint32(salt & 0xFFFFFFFF)
+    x = (x.astype(jnp.uint32) + salt.astype(jnp.uint32)) ^ jnp.uint32(
         0x9E3779B9
     )
     x = x ^ (x >> 16)
@@ -76,6 +82,27 @@ def _hash_u01(x: jnp.ndarray, salt: int) -> jnp.ndarray:
     x = x * jnp.uint32(0x846CA68B)
     x = x ^ (x >> 16)
     return (x >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+
+
+def ray_sample_keys(orig: jnp.ndarray, dirn: jnp.ndarray) -> jnp.ndarray:
+    """Per-ray sample key: hash of the ray's OWN bits, so a ray keeps
+    its sample sequence under any padding, permutation or sharding —
+    the ONE key definition shared by the segment integrator and the GI
+    wave (ops/gi_wave.py)."""
+    def _bits(x):
+        return jax.lax.bitcast_convert_type(
+            jax.lax.stop_gradient(x.astype(jnp.float32)), jnp.uint32
+        )
+
+    ob, db = _bits(orig), _bits(dirn)
+    return (
+        db[:, 0] * jnp.uint32(0x85EBCA6B)
+        ^ db[:, 1] * jnp.uint32(0xC2B2AE35)
+        ^ db[:, 2] * jnp.uint32(0x27D4EB2F)
+        ^ ob[:, 0] * jnp.uint32(0x165667B1)
+        ^ ob[:, 1] * jnp.uint32(0x9E3779B1)
+        ^ ob[:, 2] * jnp.uint32(0xFC0589B5)
+    )
 
 
 def _onb(n: jnp.ndarray):
@@ -196,20 +223,7 @@ def pathtrace_rays(
     # every other feature holds — tests/test_sharding.py).  Primary
     # rays have pairwise-distinct directions (distinct pixel centers),
     # so keys are distinct within a frame.
-    def _bits(x):
-        return jax.lax.bitcast_convert_type(
-            jax.lax.stop_gradient(x.astype(jnp.float32)), jnp.uint32
-        )
-
-    ob, db = _bits(rays.orig), _bits(rays.dirn)
-    ray_ids = (
-        db[:, 0] * jnp.uint32(0x85EBCA6B)
-        ^ db[:, 1] * jnp.uint32(0xC2B2AE35)
-        ^ db[:, 2] * jnp.uint32(0x27D4EB2F)
-        ^ ob[:, 0] * jnp.uint32(0x165667B1)
-        ^ ob[:, 1] * jnp.uint32(0x9E3779B1)
-        ^ ob[:, 2] * jnp.uint32(0xFC0589B5)
-    )
+    ray_ids = ray_sample_keys(rays.orig, rays.dirn)
 
     # ---- environment-light NEE/MIS tables (gi_env_nee) ---------------
     # Piecewise-constant luminance x sin(theta) distribution over the

@@ -892,14 +892,14 @@ def _render_whitted_wave(prep: Prepared) -> jnp.ndarray:
         [v0, v1, v2, scene.face_material.astype(v0.dtype)[:, None]], axis=1
     )
     m = scene.materials
-    mat10 = jnp.stack(
+    mat9 = jnp.stack(
         [m.base_color[:, 0], m.base_color[:, 1], m.base_color[:, 2],
          m.kd, m.ks, m.spec_alpha, m.ka, m.km,
          m.reflective.astype(jnp.float32)], axis=1
     )
     pg = rcfg.primary_gate()
     col = whitted_wave_trace(
-        scene.light_pos, scene.light_intensity, mat10, tri9,
+        scene.light_pos, scene.light_intensity, mat9, tri9,
         prep.packed.arrays, prep.packed.meta,
         camera=cfg.camera, max_bounces=rcfg.max_bounces,
         serial=rcfg.serial_shading,

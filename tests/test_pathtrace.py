@@ -628,3 +628,57 @@ def test_gi_wave_run_to_run_deterministic():
     a = np.asarray(pt._render_pt_wave(prep))
     b = np.asarray(pt._render_pt_wave(prep))
     np.testing.assert_array_equal(a, b)
+
+
+def test_gi_wave_grid_entering_miss_gets_background():
+    """Round-5 review regression: a primary ray that ENTERS the grid
+    AABB but misses all geometry must latch S x background, not 0 (the
+    flush used to scatter rad=0 over the correctly-initialized output
+    row).  Two coplanar quads with an empty corridor between them: the
+    corridor pixels' slab test passes but no triangle is hit."""
+    from ray_tracer_tpu.config import (
+        CameraConfig, LightConfig, RenderConfig, SceneConfig,
+    )
+    from ray_tracer_tpu.io.obj import MeshArrays
+    from ray_tracer_tpu.models.scenes import scene_from_meshes
+
+    def quad(x0, x1, y):
+        return np.array(
+            [[x0, y, -2], [x1, y, -2], [x1, y, 2], [x0, y, 2]], np.float32
+        )
+
+    # different heights give the grid AABB thickness (a zero-thickness
+    # slab would put every bounce origin exactly on the boundary plane
+    # — the march's boundary-creep pathology, where step-budget
+    # differences between integrators are expected)
+    verts = np.concatenate([quad(-2.0, -0.8, 0.0), quad(0.8, 2.0, 0.6)])
+    faces = np.array(
+        [[0, 1, 2], [0, 2, 3], [4, 5, 6], [4, 6, 7]], np.int32
+    )
+    mesh = MeshArrays(verts=verts, faces=faces,
+                      uvs=np.zeros((0, 2), np.float32),
+                      uv_faces=np.zeros((0, 3), np.int32))
+    mat = MaterialConfig(base_color=(200.0, 120.0, 60.0))
+    light = LightConfig(position=(0.0, 8.0, 0.0), intensity=40.0)
+    scene = scene_from_meshes([(mesh, 0)], [mat], light)
+    bg = (30.0, 20.0, 10.0)
+    cfg = SceneConfig(
+        materials=(mat,),
+        camera=CameraConfig(position=(0.0, 5.0, 0.01), target=(0, 0, 0),
+                            up=(0, 0, 1), fov_degrees=45.0,
+                            width=16, height=16),
+        light=light,
+        render=RenderConfig(
+            shading="parallel", faithful=False, det_dtype="float32",
+            traversal="packed", scheduler="persistent", wave=128, pump=2,
+            ray_tile=64, gi_samples=2, gi_depth=1, background=bg,
+            gi_wave="auto",
+        ),
+    )
+    prep = prepare(cfg, scene=scene)
+    w, s = _wave_pair(prep)
+    # the corridor pixels are grid-entering misses: both integrators
+    # must report the background there, and agree everywhere
+    corridor = np.abs(s - np.asarray(bg)).sum(-1) < 1e-4
+    assert corridor.any(), "scene should have grid-entering miss pixels"
+    np.testing.assert_allclose(w, s, atol=1e-4, rtol=1e-6)
