@@ -30,10 +30,13 @@ structural wins over the segment loop:
     round — live lanes from every depth and sample share one wave.
 
 Scope (the eligibility gate lives in render/pathtrace.render_pt):
-packed grid + persistent scheduler, ONE point light, no environment
-map / env NEE / extra lights, face normals, no texture, float32 dets,
-Lambertian only (gi_specular scenes with any reflective km > 0 fall
-back).  This covers the official GI benchmark configuration
+packed grid + persistent scheduler, ONE point light, no env NEE /
+extra lights, face normals, no texture, float32 dets, Lambertian only
+(gi_specular scenes with any reflective km > 0 fall back).
+Environment maps ARE served: escapes stage their direction in the
+carry and resolve through ONE merged bilinear lookup per round (a
+per-escape-site lookup would be per-index gather-engine work — the
+bitset lesson).  This covers the official GI benchmark configuration
 (bench.py --gi); everything else takes the segment loop, whose physics
 this module reproduces contribution-for-contribution in the same
 chronological order (radiance associates as sum_s v_s with v_s built
@@ -92,6 +95,7 @@ def gi_wave_trace(
     tri9: jnp.ndarray,
     grid: PackedGridArrays,
     meta: PackedGridMeta,
+    env_image=None,
     *,
     camera,
     S: int,
@@ -133,6 +137,28 @@ def gi_wave_trace(
     for _ in range(S):
         bg_acc = (bg_acc + np.asarray(bg, np.float32)).astype(np.float32)
     bg_acc_j = jnp.asarray(bg_acc)
+    has_env = env_image is not None
+    if has_env:
+        # Environment escapes (round 5 cont.): the escape radiance is a
+        # per-direction lookup, and a lookup is gather-engine work the
+        # march must not pay per escape site — escapes are STAGED
+        # (epend/edir carries) and resolved by ONE merged bilinear
+        # lookup at the top of the next round's transition.  The
+        # segment loop's arithmetic (sample_env(normalize(dir)),
+        # radiance += throughput * env) is reproduced exactly, one
+        # round later per escape.
+        from ray_tracer_tpu.models.scenes import sample_env_image
+
+        env_f32 = env_image.astype(jnp.float32)
+        # AABB-rejected pixels never enter the wave: their output is
+        # the dense per-pixel escape value, S-folded sequentially
+        _gen_all = camera_ray_at(camera, jnp.arange(r, dtype=jnp.int32))
+        _env0 = sample_env_image(
+            env_f32, vm.normalize(_gen_all.dirn.astype(jnp.float32))
+        )
+        _acc0 = jnp.zeros((r, 3), jnp.float32)
+        for _ in range(S):
+            _acc0 = _acc0 + _env0
 
     from ray_tracer_tpu.ops.traverse_packed import _default_max_steps
 
@@ -178,11 +204,22 @@ def gi_wave_trace(
         poi0=z3, n0=z3, alb0=z3,  # shared depth-0 vertex (sample restarts)
         # emit latch + output buffers (per-lane dump rows keep scatters
         # unique-index; 1-D per channel — the measured fast lowering)
+        # deferred environment escapes (has_env only; dead weight of a
+        # few lanes otherwise)
+        epend=zb,            # an escape awaits its env lookup
+        e0=zb,               # ... and it is a depth-0 (whole-pixel) miss
+        edir=jnp.ones((w, 3), jnp.float32),  # the escape direction
         done_acc=zb,
         rl0=zf, rl1=zf, rl2=zf,
-        out0=jnp.full((r + w,), float(bg_acc[0]), jnp.float32),
-        out1=jnp.full((r + w,), float(bg_acc[1]), jnp.float32),
-        out2=jnp.full((r + w,), float(bg_acc[2]), jnp.float32),
+        out0=(jnp.concatenate([_acc0[:, 0], jnp.zeros((w,), jnp.float32)])
+              if has_env else jnp.full((r + w,), float(bg_acc[0]),
+                                       jnp.float32)),
+        out1=(jnp.concatenate([_acc0[:, 1], jnp.zeros((w,), jnp.float32)])
+              if has_env else jnp.full((r + w,), float(bg_acc[1]),
+                                       jnp.float32)),
+        out2=(jnp.concatenate([_acc0[:, 2], jnp.zeros((w,), jnp.float32)])
+              if has_env else jnp.full((r + w,), float(bg_acc[2]),
+                                       jnp.float32)),
         next=jnp.asarray(0, jnp.int32),
         i=jnp.asarray(0, jnp.int32),
     )
@@ -191,7 +228,9 @@ def gi_wave_trace(
         """Idle lanes pop the next unserved pixels (the deterministic
         cumsum queue) and regenerate their camera ray from the index —
         pure VPU math, zero gathers (ops/persistent.py)."""
-        idle = ~s["alive"]
+        # an epend lane is dead-but-not-done (its escape resolves next
+        # transition) — it must NOT be popped over
+        idle = ~s["alive"] & ~s["epend"]
         order = jnp.cumsum(idle.astype(jnp.int32))
         new_id = jnp.where(idle, s["next"] + order - 1, s["ray_id"])
         got = idle & (new_id < r)
@@ -241,7 +280,7 @@ def gi_wave_trace(
 
     def cond(s):
         return (s["i"] < max_rounds) & (
-            jnp.any(s["alive"]) | (s["next"] < r)
+            jnp.any(s["alive"]) | jnp.any(s["epend"]) | (s["next"] < r)
         )
 
     def transition(s, pre_alive):
@@ -256,6 +295,28 @@ def gi_wave_trace(
         walked = pre_alive & ~alive
         phase = s["phase"]
         timeout = alive & (s["lsteps"] > seg_bound)
+
+        # ---- resolve LAST round's staged env escapes (one merged
+        # bilinear lookup serves every escape category) ----------------
+        if has_env:
+            from ray_tracer_tpu.models.scenes import sample_env_image
+
+            Lenv = sample_env_image(env_f32, vm.normalize(s["edir"]))
+            ep = s["epend"]
+            acc0 = jnp.zeros_like(Lenv)
+            for _ in range(S):  # a depth-0 miss repeats for every sample
+                acc0 = acc0 + Lenv
+            prim_env_done = ep & s["e0"]
+            rad_resolved = jnp.where(prim_env_done[:, None], acc0, s["rad"])
+            E_carry = ep & ~s["e0"]
+            vcur_resolved = s["vcur"] + jnp.where(
+                E_carry[:, None], s["tpt"] * Lenv, 0.0
+            )
+        else:
+            prim_env_done = zb
+            E_carry = zb
+            rad_resolved = s["rad"]
+            vcur_resolved = s["vcur"]
 
         # ---- segment retirement (path phase) --------------------------
         limit = jnp.minimum(s["maxt"], best_t)
@@ -318,7 +379,7 @@ def gi_wave_trace(
         want_nee = hitP & (cos_i > 0.0)
         shadow_go = want_nee & s_entered
         imm = hitP & ~shadow_go  # NEE resolved without a march: visible
-        vcur = s["vcur"] + jnp.where(imm[:, None], pend_new, 0.0)
+        vcur = vcur_resolved + jnp.where(imm[:, None], pend_new, 0.0)
 
         # ---- shadow retirement ----------------------------------------
         sh_done = phase & ((alive & hit_now) | walked | timeout)
@@ -358,23 +419,38 @@ def gi_wave_trace(
         bounce = av & (depth_v < D)
         bounce_go = bounce & entb
         bounce_esc = bounce & ~entb
-        vcur = vcur + jnp.where(bounce_esc[:, None], tpt_b * bg3, 0.0)
-
-        # bounce-escape at the NEXT depth and deep-miss escapes both end
-        # the sample; vertex at depth == D ends it after its NEE
         esc = missP & (depth_v >= 1)
-        vcur = vcur + jnp.where(esc[:, None], s["tpt"] * bg3, 0.0)
         prim_miss = missP & (depth_v == 0)
-        E = (av & (depth_v == D)) | bounce_esc | esc
+        if has_env:
+            # defer every escape to next round's merged lookup
+            E = (av & (depth_v == D)) | E_carry
+        else:
+            vcur = vcur + jnp.where(bounce_esc[:, None], tpt_b * bg3, 0.0)
+            vcur = vcur + jnp.where(esc[:, None], s["tpt"] * bg3, 0.0)
+            E = (av & (depth_v == D)) | bounce_esc | esc | E_carry
 
         # ---- apply the non-cascade rearms -----------------------------
         new = dict(s)
         new["vcur"] = vcur
+        new["rad"] = rad_resolved
         new["d0"], new["poi0"], new["n0"], new["alb0"] = d0, poi0, n0, alb0
         new["nrm"] = nrm_v
         new["alb"] = alb_v
         new["vpos"] = vpos_v
         new["pend"] = jnp.where(shadow_go[:, None], pend_new, s["pend"])
+        if has_env:
+            # stage this round's escapes: resolved lanes clear, new
+            # escapes record their direction + throughput weight
+            stage = bounce_esc | esc | prim_miss
+            new["epend"] = (s["epend"] & ~(prim_env_done | E_carry)) | stage
+            new["e0"] = jnp.where(stage, prim_miss, s["e0"])
+            new["edir"] = jnp.where(
+                bounce_esc[:, None], ndir,
+                jnp.where(stage[:, None], s["d"], s["edir"]),
+            )
+            new["tpt"] = jnp.where(
+                bounce_esc[:, None], tpt_b, new["tpt"]
+            )  # esc lanes keep their tpt; prim_miss weight is unused
 
         def rearm(cur, mask, o_n, d_n, t0_n, gate_n, phase_n, depth_n,
                   tpt_n):
@@ -413,12 +489,18 @@ def gi_wave_trace(
         # the next sample from the shared depth-0 vertex — restarts
         # whose bounce escapes immediately loop again, so the cascade
         # fully resolves within the round (no pending states)
-        pix_done = prim_miss
+        if has_env:
+            # depth-0 misses were STAGED above; the resolved ones
+            # (prim_env_done) carry their S-folded escape in rad
+            pix_done = prim_env_done
+        else:
+            pix_done = prim_miss
         rad = new["rad"]
-        # depth-0 miss: EVERY sample sees the background — latch the
-        # sequential S-sum (rad is still 0 here; without this the flush
-        # scattered 0 over the correctly-initialized output row)
-        rad = jnp.where(prim_miss[:, None], bg_acc_j, rad)
+        if not has_env:
+            # depth-0 miss: EVERY sample sees the background — latch the
+            # sequential S-sum (rad is still 0 here; without this the
+            # flush scattered 0 over the correctly-initialized row)
+            rad = jnp.where(prim_miss[:, None], bg_acc_j, rad)
         vcur = new["vcur"]
         samp = new["samp"]
         for _ in range(S):
@@ -446,12 +528,22 @@ def gi_wave_trace(
             goes = re & entr
             esc_r = re & ~entr
             vcur = jnp.where(re[:, None], new["d0"], vcur)
-            vcur = vcur + jnp.where(
-                esc_r[:, None], new["alb0"] * bg3, 0.0
-            )
+            if has_env:
+                # the restart-escape defers to the next merged lookup
+                new["epend"] = new["epend"] | esc_r
+                new["e0"] = jnp.where(esc_r, False, new["e0"])
+                new["edir"] = jnp.where(esc_r[:, None], ndir_r,
+                                        new["edir"])
+                new["tpt"] = jnp.where(esc_r[:, None], new["alb0"],
+                                       new["tpt"])
+                E = zb
+            else:
+                vcur = vcur + jnp.where(
+                    esc_r[:, None], new["alb0"] * bg3, 0.0
+                )
+                E = esc_r
             new = rearm(new, goes, new["poi0"], ndir_r, str_, gate_b,
                         False, jnp.ones_like(samp), new["alb0"])
-            E = esc_r
             samp = samp_n
         new["rad"] = rad
         new["vcur"] = vcur

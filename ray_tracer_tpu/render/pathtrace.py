@@ -651,7 +651,9 @@ def gi_wave_eligible(prep) -> bool:
         and jnp.dtype(rcfg.dtype) == jnp.dtype(jnp.float32)
         and rcfg.normal_mode != "smooth"
         and (rcfg.texture == "none" or scene.uvs is None)
-        and scene.env_image is None
+        # env maps are supported (escapes defer to one merged lookup
+        # per round) — but env NEE/MIS stays segment-only
+        and not (scene.env_image is not None and rcfg.gi_env_nee)
         and scene.extra_light_pos is None
     )
     if ok and rcfg.gi_specular:
@@ -664,8 +666,8 @@ def gi_wave_eligible(prep) -> bool:
     if knob == "on" and not ok:
         raise ValueError(
             "gi_wave='on' but the configuration is ineligible (needs "
-            "packed+persistent, one point light, no env/extra lights/"
-            "smooth/texture, float32 dets, no reflective km)"
+            "packed+persistent, one point light, no env-NEE/extra "
+            "lights/smooth/texture, float32 dets, no reflective km)"
         )
     return ok
 
@@ -685,7 +687,7 @@ def _render_pt_wave(prep) -> jnp.ndarray:
     pg = rcfg.primary_gate()
     rad = gi_wave_trace(
         scene.light_pos, scene.light_intensity, albedo_table, tri9,
-        prep.packed.arrays, prep.packed.meta,
+        prep.packed.arrays, prep.packed.meta, scene.env_image,
         camera=cfg.camera, S=rcfg.gi_samples, D=rcfg.gi_depth,
         wave=rcfg.wave, pump=rcfg.pump,
         gate0=0.0 if pg is None else pg, gate_b=rcfg.bounce_gate(),

@@ -599,15 +599,23 @@ def test_gi_wave_eligibility_and_fallback():
         render=dataclasses.replace(prep.cfg.render, gi_wave="off"),
     )
     assert not gi_wave_eligible(prep._replace(cfg=cfg_def))
-    # an env map is ineligible: auto falls back, on raises
+    # env maps are ELIGIBLE since the deferred-escape extension;
+    # env NEE is not: auto falls back, on raises
     prep_env = prep._replace(
         scene=prep.scene._replace(
             env_image=jnp.ones((4, 8, 3), jnp.float32)
         )
     )
-    assert not gi_wave_eligible(prep_env)
+    assert gi_wave_eligible(prep_env)
+    cfg_nee = dataclasses.replace(
+        prep.cfg,
+        render=dataclasses.replace(prep.cfg.render, gi_env_nee=True),
+    )
+    assert not gi_wave_eligible(prep_env._replace(cfg=cfg_nee))
     cfg_on = dataclasses.replace(
-        prep.cfg, render=dataclasses.replace(prep.cfg.render, gi_wave="on")
+        prep.cfg,
+        render=dataclasses.replace(prep.cfg.render, gi_wave="on",
+                                   gi_env_nee=True),
     )
     with pytest.raises(ValueError):
         gi_wave_eligible(prep_env._replace(cfg=cfg_on))
@@ -682,3 +690,52 @@ def test_gi_wave_grid_entering_miss_gets_background():
     corridor = np.abs(s - np.asarray(bg)).sum(-1) < 1e-4
     assert corridor.any(), "scene should have grid-entering miss pixels"
     np.testing.assert_allclose(w, s, atol=1e-4, rtol=1e-6)
+
+
+def test_gi_wave_env_furnace_exact():
+    """Env maps through the wave (deferred-escape resolution): on the
+    CONSTANT-environment furnace every escape sees the same radiance,
+    so the wave must match the segment loop to float precision AND the
+    analytic furnace value."""
+    prep = _furnace_prep(gi_depth=1, gi_samples=3)
+    cfg_on = dataclasses.replace(
+        prep.cfg,
+        render=dataclasses.replace(prep.cfg.render, gi_wave="on"),
+    )
+    import ray_tracer_tpu.render.pathtrace as pt
+
+    assert pt.gi_wave_eligible(prep._replace(cfg=cfg_on))
+    w, s = _wave_pair(prep._replace(cfg=cfg_on))
+    np.testing.assert_allclose(w, s, atol=1e-3, rtol=1e-6)
+    # plane pixels read exactly rho * E (the zero-variance furnace)
+    hit = np.abs(s - E).sum(-1) > 1e-3
+    np.testing.assert_allclose(w[hit], RHO * E, atol=1e-3)
+
+
+def test_gi_wave_env_nonuniform_statistical():
+    """A NON-constant env makes escapes direction-dependent: the wave
+    and the segment loop draw per-program ulp-different directions, so
+    agreement is statistical (same caveat as the occlusion test)."""
+    from ray_tracer_tpu.models.scenes import gradcheck_scene
+
+    scene, cfg = gradcheck_scene(24, 24)
+    env = jnp.asarray(
+        np.linspace(5.0, 90.0, 4 * 8 * 3, dtype=np.float32).reshape(4, 8, 3)
+    )
+    scene = scene._replace(env_image=env)
+    cfg = dataclasses.replace(
+        cfg,
+        render=dataclasses.replace(
+            cfg.render, faithful=False, det_dtype="float32",
+            traversal="packed", scheduler="persistent", wave=256, pump=2,
+            gi_samples=2, gi_depth=2, gi_wave="auto",
+        ),
+    )
+    w, s = _wave_pair(prepare(cfg, scene=scene))
+    # with a non-constant env EVERY escape direction matters, so any
+    # lane whose sampled direction bits differ across the two programs
+    # reads a different env value — ~94% of pixels match exactly here
+    # (vs ~99% with a flat background, where only hit/miss flips show)
+    same = (np.abs(w - s) <= 1e-3).all(axis=-1)
+    assert same.mean() > 0.9, f"only {same.mean():.3f} of pixels agree"
+    np.testing.assert_allclose(w.mean(), s.mean(), rtol=0.02)
