@@ -31,8 +31,10 @@ structural wins over the segment loop:
 
 Scope (the eligibility gate lives in render/pathtrace.render_pt):
 packed grid + persistent scheduler, ONE point light, no env NEE /
-extra lights, face normals, no texture, float32 dets, Lambertian only
-(gi_specular scenes with any reflective km > 0 fall back).
+extra lights, no texture, float32 dets, Lambertian only (gi_specular
+scenes with any reflective km > 0 fall back).  Smooth normals ARE
+served (the face's packed corner-normal row costs one extra gather at
+vertex resolve).
 Environment maps ARE served: escapes stage their direction in the
 carry and resolve through ONE merged bilinear lookup per round (a
 per-escape-site lookup would be per-index gather-engine work — the
@@ -96,6 +98,7 @@ def gi_wave_trace(
     grid: PackedGridArrays,
     meta: PackedGridMeta,
     env_image=None,
+    fvn9=None,
     *,
     camera,
     S: int,
@@ -350,6 +353,23 @@ def gi_wave_trace(
         t_m = jnp.where(hit_now, best_t, 0.0)
         poi_m = s["o"] + s["d"] * t_m[:, None]  # fused-shadow origin
         gn = vm.normalize(vm.cross(tv1 - tv0, tv2 - tv0))
+        if fvn9 is not None:
+            # smooth normals: Phong-interpolate the face's packed
+            # corner normals (one (F,9) row gather) at the recomputed
+            # barycentrics — the segment integrator's exact arithmetic
+            # (interpolate_normal then a second normalize)
+            from ray_tracer_tpu.ops.intersect import cramer_bg_safe
+
+            hb, hg = cramer_bg_safe(
+                s["o"], s["d"], tv0, tv1, tv2, hitP,
+                det_dtype=jnp.float32,
+            )
+            crow = fvn9[jnp.clip(tri, 0, n_faces - 1)]
+            alpha = 1.0 - hb - hg
+            sn = (alpha[:, None] * crow[:, 0:3]
+                  + hb[:, None] * crow[:, 3:6]
+                  + hg[:, None] * crow[:, 6:9])
+            gn = vm.normalize(vm.normalize(sn))
         flip = jnp.sum(gn * s["d"], axis=-1) > 0.0
         n = jnp.where(flip[:, None], -gn, gn)
         alb = alb_tab[jnp.clip(matid, 0, n_mats - 1)]

@@ -649,7 +649,6 @@ def gi_wave_eligible(prep) -> bool:
         and not rcfg.faithful
         and rcfg.det_dtype == "float32"
         and jnp.dtype(rcfg.dtype) == jnp.dtype(jnp.float32)
-        and rcfg.normal_mode != "smooth"
         and (rcfg.texture == "none" or scene.uvs is None)
         # env maps are supported (escapes defer to one merged lookup
         # per round) — but env NEE/MIS stays segment-only
@@ -667,7 +666,7 @@ def gi_wave_eligible(prep) -> bool:
         raise ValueError(
             "gi_wave='on' but the configuration is ineligible (needs "
             "packed+persistent, one point light, no env-NEE/extra "
-            "lights/smooth/texture, float32 dets, no reflective km)"
+            "lights/texture, float32 dets, no reflective km)"
         )
     return ok
 
@@ -684,10 +683,17 @@ def _render_pt_wave(prep) -> jnp.ndarray:
         [v0, v1, v2, scene.face_material.astype(v0.dtype)[:, None]], axis=1
     )
     albedo_table = jnp.clip(scene.materials.base_color / 255.0, 0.0, 1.0)
+    fvn9 = None
+    if rcfg.normal_mode == "smooth":
+        # per-face corner normals packed into ONE (F,9) row so the
+        # wave's smooth interpolation costs a single extra gather per
+        # round (the integrator's serial=False vertex-normal table)
+        vn = vertex_normals(scene.verts, scene.faces, serial=False)
+        fvn9 = vn[scene.faces].reshape(-1, 9).astype(jnp.float32)
     pg = rcfg.primary_gate()
     rad = gi_wave_trace(
         scene.light_pos, scene.light_intensity, albedo_table, tri9,
-        prep.packed.arrays, prep.packed.meta, scene.env_image,
+        prep.packed.arrays, prep.packed.meta, scene.env_image, fvn9,
         camera=cfg.camera, S=rcfg.gi_samples, D=rcfg.gi_depth,
         wave=rcfg.wave, pump=rcfg.pump,
         gate0=0.0 if pg is None else pg, gate_b=rcfg.bounce_gate(),

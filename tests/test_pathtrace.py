@@ -739,3 +739,41 @@ def test_gi_wave_env_nonuniform_statistical():
     same = (np.abs(w - s) <= 1e-3).all(axis=-1)
     assert same.mean() > 0.9, f"only {same.mean():.3f} of pixels agree"
     np.testing.assert_allclose(w.mean(), s.mean(), rtol=0.02)
+
+
+def test_gi_wave_smooth_normals():
+    """Smooth normals through the wave (one packed corner-normal row):
+    on the flat plane every corner normal is the face normal, so smooth
+    must equal the face-mode image to float precision; on the curved
+    plane+spheres scene it must match the segment loop statistically
+    (draw-for-draw where direction bits agree)."""
+    import ray_tracer_tpu.render.pathtrace as pt
+
+    prep = _plane_gi_prep(2, 1)
+    cfg_sm = dataclasses.replace(
+        prep.cfg,
+        render=dataclasses.replace(prep.cfg.render, normal_mode="smooth"),
+    )
+    prep_sm = prep._replace(cfg=cfg_sm)
+    assert pt.gi_wave_eligible(prep_sm)
+    w_sm, s_sm = _wave_pair(prep_sm)
+    np.testing.assert_allclose(w_sm, s_sm, atol=1e-4, rtol=1e-6)
+    w_face = np.asarray(pt._render_pt_wave(prep))
+    np.testing.assert_allclose(w_sm, w_face, atol=1e-4, rtol=1e-5)
+
+    from ray_tracer_tpu.models.scenes import gradcheck_scene
+
+    scene, cfg = gradcheck_scene(24, 24)
+    cfg = dataclasses.replace(
+        cfg,
+        render=dataclasses.replace(
+            cfg.render, faithful=False, det_dtype="float32",
+            traversal="packed", scheduler="persistent", wave=256, pump=2,
+            gi_samples=2, gi_depth=1, gi_wave="auto",
+            normal_mode="smooth",
+        ),
+    )
+    w, s = _wave_pair(prepare(cfg, scene=scene))
+    same = (np.abs(w - s) <= 1e-4).all(axis=-1)
+    assert same.mean() > 0.95, f"only {same.mean():.3f} of pixels agree"
+    np.testing.assert_allclose(w.mean(), s.mean(), rtol=0.02)
