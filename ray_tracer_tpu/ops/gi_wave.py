@@ -99,6 +99,7 @@ def gi_wave_trace(
     meta: PackedGridMeta,
     env_image=None,
     fvn9=None,
+    km_table=None,
     *,
     camera,
     S: int,
@@ -133,6 +134,13 @@ def gi_wave_trace(
     light = light_pos.astype(jnp.float32)
     li = light_intensity.astype(jnp.float32)
     alb_tab = albedo_table.astype(jnp.float32)
+    # Lambertian/mirror mix (pathtrace's gi_specular): km_table is the
+    # per-material clip(km)*reflective; None = Lambertian-only scene.
+    # Forward branch weights are EXACTLY 1 (km/p and (1-km)/(1-p) with
+    # p == km), so throughput is untouched by the selection — only the
+    # draw, the bounce direction and the NEE skip differ per branch.
+    has_spec = km_table is not None
+    km_tab = (km_table.astype(jnp.float32) if has_spec else None)
     bg3 = jnp.asarray(bg, jnp.float32)
     # depth-0 miss: v_s = bg for every sample, summed sequentially in
     # f32 (the segment loop's acc association)
@@ -203,6 +211,10 @@ def gi_wave_trace(
         nrm=z3,              # current vertex oriented normal
         alb=z3,              # current vertex albedo
         vpos=z3,             # current vertex position (recomputed t)
+        idir=z3,             # incident segment direction (mirror input)
+        vspec=zb,            # current vertex took the mirror branch
+        idir0=z3,            # depth-0 incident dir (mirror restarts)
+        km0=zf,              # depth-0 vertex km (restart branch draws)
         d0=z3,               # shared depth-0 NEE contribution
         poi0=z3, n0=z3, alb0=z3,  # shared depth-0 vertex (sample restarts)
         # emit latch + output buffers (per-lane dump rows keep scatters
@@ -382,6 +394,24 @@ def gi_wave_trace(
             li * cos_i / jnp.maximum(d2, 1e-20)
         )[:, None]
         pend_new = s["tpt"] * direct
+        # ---- Lambertian/mirror branch draw (gi_specular) --------------
+        # one deterministic hash draw per (pixel, sample, depth) takes
+        # the mirror branch with probability km — the segment
+        # integrator's exact u3 salt; forward weights are identically 1
+        depth_v0 = s["depth"]
+        key_v = s["key0"] + jnp.uint32(_SALT) * (
+            s["samp"].astype(jnp.uint32) + 1
+        )
+        if has_spec:
+            km_d = km_tab[jnp.clip(matid, 0, n_mats - 1)]
+            u3 = _hash_u01(
+                key_v,
+                jnp.uint32(0x85EBCA77) * (depth_v0 + 1).astype(jnp.uint32)
+                + 13,
+            )
+            spec_new = hitP & (u3 < km_d)
+        else:
+            spec_new = zb
         # shadow DIRECTION: the fused-rearm formula from the MARCH poi
         # (visibility topology == the segment loop's fused NEE)
         to_l_m = light - poi_m
@@ -396,17 +426,31 @@ def gi_wave_trace(
         # cos_i == 0 makes the contribution an exact zero — skip the
         # shadow march outright (bit-identical; the segment loop's
         # fused NEE marches it and multiplies by the same zero)
-        want_nee = hitP & (cos_i > 0.0)
+        # NEE applies to diffuse vertices only (a point light is
+        # unreachable through a delta mirror) — but the DEPTH-0 shadow
+        # still marches for spec samples so d0 (shared by every later
+        # diffuse sample of the pixel) gets established
+        want_nee = hitP & (cos_i > 0.0) & (~spec_new | (depth_v0 == 0))
         shadow_go = want_nee & s_entered
         imm = hitP & ~shadow_go  # NEE resolved without a march: visible
-        vcur = vcur_resolved + jnp.where(imm[:, None], pend_new, 0.0)
+        vspec_v = jnp.where(hitP, spec_new, s["vspec"])
+        # diffuse vertices bank the NEE contribution; spec vertices
+        # skip it (delta mirror) — but d0 below records it either way
+        vcur = vcur_resolved + jnp.where(
+            (imm & ~spec_new)[:, None], pend_new, 0.0
+        )
+        c_imm = jnp.where(imm[:, None], pend_new, 0.0)
 
         # ---- shadow retirement ----------------------------------------
         sh_done = phase & ((alive & hit_now) | walked | timeout)
         occ = sh_done & hit_now
+        nee_add = sh_done & ~occ
         vcur = vcur + jnp.where(
-            (sh_done & ~occ)[:, None], s["pend"], 0.0
+            (nee_add & ~s["vspec"])[:, None], s["pend"], 0.0
         )
+        # the vertex's NEE contribution independent of its own branch
+        # (d0 is shared by EVERY sample's depth-0, diffuse or not)
+        c_vtx = c_imm + jnp.where(nee_add[:, None], s["pend"], 0.0)
 
         # ---- at-vertex merge (post-NEE) -------------------------------
         # hitP lanes (imm AND shadow-bound) store their fresh vertex;
@@ -416,12 +460,20 @@ def gi_wave_trace(
         nrm_v = jnp.where(hitP[:, None], n, s["nrm"])
         alb_v = jnp.where(hitP[:, None], alb, s["alb"])
         vpos_v = jnp.where(hitP[:, None], poi_r, s["vpos"])
+        # the incident direction must survive the shadow march (the
+        # lane's d becomes the SHADOW direction there) — the mirror
+        # bounce reflects the staged incident ray, like the segment
+        # loop's cur.dirn
+        idir_v = jnp.where(hitP[:, None], s["d"], s["idir"])
+        km_v = (jnp.where(hitP, km_d, s["km0"]) if has_spec else zf)
         depth_v = s["depth"]
         at0 = av & (depth_v == 0)
-        d0 = jnp.where(at0[:, None], vcur, s["d0"])  # vcur == the d0 add
+        d0 = jnp.where(at0[:, None], c_vtx, s["d0"])
         poi0 = jnp.where(at0[:, None], vpos_v, s["poi0"])
         n0 = jnp.where(at0[:, None], nrm_v, s["n0"])
         alb0 = jnp.where(at0[:, None], alb_v, s["alb0"])
+        idir0 = jnp.where(at0[:, None], idir_v, s["idir0"])
+        km0 = jnp.where(at0, km_v, s["km0"])
 
         # ---- bounce (vertex depth < D) --------------------------------
         saltd = (depth_v + 1).astype(jnp.uint32)
@@ -431,7 +483,17 @@ def gi_wave_trace(
         u1 = _hash_u01(key_s, jnp.uint32(0x1000193) * saltd)
         u2 = _hash_u01(key_s, jnp.uint32(0x5BD1E995) * saltd + 7)
         ndir = _cosine_sample(nrm_v, u1, u2)
-        tpt_b = s["tpt"] * alb_v
+        if has_spec:
+            # mirror: d' = d - 2(d.n)n off the oriented normal (the
+            # segment loop's exact expression, UNnormalized); the
+            # mirror branch leaves throughput alone
+            mdir = idir_v - 2.0 * jnp.sum(
+                idir_v * nrm_v, axis=-1, keepdims=True
+            ) * nrm_v
+            ndir = jnp.where(vspec_v[:, None], mdir, ndir)
+            tpt_b = s["tpt"] * jnp.where(vspec_v[:, None], 1.0, alb_v)
+        else:
+            tpt_b = s["tpt"] * alb_v
         stb, entb = _slab_entry(
             grid, vpos_v, ndir, jnp.full((w,), jnp.float32(eps)),
             jnp.full((w,), inf),
@@ -457,6 +519,9 @@ def gi_wave_trace(
         new["nrm"] = nrm_v
         new["alb"] = alb_v
         new["vpos"] = vpos_v
+        new["idir"] = idir_v
+        new["vspec"] = vspec_v
+        new["idir0"], new["km0"] = idir0, km0
         new["pend"] = jnp.where(shadow_go[:, None], pend_new, s["pend"])
         if has_env:
             # stage this round's escapes: resolved lanes clear, new
@@ -530,8 +595,18 @@ def gi_wave_trace(
             pix_done = pix_done | fin
             re = E & ~fin
             if D == 0:
-                # v_s == d0 for every sample; no march between samples
-                vcur = jnp.where(re[:, None], new["d0"], vcur)
+                # v_s == d0 for every DIFFUSE sample (a spec draw has
+                # no NEE and nothing else at depth 0); no march
+                vnext = new["d0"]
+                if has_spec:
+                    key_r0 = new["key0"] + jnp.uint32(_SALT) * (
+                        samp_n.astype(jnp.uint32) + 1
+                    )
+                    u3r = _hash_u01(key_r0, jnp.uint32(0x85EBCA77) + 13)
+                    vnext = jnp.where(
+                        (u3r < new["km0"])[:, None], 0.0, vnext
+                    )
+                vcur = jnp.where(re[:, None], vnext, vcur)
                 E = re
                 samp = samp_n
                 continue
@@ -541,29 +616,47 @@ def gi_wave_trace(
             u1r = _hash_u01(key_r, jnp.uint32(0x1000193))
             u2r = _hash_u01(key_r, jnp.uint32(0x5BD1E995) + 7)
             ndir_r = _cosine_sample(new["n0"], u1r, u2r)
+            if has_spec:
+                # this sample's depth-0 branch: mirror reflects the
+                # CAMERA ray off the shared depth-0 normal; its v_s
+                # starts at 0 (the spec vertex skipped NEE)
+                u3r = _hash_u01(key_r, jnp.uint32(0x85EBCA77) + 13)
+                spec_r = u3r < new["km0"]
+                mdir0 = new["idir0"] - 2.0 * jnp.sum(
+                    new["idir0"] * new["n0"], axis=-1, keepdims=True
+                ) * new["n0"]
+                ndir_r = jnp.where(spec_r[:, None], mdir0, ndir_r)
+                tpt_r = jnp.where(spec_r[:, None], 1.0, new["alb0"])
+                v0_r = jnp.where(spec_r[:, None], 0.0, new["d0"])
+            else:
+                spec_r = zb
+                tpt_r = new["alb0"]
+                v0_r = new["d0"]
             str_, entr = _slab_entry(
                 grid, new["poi0"], ndir_r,
                 jnp.full((w,), jnp.float32(eps)), jnp.full((w,), inf),
             )
             goes = re & entr
             esc_r = re & ~entr
-            vcur = jnp.where(re[:, None], new["d0"], vcur)
+            vcur = jnp.where(re[:, None], v0_r, vcur)
             if has_env:
                 # the restart-escape defers to the next merged lookup
                 new["epend"] = new["epend"] | esc_r
                 new["e0"] = jnp.where(esc_r, False, new["e0"])
                 new["edir"] = jnp.where(esc_r[:, None], ndir_r,
                                         new["edir"])
-                new["tpt"] = jnp.where(esc_r[:, None], new["alb0"],
+                new["tpt"] = jnp.where(esc_r[:, None], tpt_r,
                                        new["tpt"])
                 E = zb
             else:
                 vcur = vcur + jnp.where(
-                    esc_r[:, None], new["alb0"] * bg3, 0.0
+                    esc_r[:, None], tpt_r * bg3, 0.0
                 )
                 E = esc_r
             new = rearm(new, goes, new["poi0"], ndir_r, str_, gate_b,
-                        False, jnp.ones_like(samp), new["alb0"])
+                        False, jnp.ones_like(samp), tpt_r)
+            new["vspec"] = jnp.where(goes, spec_r, new["vspec"])
+            new["idir"] = jnp.where(goes[:, None], ndir_r, new["idir"])
             samp = samp_n
         new["rad"] = rad
         new["vcur"] = vcur

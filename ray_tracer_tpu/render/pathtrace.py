@@ -655,18 +655,11 @@ def gi_wave_eligible(prep) -> bool:
         and not (scene.env_image is not None and rcfg.gi_env_nee)
         and scene.extra_light_pos is None
     )
-    if ok and rcfg.gi_specular:
-        # Lambertian-only: any reflective km > 0 would take the mirror
-        # branch the wave does not implement
-        km = np.asarray(scene.materials.km) * np.asarray(
-            scene.materials.reflective
-        ).astype(np.float32)
-        ok = bool((km == 0.0).all())
     if knob == "on" and not ok:
         raise ValueError(
             "gi_wave='on' but the configuration is ineligible (needs "
             "packed+persistent, one point light, no env-NEE/extra "
-            "lights/texture, float32 dets, no reflective km)"
+            "lights/texture, float32 dets)"
         )
     return ok
 
@@ -682,7 +675,18 @@ def _render_pt_wave(prep) -> jnp.ndarray:
     tri9 = jnp.concatenate(
         [v0, v1, v2, scene.face_material.astype(v0.dtype)[:, None]], axis=1
     )
+    import numpy as np
+
     albedo_table = jnp.clip(scene.materials.base_color / 255.0, 0.0, 1.0)
+    # Lambertian/mirror mix: km gated by `reflective` (the segment
+    # integrator's km_table); None when every km is zero so the pure-
+    # Lambertian wave keeps its exact shared-primary structure
+    km_np = (np.asarray(scene.materials.km).clip(0.0, 1.0)
+             * np.asarray(scene.materials.reflective).astype(np.float32))
+    km_table = None
+    if rcfg.gi_specular and bool((km_np > 0.0).any()):
+        km_table = (jnp.clip(scene.materials.km, 0.0, 1.0)
+                    * scene.materials.reflective.astype(jnp.float32))
     fvn9 = None
     if rcfg.normal_mode == "smooth":
         # per-face corner normals packed into ONE (F,9) row so the
@@ -694,6 +698,7 @@ def _render_pt_wave(prep) -> jnp.ndarray:
     rad = gi_wave_trace(
         scene.light_pos, scene.light_intensity, albedo_table, tri9,
         prep.packed.arrays, prep.packed.meta, scene.env_image, fvn9,
+        km_table,
         camera=cfg.camera, S=rcfg.gi_samples, D=rcfg.gi_depth,
         wave=rcfg.wave, pump=rcfg.pump,
         gate0=0.0 if pg is None else pg, gate_b=rcfg.bounce_gate(),

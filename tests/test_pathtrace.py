@@ -619,11 +619,11 @@ def test_gi_wave_eligibility_and_fallback():
     )
     with pytest.raises(ValueError):
         gi_wave_eligible(prep_env._replace(cfg=cfg_on))
-    # a reflective km > 0 material is ineligible (Lambertian-only wave)
+    # reflective km > 0 is ELIGIBLE since the mirror-mix extension
     mats = prep.scene.materials._replace(
         reflective=jnp.asarray([True]), km=jnp.asarray([0.5], jnp.float32)
     )
-    assert not gi_wave_eligible(
+    assert gi_wave_eligible(
         prep._replace(scene=prep.scene._replace(materials=mats))
     )
 
@@ -777,3 +777,64 @@ def test_gi_wave_smooth_normals():
     same = (np.abs(w - s) <= 1e-4).all(axis=-1)
     assert same.mean() > 0.95, f"only {same.mean():.3f} of pixels agree"
     np.testing.assert_allclose(w.mean(), s.mean(), rtol=0.02)
+
+
+def test_gi_wave_mirror_furnace():
+    """The Lambertian/mirror mix through the wave.  km == 1 makes every
+    draw take the mirror branch (u3 < 1 always), so the estimate is
+    draw-independent: the wave must equal the segment loop AND the
+    analytic furnace value (mirror radiance is untinted E) to float
+    precision.  km in (0,1) leaves the BRANCH riding each pixel's
+    ray-bit key — per-program key ulps flip the draw on a few pixels
+    (~4/256 here), so that case is statistical like every other
+    draw-sensitive comparison."""
+    import ray_tracer_tpu.render.pathtrace as pt
+
+    prep = _mirror_prep(km=1.0)
+    cfg_on = dataclasses.replace(
+        prep.cfg,
+        render=dataclasses.replace(prep.cfg.render, gi_wave="on",
+                                   gi_samples=3, gi_depth=2),
+    )
+    assert pt.gi_wave_eligible(prep._replace(cfg=cfg_on))
+    w, s = _wave_pair(prep._replace(cfg=cfg_on))
+    np.testing.assert_allclose(w, s, atol=1e-3, rtol=1e-6)
+    hit = np.abs(s - E).sum(-1) > 1e-3
+    np.testing.assert_allclose(w[hit], E, atol=2e-3)
+
+    prep7 = _mirror_prep(km=0.7)
+    cfg7 = dataclasses.replace(
+        prep7.cfg,
+        render=dataclasses.replace(prep7.cfg.render, gi_wave="on",
+                                   gi_samples=3, gi_depth=2),
+    )
+    w7, s7 = _wave_pair(prep7._replace(cfg=cfg7))
+    same = (np.abs(w7 - s7) <= 1e-3).all(axis=-1)
+    assert same.mean() > 0.95, f"only {same.mean():.3f} of pixels agree"
+
+
+def test_gi_wave_mirror_occlusion_statistical():
+    """Mirror mix + real occlusion (plane + reflective sphere): the
+    usual statistical contract."""
+    from ray_tracer_tpu.models.scenes import gradcheck_scene
+
+    scene, cfg = gradcheck_scene(24, 24)
+    mats = scene.materials._replace(
+        reflective=jnp.asarray([False, True]),
+        km=jnp.asarray([0.0, 0.6], jnp.float32),
+    )
+    cfg = dataclasses.replace(
+        cfg,
+        render=dataclasses.replace(
+            cfg.render, faithful=False, det_dtype="float32",
+            traversal="packed", scheduler="persistent", wave=256, pump=2,
+            gi_samples=2, gi_depth=2, gi_wave="auto",
+        ),
+    )
+    w, s = _wave_pair(prepare(cfg, scene=scene._replace(materials=mats)))
+    same = (np.abs(w - s) <= 1e-3).all(axis=-1)
+    assert same.mean() > 0.9, f"only {same.mean():.3f} of pixels agree"
+    # the scene is VERY dark (mean ~1e-3) and the branch draw is
+    # value-relevant, so the few draw-flipped pixels swing the tiny
+    # mean — aggregate agreement is correspondingly loose here
+    np.testing.assert_allclose(w.mean(), s.mean(), rtol=0.15)
