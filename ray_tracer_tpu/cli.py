@@ -59,8 +59,18 @@ def _build_cfg(args):
         # block rows + the persistent wavefront + auto grid layout +
         # SAT-exact grid insertion, with the sweep-measured wave/pump/
         # row-width/grid knobs per scene family (docs/PERFORMANCE.md).
+        # gi_samples must be on cfg BEFORE apply_turbo so the knob
+        # selection sees a GI run (GI has its own gi_pump knee; the
+        # Whitted-wave wave/pump knobs would mistune it).
         from ray_tracer_tpu.config import apply_turbo
 
+        if getattr(args, "gi_samples", 0) > 0:
+            cfg = dataclasses.replace(
+                cfg,
+                render=dataclasses.replace(
+                    cfg.render, gi_samples=args.gi_samples
+                ),
+            )
         family = {
             "serial": "serial", "parallel": "parallel",
             "nefertiti": "nefertiti", "nefertiti_spot": "nefertiti",

@@ -213,6 +213,7 @@ def gi_wave_trace(
         vpos=z3,             # current vertex position (recomputed t)
         idir=z3,             # incident segment direction (mirror input)
         vspec=zb,            # current vertex took the mirror branch
+        vkm=zf,              # current vertex km (survives the shadow)
         idir0=z3,            # depth-0 incident dir (mirror restarts)
         km0=zf,              # depth-0 vertex km (restart branch draws)
         d0=z3,               # shared depth-0 NEE contribution
@@ -465,7 +466,12 @@ def gi_wave_trace(
         # bounce reflects the staged incident ray, like the segment
         # loop's cur.dirn
         idir_v = jnp.where(hitP[:, None], s["d"], s["idir"])
-        km_v = (jnp.where(hitP, km_d, s["km0"]) if has_spec else zf)
+        # km needs its own current-vertex carry (like nrm/alb/vpos):
+        # falling back to km0 here latched a STALE value whenever the
+        # depth-0 NEE shadow actually marched (at0 then fired on the
+        # shadow-retirement round where hitP is false) — every restart
+        # sample drew its branch against the wrong km
+        km_v = (jnp.where(hitP, km_d, s["vkm"]) if has_spec else zf)
         depth_v = s["depth"]
         at0 = av & (depth_v == 0)
         d0 = jnp.where(at0[:, None], c_vtx, s["d0"])
@@ -521,13 +527,16 @@ def gi_wave_trace(
         new["vpos"] = vpos_v
         new["idir"] = idir_v
         new["vspec"] = vspec_v
+        new["vkm"] = km_v
         new["idir0"], new["km0"] = idir0, km0
         new["pend"] = jnp.where(shadow_go[:, None], pend_new, s["pend"])
         if has_env:
             # stage this round's escapes: resolved lanes clear, new
             # escapes record their direction + throughput weight
             stage = bounce_esc | esc | prim_miss
-            new["epend"] = (s["epend"] & ~(prim_env_done | E_carry)) | stage
+            # prim_env_done | E_carry == s["epend"] (they partition it),
+            # so every staged escape resolves in exactly one round
+            new["epend"] = stage
             new["e0"] = jnp.where(stage, prim_miss, s["e0"])
             new["edir"] = jnp.where(
                 bounce_esc[:, None], ndir,

@@ -683,10 +683,8 @@ def _render_pt_wave(prep) -> jnp.ndarray:
     # Lambertian wave keeps its exact shared-primary structure
     km_np = (np.asarray(scene.materials.km).clip(0.0, 1.0)
              * np.asarray(scene.materials.reflective).astype(np.float32))
-    km_table = None
-    if rcfg.gi_specular and bool((km_np > 0.0).any()):
-        km_table = (jnp.clip(scene.materials.km, 0.0, 1.0)
-                    * scene.materials.reflective.astype(jnp.float32))
+    km_table = (jnp.asarray(km_np, jnp.float32)
+                if rcfg.gi_specular and bool((km_np > 0.0).any()) else None)
     fvn9 = None
     if rcfg.normal_mode == "smooth":
         # per-face corner normals packed into ONE (F,9) row so the

@@ -838,3 +838,57 @@ def test_gi_wave_mirror_occlusion_statistical():
     # value-relevant, so the few draw-flipped pixels swing the tiny
     # mean — aggregate agreement is correspondingly loose here
     np.testing.assert_allclose(w.mean(), s.mean(), rtol=0.15)
+
+
+def test_gi_wave_mirror_furnace_shadow_marched():
+    """Round-5 review regression (stale km0): under parallel shading
+    the depth-0 NEE shadow points TOWARD the light and, with a grid
+    AABB tall enough, actually MARCHES — the depth-0 vertex data
+    (km included) must survive that march for the restart samples'
+    branch draws.  km=1 keeps the estimate draw-independent: every
+    sample mirrors and escapes to the constant env, so hit pixels read
+    exactly E through wave AND segments."""
+    import ray_tracer_tpu.render.pathtrace as pt
+    from ray_tracer_tpu.io.obj import MeshArrays
+
+    plane = mesh_gen.make_plane(extent=8.0, y=-1.0, density=2)
+    # one distant high triangle stretches the grid AABB upward so the
+    # shadow/bounce rays march instead of exiting at the slab
+    spike = MeshArrays(
+        verts=np.array([[7.5, 4.0, 7.5], [7.9, 4.0, 7.5],
+                        [7.7, 4.2, 7.9]], np.float32),
+        faces=np.array([[0, 1, 2]], np.int32),
+        uvs=np.zeros((0, 2), np.float32),
+        uv_faces=np.zeros((0, 3), np.int32),
+    )
+    mats = (MaterialConfig(base_color=(255.0 * RHO,) * 3, km=1.0,
+                           reflective=True),)
+    light = LightConfig(position=(0.0, 5.0, 0.0), intensity=0.0)
+    scene = scene_from_meshes([(plane, 0), (spike, 0)], mats, light)
+    scene = scene._replace(
+        env_image=jnp.broadcast_to(
+            jnp.asarray([E, E, E], jnp.float32), (4, 8, 3)
+        )
+    )
+    cfg = SceneConfig(
+        materials=mats, light=light,
+        camera=CameraConfig(position=(0.0, 3.0, 0.0),
+                            target=(0.1, -1.0, 0.1), width=16, height=16),
+    )
+    cfg = dataclasses.replace(
+        cfg,
+        render=dataclasses.replace(
+            cfg.render, shading="parallel", faithful=False,
+            det_dtype="float32", traversal="packed",
+            scheduler="persistent", wave=128, pump=2, ray_tile=64,
+            shadow_eps=1e-3, gi_samples=3, gi_depth=1, gi_wave="on",
+        ),
+    )
+    prep = prepare(cfg, scene=scene)
+    assert pt.gi_wave_eligible(prep)
+    w, s = _wave_pair(prep)
+    np.testing.assert_allclose(w, s, atol=2e-3, rtol=1e-6)
+    # every pixel reads E: hits mirror-escape to the constant env, and
+    # misses read the env directly (with the stale-km0 bug, restart
+    # samples drew the diffuse branch instead -> 0.667*E on the plane)
+    np.testing.assert_allclose(w, E, atol=2e-2)
