@@ -31,10 +31,12 @@ structural wins over the segment loop:
 
 Scope (the eligibility gate lives in render/pathtrace.render_pt):
 packed grid + persistent scheduler, ONE point light, no env NEE /
-extra lights, no texture, float32 dets, Lambertian only (gi_specular
-scenes with any reflective km > 0 fall back).  Smooth normals ARE
-served (the face's packed corner-normal row costs one extra gather at
-vertex resolve).
+extra lights, float32 dets.  Served IN-wave: environment maps
+(deferred merged escape lookups), smooth normals (one packed
+corner-normal row), textures (one corner-uv row; checker and bilinear
+image modes), and the Lambertian/mirror mix.  Segment-only remainder:
+env NEE/MIS, extra point lights (whose segments also drop the fused
+NEE), and ring-sharded geometry.
 Environment maps ARE served: escapes stage their direction in the
 carry and resolve through ONE merged bilinear lookup per round (a
 per-escape-site lookup would be per-index gather-engine work — the
@@ -100,8 +102,12 @@ def gi_wave_trace(
     env_image=None,
     fvn9=None,
     km_table=None,
+    fuv7=None,
+    tex_image=None,
+    bc255_table=None,
     *,
     camera,
+    tex_scale: float = 1.0,
     S: int,
     D: int,
     wave: int = 12288,
@@ -141,6 +147,15 @@ def gi_wave_trace(
     # draw, the bounce direction and the NEE skip differ per branch.
     has_spec = km_table is not None
     km_tab = (km_table.astype(jnp.float32) if has_spec else None)
+    # Textures (round 5 cont.): fuv7 = (F,7) [uv corners x3, has_uv]
+    # rows (one extra gather at vertex resolve); the sampled factor
+    # modulates the RAW base_color before the clamp, exactly like the
+    # segment integrator.  tex_image None = checker mode.
+    textured = fuv7 is not None
+    if textured:
+        assert bc255_table is not None, "textured wave needs bc255_table"
+        bc255_tab = bc255_table.astype(jnp.float32)
+        nrep = jnp.float32(tex_scale)
     bg3 = jnp.asarray(bg, jnp.float32)
     # depth-0 miss: v_s = bg for every sample, summed sequentially in
     # f32 (the segment loop's acc association)
@@ -366,26 +381,56 @@ def gi_wave_trace(
         t_m = jnp.where(hit_now, best_t, 0.0)
         poi_m = s["o"] + s["d"] * t_m[:, None]  # fused-shadow origin
         gn = vm.normalize(vm.cross(tv1 - tv0, tv2 - tv0))
-        if fvn9 is not None:
-            # smooth normals: Phong-interpolate the face's packed
-            # corner normals (one (F,9) row gather) at the recomputed
-            # barycentrics — the segment integrator's exact arithmetic
-            # (interpolate_normal then a second normalize)
+        if fvn9 is not None or textured:
+            # hit barycentrics shared by smooth normals and textures
             from ray_tracer_tpu.ops.intersect import cramer_bg_safe
 
             hb, hg = cramer_bg_safe(
                 s["o"], s["d"], tv0, tv1, tv2, hitP,
                 det_dtype=jnp.float32,
             )
-            crow = fvn9[jnp.clip(tri, 0, n_faces - 1)]
             alpha = 1.0 - hb - hg
+        if fvn9 is not None:
+            # smooth normals: Phong-interpolate the face's packed
+            # corner normals (one (F,9) row gather) at the recomputed
+            # barycentrics — the segment integrator's exact arithmetic
+            # (interpolate_normal then a second normalize)
+            crow = fvn9[jnp.clip(tri, 0, n_faces - 1)]
             sn = (alpha[:, None] * crow[:, 0:3]
                   + hb[:, None] * crow[:, 3:6]
                   + hg[:, None] * crow[:, 6:9])
             gn = vm.normalize(vm.normalize(sn))
         flip = jnp.sum(gn * s["d"], axis=-1) > 0.0
         n = jnp.where(flip[:, None], -gn, gn)
-        alb = alb_tab[jnp.clip(matid, 0, n_mats - 1)]
+        if textured:
+            urow = fuv7[jnp.clip(tri, 0, n_faces - 1)]
+            uv = (alpha[:, None] * urow[:, 0:2]
+                  + hb[:, None] * urow[:, 2:4]
+                  + hg[:, None] * urow[:, 4:6])
+            has_uv = urow[:, 6] > 0.5
+            if tex_image is None:  # checker — the Whitted expression
+                checker = (jnp.floor(uv[:, 0] * nrep)
+                           + jnp.floor(uv[:, 1] * nrep)) % 2.0
+                tex = jnp.where(
+                    (has_uv & hitP), 1.0 - 0.5 * checker, 1.0
+                )[:, None]
+            else:
+                from ray_tracer_tpu.models.scenes import (
+                    sample_texture_image,
+                )
+
+                uv_s = jnp.where(hitP[:, None], uv,
+                                 jnp.zeros_like(uv)) * nrep
+                rgb = sample_texture_image(
+                    tex_image.astype(jnp.float32), uv_s
+                )
+                tex = jnp.where((has_uv & hitP)[:, None], rgb,
+                                jnp.ones_like(rgb))
+            alb = jnp.clip(
+                bc255_tab[jnp.clip(matid, 0, n_mats - 1)] * tex, 0.0, 1.0
+            )
+        else:
+            alb = alb_tab[jnp.clip(matid, 0, n_mats - 1)]
         # NEE geometry — the segment integrator's exact expressions
         to_l = light - poi_r
         d2 = jnp.sum(to_l * to_l, axis=-1)

@@ -649,7 +649,6 @@ def gi_wave_eligible(prep) -> bool:
         and not rcfg.faithful
         and rcfg.det_dtype == "float32"
         and jnp.dtype(rcfg.dtype) == jnp.dtype(jnp.float32)
-        and (rcfg.texture == "none" or scene.uvs is None)
         # env maps are supported (escapes defer to one merged lookup
         # per round) — but env NEE/MIS stays segment-only
         and not (scene.env_image is not None and rcfg.gi_env_nee)
@@ -685,6 +684,26 @@ def _render_pt_wave(prep) -> jnp.ndarray:
              * np.asarray(scene.materials.reflective).astype(np.float32))
     km_table = (jnp.asarray(km_np, jnp.float32)
                 if rcfg.gi_specular and bool((km_np > 0.0).any()) else None)
+    # textures: (F,7) corner-uv + has-uv rows, RAW base_color (the
+    # texture modulates before the clamp, the segment integrator's
+    # exact convention)
+    fuv7 = None
+    tex_image = None
+    bc255_table = None
+    if rcfg.texture != "none" and scene.uvs is not None:
+        if rcfg.texture == "image":
+            if scene.texture_image is None:
+                raise ValueError(
+                    'cfg.render.texture == "image" but the scene has '
+                    "no texture_image"
+                )
+            tex_image = scene.texture_image
+        fuv = scene.uvs[jnp.maximum(scene.uv_faces, 0)].reshape(-1, 6)
+        fhuv = (scene.uv_faces[:, 0] >= 0).astype(jnp.float32)[:, None]
+        fuv7 = jnp.concatenate(
+            [fuv.astype(jnp.float32), fhuv], axis=1
+        )
+        bc255_table = scene.materials.base_color / 255.0
     fvn9 = None
     if rcfg.normal_mode == "smooth":
         # per-face corner normals packed into ONE (F,9) row so the
@@ -696,8 +715,9 @@ def _render_pt_wave(prep) -> jnp.ndarray:
     rad = gi_wave_trace(
         scene.light_pos, scene.light_intensity, albedo_table, tri9,
         prep.packed.arrays, prep.packed.meta, scene.env_image, fvn9,
-        km_table,
-        camera=cfg.camera, S=rcfg.gi_samples, D=rcfg.gi_depth,
+        km_table, fuv7, tex_image, bc255_table,
+        camera=cfg.camera, tex_scale=float(rcfg.texture_scale),
+        S=rcfg.gi_samples, D=rcfg.gi_depth,
         wave=rcfg.wave, pump=rcfg.pump,
         gate0=0.0 if pg is None else pg, gate_b=rcfg.bounce_gate(),
         eps=rcfg.shadow_eps, smint=rcfg.shadow_mint(),

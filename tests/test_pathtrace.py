@@ -892,3 +892,44 @@ def test_gi_wave_mirror_furnace_shadow_marched():
     # misses read the env directly (with the stale-km0 bug, restart
     # samples drew the diffuse branch instead -> 0.667*E on the plane)
     np.testing.assert_allclose(w, E, atol=2e-2)
+
+
+@pytest.mark.parametrize("texture", ["checker", "image"])
+def test_gi_wave_texture_depth0_exact(texture):
+    """Textures through the wave (one (F,7) corner-uv row): at depth 0
+    the estimate has NO sampled directions at all (NEE only), so the
+    wave must match the textured segment integrator to float precision
+    — checker and bilinear image modes."""
+    import ray_tracer_tpu.render.pathtrace as pt
+
+    tex_img = (np.linspace(0.1, 1.0, 4 * 4 * 3, dtype=np.float32)
+               .reshape(4, 4, 3) if texture == "image" else None)
+    prep = _textured_gi_prep(texture, texture_image=tex_img,
+                             gi_samples=2, gi_depth=0)
+    cfg_on = dataclasses.replace(
+        prep.cfg,
+        render=dataclasses.replace(
+            prep.cfg.render, gi_wave="on", scheduler="persistent",
+            wave=128, pump=2,
+        ),
+    )
+    prep = prep._replace(cfg=cfg_on)
+    assert pt.gi_wave_eligible(prep)
+    w, s = _wave_pair(prep)
+    np.testing.assert_allclose(w, s, atol=1e-5, rtol=1e-6)
+
+
+def test_gi_wave_texture_bounce_statistical():
+    """Depth >= 1 adds sampled bounce directions: statistical contract."""
+    prep = _textured_gi_prep("checker", gi_samples=2, gi_depth=1)
+    cfg_on = dataclasses.replace(
+        prep.cfg,
+        render=dataclasses.replace(
+            prep.cfg.render, gi_wave="auto", scheduler="persistent",
+            wave=128, pump=2, background=(12.0, 8.0, 4.0),
+        ),
+    )
+    w, s = _wave_pair(prep._replace(cfg=cfg_on))
+    same = (np.abs(w - s) <= 1e-4).all(axis=-1)
+    assert same.mean() > 0.95, f"only {same.mean():.3f} of pixels agree"
+    np.testing.assert_allclose(w.mean(), s.mean(), rtol=0.02)
