@@ -54,8 +54,8 @@ from ray_tracer_tpu.ops.shade import _pow_safe
 @partial(
     jax.jit,
     static_argnames=(
-        "meta", "camera", "max_bounces", "serial", "wave", "pump", "gate0",
-        "gate_b", "eps", "smint", "quirk", "shadow_scale", "bg",
+        "meta", "camera", "max_bounces", "serial", "spp", "wave", "pump",
+        "gate0", "gate_b", "eps", "smint", "quirk", "shadow_scale", "bg",
         "refill_retries", "max_iters",
     ),
 )
@@ -70,6 +70,7 @@ def whitted_wave_trace(
     camera,
     max_bounces: int,
     serial: bool,
+    spp: int = 1,
     wave: int = 12288,
     pump: int = 1,
     gate0: float = 0.0,
@@ -86,8 +87,14 @@ def whitted_wave_trace(
 
     mat9: (M, 9) material rows [base r, g, b, kd, ks, spec_alpha, ka,
     km, reflective]; tri9: (F, 10) packed triangle rows with the
-    material index in lane 9 (the renderer's layout)."""
-    r = camera.width * camera.height
+    material index in lane 9 (the renderer's layout).
+
+    spp > 1: the queue holds H*W*spp^2 SUBSAMPLE items (camera_ray_at's
+    subsample-major index = s*H*W + pixel) and the per-subsample colors
+    fold subsample-major after the loop — the same sequential
+    accumulation order as renderer.accumulate_spp, so the anti-aliased
+    image matches the bounce-loop renderer the usual way."""
+    r = camera.width * camera.height * spp * spp
     w = min(wave, r)
     bt = meta.block_tris
     n_slots = grid.slot_tri.shape[0]
@@ -158,7 +165,7 @@ def whitted_wave_trace(
         new_id = jnp.where(idle, s["next"] + order - 1, s["ray_id"])
         got = idle & (new_id < r)
         rid = jnp.where(got, new_id, jnp.where(idle, r, s["ray_id"]))
-        gen = camera_ray_at(camera, jnp.clip(rid, 0, r - 1))
+        gen = camera_ray_at(camera, jnp.clip(rid, 0, r - 1), spp=spp)
         o = jnp.where(got[:, None], gen.orig.astype(jnp.float32), s["o"])
         d = jnp.where(got[:, None], gen.dirn.astype(jnp.float32), s["d"])
         t0, entered = _slab_entry(
@@ -399,5 +406,16 @@ def whitted_wave_trace(
         return dict(s, i=s["i"] + 1)
 
     out = jax.lax.while_loop(cond, body, state)
-    return jnp.stack([out["out0"][:r], out["out1"][:r], out["out2"][:r]],
-                     axis=-1)
+    col = jnp.stack([out["out0"][:r], out["out1"][:r], out["out2"][:r]],
+                    axis=-1)
+    if spp > 1:
+        # sequential subsample-major accumulation — accumulate_spp's
+        # exact association (acc = c0; acc += c1; ...) then the mean
+        ss = spp * spp
+        px = camera.width * camera.height
+        parts = col.reshape(ss, px, 3)
+        acc = parts[0]
+        for j in range(1, ss):
+            acc = acc + parts[j]
+        col = acc / jnp.float32(ss)
+    return col

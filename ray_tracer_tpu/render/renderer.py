@@ -861,7 +861,6 @@ def whitted_wave_eligible(prep: Prepared) -> bool:
         and not rcfg.faithful
         and rcfg.det_dtype == "float32"
         and jnp.dtype(rcfg.dtype) == jnp.dtype(jnp.float32)
-        and rcfg.spp == 1
         and rcfg.normal_mode != "smooth"
         and (rcfg.texture == "none" or scene.uvs is None)
         and scene.env_image is None
@@ -869,12 +868,14 @@ def whitted_wave_eligible(prep: Prepared) -> bool:
         and rcfg.soft_visibility <= 0.0
         and rcfg.soft_primary <= 0.0
         and not (rcfg.shadow_samples > 1 and rcfg.light_radius > 0)
-        and cfg.camera.aperture == 0.0
+        # thin-lens DoF rides spp (camera_ray_at regenerates the lens
+        # offsets per subsample, bitwise == camera_rays)
+        and not (cfg.camera.aperture > 0.0 and rcfg.spp <= 1)
     )
     if knob == "on" and not ok:
         raise ValueError(
             "whitted_wave='on' but the configuration is ineligible "
-            "(needs packed+persistent forward, one point light, spp 1, "
+            "(needs packed+persistent forward, one point light, "
             "face normals, no texture/env/extra lights, no softening, "
             "float32 dets)"
         )
@@ -902,7 +903,7 @@ def _render_whitted_wave(prep: Prepared) -> jnp.ndarray:
         scene.light_pos, scene.light_intensity, mat9, tri9,
         prep.packed.arrays, prep.packed.meta,
         camera=cfg.camera, max_bounces=rcfg.max_bounces,
-        serial=rcfg.serial_shading,
+        serial=rcfg.serial_shading, spp=rcfg.spp,
         wave=rcfg.wave, pump=rcfg.pump,
         gate0=0.0 if pg is None else pg, gate_b=rcfg.bounce_gate(),
         eps=rcfg.shadow_eps, smint=rcfg.shadow_mint(),

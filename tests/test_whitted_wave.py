@@ -98,17 +98,18 @@ def test_wave_eligibility_and_fallback():
     assert whitted_wave_eligible(prep._replace(cfg=cfg_on))
     # default off
     assert not whitted_wave_eligible(prep)
-    # spp > 1 is ineligible; "on" raises, "auto" falls back
+    # spp > 1 is ELIGIBLE (subsample-indexed queue); soft shadows are
+    # not: "on" raises, "auto" falls back
     cfg_spp = dataclasses.replace(
         prep.cfg,
         render=dataclasses.replace(prep.cfg.render, whitted_wave="auto",
                                    spp=2),
     )
-    assert not whitted_wave_eligible(prep._replace(cfg=cfg_spp))
+    assert whitted_wave_eligible(prep._replace(cfg=cfg_spp))
     cfg_bad = dataclasses.replace(
         prep.cfg,
         render=dataclasses.replace(prep.cfg.render, whitted_wave="on",
-                                   spp=2),
+                                   shadow_samples=8, light_radius=0.5),
     )
     with pytest.raises(ValueError):
         whitted_wave_eligible(prep._replace(cfg=cfg_bad))
@@ -134,4 +135,32 @@ def test_render_dispatch_takes_wave():
         render=dataclasses.replace(prep.cfg.render, whitted_wave="on"),
     )
     w = np.asarray(render(prep._replace(cfg=cfg_on)))
+    np.testing.assert_allclose(w, s, rtol=1e-5, atol=1e-4)
+
+
+def test_wave_spp_matches_bounce_loop():
+    """spp > 1 through the wave: the queue holds subsample items and
+    the fold reproduces accumulate_spp's sequential association — the
+    anti-aliased mirror render matches the bounce loop (deterministic:
+    Whitted has no sampling)."""
+    w, s = _pair(_mirror_prep(mb=2, spp=2))
+    np.testing.assert_allclose(w, s, rtol=1e-5, atol=1e-4)
+
+
+def test_wave_dof_matches_bounce_loop():
+    """Thin-lens depth of field rides spp: camera_ray_at regenerates
+    each subsample's golden-spiral lens point bitwise, so the defocused
+    wave image matches the bounce loop."""
+    import dataclasses as _dc
+
+    prep = _mirror_prep(mb=1, spp=2)
+    cfg = _dc.replace(
+        prep.cfg,
+        camera=_dc.replace(prep.cfg.camera, aperture=0.2,
+                           focus_distance=3.0),
+    )
+    from ray_tracer_tpu.render.renderer import prepare as _prepare
+
+    prep = _prepare(cfg, scene=prep.scene)
+    w, s = _pair(prep)
     np.testing.assert_allclose(w, s, rtol=1e-5, atol=1e-4)
