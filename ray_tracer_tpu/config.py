@@ -329,10 +329,11 @@ class RenderConfig:
     # serves primary -> shadow -> shade -> mirror bounce -> ... per
     # pixel, with the Blinn-Phong vertex shading evaluated in-wave at
     # retirement.  Same contract as gi_wave: "auto" for eligible
-    # forward renders (packed+persistent, one point light, spp 1, face
+    # forward renders (packed+persistent, one point light, face
     # normals, no texture/env/extra lights, no soft shadows/silhouette
-    # softening, float32 dets), "on" requires it, "off" (default) keeps
-    # the per-depth bounce loop.  Forward-only; images match the bounce
+    # softening, float32 dets; spp anti-aliasing and thin-lens DoF ARE
+    # served — the queue holds subsample items), "on" requires it,
+    # "off" (default) keeps the per-depth bounce loop.  Forward-only; images match the bounce
     # loop to float association (the km blend accumulates forward
     # instead of folding deepest-first) — the bit-faithful goldens stay
     # on the default path.  bench.py and `cli --turbo` opt in.
