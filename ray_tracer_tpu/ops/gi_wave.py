@@ -90,6 +90,7 @@ from ray_tracer_tpu.render.pathtrace import (
     static_argnames=(
         "meta", "camera", "S", "D", "wave", "pump", "gate0", "gate_b",
         "eps", "smint", "quirk", "bg", "refill_retries", "max_iters",
+        "tex_scale", "pix_stride", "queue_len",
     ),
 )
 def gi_wave_trace(
@@ -120,6 +121,9 @@ def gi_wave_trace(
     bg: tuple = (0.0, 0.0, 0.0),
     refill_retries: int = 3,
     max_iters=None,
+    pix_offset=None,
+    pix_stride: int = 1,
+    queue_len=None,
 ) -> jnp.ndarray:
     """SUMMED radiance over S samples per pixel -> (H*W, 3) f32 (the
     caller divides by S).  Contribution order per pixel matches the
@@ -129,9 +133,19 @@ def gi_wave_trace(
     gate0/gate_b/eps/smint/quirk: the shared hit/shadow policy
     (config.RenderConfig.primary_gate / bounce_gate / shadow_eps /
     shadow_mint / shadow_dir_away_from_light), so the wave's visibility
-    topology is the segment loop's exactly."""
+    topology is the segment loop's exactly.
+
+    pix_offset/pix_stride/queue_len: the SHARDED queue (see
+    whitted_wave_trace) — queue position k serves GLOBAL pixel
+    pix_offset + k*pix_stride by pure index arithmetic, so a shard_map
+    shard runs the wave over its own slice/striding and per-pixel
+    results equal the single-device wave.  Output is (queue_len,)
+    queue-ordered."""
     r = camera.width * camera.height
-    w = min(wave, r)
+    qn = queue_len if queue_len is not None else r
+    off = (jnp.asarray(0, jnp.int32) if pix_offset is None
+           else pix_offset.astype(jnp.int32))
+    w = min(wave, qn)
     bt = meta.block_tris
     n_slots = grid.slot_tri.shape[0]
     n_faces = tri9.shape[0]
@@ -178,11 +192,14 @@ def gi_wave_trace(
         env_f32 = env_image.astype(jnp.float32)
         # AABB-rejected pixels never enter the wave: their output is
         # the dense per-pixel escape value, S-folded sequentially
-        _gen_all = camera_ray_at(camera, jnp.arange(r, dtype=jnp.int32))
+        _gid_all = jnp.clip(
+            off + jnp.arange(qn, dtype=jnp.int32) * pix_stride, 0, r - 1
+        )
+        _gen_all = camera_ray_at(camera, _gid_all)
         _env0 = sample_env_image(
             env_f32, vm.normalize(_gen_all.dirn.astype(jnp.float32))
         )
-        _acc0 = jnp.zeros((r, 3), jnp.float32)
+        _acc0 = jnp.zeros((qn, 3), jnp.float32)
         for _ in range(S):
             _acc0 = _acc0 + _env0
 
@@ -196,13 +213,18 @@ def gi_wave_trace(
     seg_bound = _default_max_steps(meta)
     if max_iters is None:
         per_ray = seg_bound * 2 * (D + 1) * S
-        max_iters = -(-r * per_ray // w) + per_ray + 64
+        max_iters = -(-qn * per_ray // w) + per_ray + 64
     max_rounds = -(-max_iters // pump)
 
-    zf = jnp.zeros((w,), jnp.float32)
+    # shard_map carry-type treatment (the persistent wave's rule)
+    from ray_tracer_tpu.parallel.collectives import pcast_varying, vma_union
+
+    _want = vma_union((light_pos, light_intensity, albedo_table, tri9,
+                       grid, off))
+    zf = pcast_varying(jnp.zeros((w,), jnp.float32), _want)
     zi = zf.astype(jnp.int32)
     zb = zi != 0
-    z3 = jnp.zeros((w, 3), jnp.float32)
+    z3 = jnp.zeros((w, 3), jnp.float32) + zf[:, None]
 
     state = dict(
         # march core (ops/traverse_packed._march_step contract)
@@ -213,7 +235,7 @@ def gi_wave_trace(
         best_t=zf + inf, best_blk=zi, best_slot=zi,
         gate=zf, maxt=zf,
         # estimator state machine
-        ray_id=jnp.full((w,), r, jnp.int32),
+        ray_id=jnp.full((w,), qn, jnp.int32),
         phase=zb,            # False = path segment, True = NEE shadow
         lsteps=zi,           # steps in the CURRENT segment (see seg_bound)
         depth=zi,            # current vertex/segment depth
@@ -243,13 +265,13 @@ def gi_wave_trace(
         done_acc=zb,
         rl0=zf, rl1=zf, rl2=zf,
         out0=(jnp.concatenate([_acc0[:, 0], jnp.zeros((w,), jnp.float32)])
-              if has_env else jnp.full((r + w,), float(bg_acc[0]),
+              if has_env else jnp.full((qn + w,), float(bg_acc[0]),
                                        jnp.float32)),
         out1=(jnp.concatenate([_acc0[:, 1], jnp.zeros((w,), jnp.float32)])
-              if has_env else jnp.full((r + w,), float(bg_acc[1]),
+              if has_env else jnp.full((qn + w,), float(bg_acc[1]),
                                        jnp.float32)),
         out2=(jnp.concatenate([_acc0[:, 2], jnp.zeros((w,), jnp.float32)])
-              if has_env else jnp.full((r + w,), float(bg_acc[2]),
+              if has_env else jnp.full((qn + w,), float(bg_acc[2]),
                                        jnp.float32)),
         next=jnp.asarray(0, jnp.int32),
         i=jnp.asarray(0, jnp.int32),
@@ -264,16 +286,19 @@ def gi_wave_trace(
         idle = ~s["alive"] & ~s["epend"]
         order = jnp.cumsum(idle.astype(jnp.int32))
         new_id = jnp.where(idle, s["next"] + order - 1, s["ray_id"])
-        got = idle & (new_id < r)
-        rid = jnp.where(got, new_id, jnp.where(idle, r, s["ray_id"]))
-        gen = camera_ray_at(camera, jnp.clip(rid, 0, r - 1))
+        got = idle & (new_id < qn)
+        rid = jnp.where(got, new_id, jnp.where(idle, qn, s["ray_id"]))
+        # queue position -> GLOBAL pixel (sharded: the shard's stride)
+        gid = off + rid * pix_stride
+        valid = got & (gid < r)
+        gen = camera_ray_at(camera, jnp.clip(gid, 0, r - 1))
         o = jnp.where(got[:, None], gen.orig.astype(jnp.float32), s["o"])
         d = jnp.where(got[:, None], gen.dirn.astype(jnp.float32), s["d"])
         t0, entered = _slab_entry(
             grid, o, d, gen.mint.astype(jnp.float32),
             gen.maxt.astype(jnp.float32),
         )
-        live = got & entered
+        live = valid & entered
         key0 = ray_sample_keys(gen.orig, gen.dirn)
         return dict(
             s,
@@ -297,7 +322,7 @@ def gi_wave_trace(
             vcur=jnp.where(got[:, None], 0.0, s["vcur"]),
             tpt=jnp.where(got[:, None], 1.0, s["tpt"]),
             pend=jnp.where(got[:, None], 0.0, s["pend"]),
-            next=jnp.minimum(s["next"] + order[-1], r),
+            next=jnp.minimum(s["next"] + order[-1], qn),
         )
 
     def refill(s):
@@ -307,11 +332,13 @@ def gi_wave_trace(
             s = pop_once(s)
         return s
 
+    if _want:
+        state = pcast_varying(state, _want)
     state = refill(state)
 
     def cond(s):
         return (s["i"] < max_rounds) & (
-            jnp.any(s["alive"]) | jnp.any(s["epend"]) | (s["next"] < r)
+            jnp.any(s["alive"]) | jnp.any(s["epend"]) | (s["next"] < qn)
         )
 
     def transition(s, pre_alive):
@@ -737,7 +764,7 @@ def gi_wave_trace(
         # ---- one scatter per round flushes the latches ----------------
         flushed = s["done_acc"]
         idx = jnp.where(
-            flushed, s["ray_id"], r + jnp.arange(w, dtype=jnp.int32)
+            flushed, s["ray_id"], qn + jnp.arange(w, dtype=jnp.int32)
         )
         s = dict(
             s,
@@ -750,5 +777,5 @@ def gi_wave_trace(
         return dict(s, i=s["i"] + 1)
 
     out = jax.lax.while_loop(cond, body, state)
-    return jnp.stack([out["out0"][:r], out["out1"][:r], out["out2"][:r]],
+    return jnp.stack([out["out0"][:qn], out["out1"][:qn], out["out2"][:qn]],
                      axis=-1)

@@ -51,12 +51,29 @@ from ray_tracer_tpu.core import vecmath as vm
 from ray_tracer_tpu.ops.shade import _pow_safe
 
 
+def build_wave_tables(scene):
+    """(mat9, tri9) for whitted_wave_trace from a Scene — the ONE
+    builder shared by the single-device dispatch and the sharded
+    branch."""
+    v0, v1, v2 = scene.triangle_soa()
+    tri9 = jnp.concatenate(
+        [v0, v1, v2, scene.face_material.astype(v0.dtype)[:, None]], axis=1
+    )
+    m = scene.materials
+    mat9 = jnp.stack(
+        [m.base_color[:, 0], m.base_color[:, 1], m.base_color[:, 2],
+         m.kd, m.ks, m.spec_alpha, m.ka, m.km,
+         m.reflective.astype(jnp.float32)], axis=1
+    )
+    return mat9, tri9
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "meta", "camera", "max_bounces", "serial", "spp", "wave", "pump",
         "gate0", "gate_b", "eps", "smint", "quirk", "shadow_scale", "bg",
-        "refill_retries", "max_iters",
+        "refill_retries", "max_iters", "pix_stride", "queue_len",
     ),
 )
 def whitted_wave_trace(
@@ -82,6 +99,9 @@ def whitted_wave_trace(
     bg: tuple = (0.0, 0.0, 0.0),
     refill_retries: int = 3,
     max_iters=None,
+    pix_offset=None,
+    pix_stride: int = 1,
+    queue_len=None,
 ) -> jnp.ndarray:
     """Whitted-shaded color per pixel -> (H*W, 3) f32.
 
@@ -93,9 +113,25 @@ def whitted_wave_trace(
     subsample-major index = s*H*W + pixel) and the per-subsample colors
     fold subsample-major after the loop — the same sequential
     accumulation order as renderer.accumulate_spp, so the anti-aliased
-    image matches the bounce-loop renderer the usual way."""
+    image matches the bounce-loop renderer the usual way.
+
+    pix_offset/pix_stride/queue_len (the SHARDED queue, round 5 cont.):
+    queue position k serves GLOBAL pixel pix_offset + k*pix_stride —
+    pure index arithmetic, so a shard_map shard regenerates ITS pixels
+    (contiguous slices or the round-robin balance striding) with zero
+    gathers and the per-pixel results stay identical to the
+    single-device wave.  Output is (queue_len, 3) in queue order;
+    positions mapping past the real pixel count are dead (their rows
+    hold the background).  pix_offset may be traced (lax.axis_index).
+    Requires spp == 1."""
     r = camera.width * camera.height * spp * spp
-    w = min(wave, r)
+    sharded = pix_offset is not None
+    if sharded:
+        assert spp == 1, "the sharded wave queue serves spp == 1"
+    qn = queue_len if queue_len is not None else r
+    off = (jnp.asarray(0, jnp.int32) if pix_offset is None
+           else pix_offset.astype(jnp.int32))
+    w = min(wave, qn)
     bt = meta.block_tris
     n_slots = grid.slot_tri.shape[0]
     n_faces = tri9.shape[0]
@@ -113,13 +149,19 @@ def whitted_wave_trace(
     seg_bound = _default_max_steps(meta)
     if max_iters is None:
         per_ray = seg_bound * 2 * (max_bounces + 1)
-        max_iters = -(-r * per_ray // w) + per_ray + 64
+        max_iters = -(-qn * per_ray // w) + per_ray + 64
     max_rounds = -(-max_iters // pump)
 
-    zf = jnp.zeros((w,), jnp.float32)
+    # Under shard_map every while_loop carry leaf must enter with one
+    # uniform varying-axes type (the persistent wave's rule): pcast the
+    # round constants AND the assembled state up to the inputs' union.
+    from ray_tracer_tpu.parallel.collectives import pcast_varying, vma_union
+
+    _want = vma_union((light_pos, light_intensity, mat9, tri9, grid, off))
+    zf = pcast_varying(jnp.zeros((w,), jnp.float32), _want)
     zi = zf.astype(jnp.int32)
     zb = zi != 0
-    z3 = jnp.zeros((w, 3), jnp.float32)
+    z3 = jnp.zeros((w, 3), jnp.float32) + zf[:, None]
 
     state = dict(
         o=z3, d=jnp.ones((w, 3), jnp.float32),
@@ -128,7 +170,7 @@ def whitted_wave_trace(
         first_blk=zi, n_blk=zi, cursor=zi,
         best_t=zf + inf, best_blk=zi, best_slot=zi,
         gate=zf, maxt=zf,
-        ray_id=jnp.full((w,), r, jnp.int32),
+        ray_id=jnp.full((w,), qn, jnp.int32),
         phase=zb,            # False = path segment, True = shadow
         lsteps=zi,           # steps in the CURRENT segment (seg_bound)
         depth=zi,
@@ -145,9 +187,9 @@ def whitted_wave_trace(
         idir=z3,             # incident segment direction (reflect input)
         done_acc=zb,
         rl0=zf, rl1=zf, rl2=zf,
-        out0=jnp.full((r + w,), float(bg[0]), jnp.float32),
-        out1=jnp.full((r + w,), float(bg[1]), jnp.float32),
-        out2=jnp.full((r + w,), float(bg[2]), jnp.float32),
+        out0=jnp.full((qn + w,), float(bg[0]), jnp.float32),
+        out1=jnp.full((qn + w,), float(bg[1]), jnp.float32),
+        out2=jnp.full((qn + w,), float(bg[2]), jnp.float32),
         next=jnp.asarray(0, jnp.int32),
         i=jnp.asarray(0, jnp.int32),
     )
@@ -163,16 +205,20 @@ def whitted_wave_trace(
         idle = ~s["alive"]
         order = jnp.cumsum(idle.astype(jnp.int32))
         new_id = jnp.where(idle, s["next"] + order - 1, s["ray_id"])
-        got = idle & (new_id < r)
-        rid = jnp.where(got, new_id, jnp.where(idle, r, s["ray_id"]))
-        gen = camera_ray_at(camera, jnp.clip(rid, 0, r - 1), spp=spp)
+        got = idle & (new_id < qn)
+        rid = jnp.where(got, new_id, jnp.where(idle, qn, s["ray_id"]))
+        # queue position -> GLOBAL pixel: pure index arithmetic, so a
+        # shard regenerates its own slice/stride with zero gathers
+        gid = off + rid * pix_stride
+        valid = got & (gid < r)  # positions past the real pixel count
+        gen = camera_ray_at(camera, jnp.clip(gid, 0, r - 1), spp=spp)
         o = jnp.where(got[:, None], gen.orig.astype(jnp.float32), s["o"])
         d = jnp.where(got[:, None], gen.dirn.astype(jnp.float32), s["d"])
         t0, entered = _slab_entry(
             grid, o, d, gen.mint.astype(jnp.float32),
             gen.maxt.astype(jnp.float32),
         )
-        live = got & entered
+        live = valid & entered
         return dict(
             s,
             o=o, d=d,
@@ -191,7 +237,7 @@ def whitted_wave_trace(
             depth=jnp.where(got, 0, s["depth"]),
             col=jnp.where(got[:, None], 0.0, s["col"]),
             wgt=jnp.where(got, 1.0, s["wgt"]),
-            next=jnp.minimum(s["next"] + order[-1], r),
+            next=jnp.minimum(s["next"] + order[-1], qn),
         )
 
     def refill(s):
@@ -199,11 +245,13 @@ def whitted_wave_trace(
             s = pop_once(s)
         return s
 
+    if _want:
+        state = pcast_varying(state, _want)
     state = refill(state)
 
     def cond(s):
         return (s["i"] < max_rounds) & (
-            jnp.any(s["alive"]) | (s["next"] < r)
+            jnp.any(s["alive"]) | (s["next"] < qn)
         )
 
     def transition(s, pre_alive):
@@ -393,7 +441,7 @@ def whitted_wave_trace(
         s = transition(s, pre_alive)
         flushed = s["done_acc"]
         idx = jnp.where(
-            flushed, s["ray_id"], r + jnp.arange(w, dtype=jnp.int32)
+            flushed, s["ray_id"], qn + jnp.arange(w, dtype=jnp.int32)
         )
         s = dict(
             s,
@@ -406,7 +454,7 @@ def whitted_wave_trace(
         return dict(s, i=s["i"] + 1)
 
     out = jax.lax.while_loop(cond, body, state)
-    col = jnp.stack([out["out0"][:r], out["out1"][:r], out["out2"][:r]],
+    col = jnp.stack([out["out0"][:qn], out["out1"][:qn], out["out2"][:qn]],
                     axis=-1)
     if spp > 1:
         # sequential subsample-major accumulation — accumulate_spp's

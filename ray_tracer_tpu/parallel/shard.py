@@ -81,7 +81,9 @@ def _pad_tris(v0, v1, v2, n_shards, fmat=None):
 
 
 @lru_cache(maxsize=32)
-def _sharded_image_fn(meta: GridMeta, cfg: SceneConfig, mesh: Mesh, axis: str, balance: bool):
+def _sharded_image_fn(meta: GridMeta, cfg: SceneConfig, mesh: Mesh,
+                      axis: str, balance: bool,
+                      gi_wave_spec=None):
     n_shards = mesh.shape[axis]
     rcfg = cfg.render
     h, w = cfg.camera.height, cfg.camera.width
@@ -90,14 +92,109 @@ def _sharded_image_fn(meta: GridMeta, cfg: SceneConfig, mesh: Mesh, axis: str, b
     perm = stride_permutation(padded, n_shards) if balance else np.arange(padded)
     inv_perm = np.argsort(perm)
 
+    # the cross-depth Whitted wave shards by QUEUE ARITHMETIC: a shard
+    # regenerates its pixels from (offset, stride) — the contiguous
+    # slice or the round-robin balance striding — with zero gathers,
+    # so per-pixel results equal the single-device wave exactly
+    # (config-static preconditions here; scene-dependent ones checked
+    # at trace time inside shard_body)
+    wwave_cfg_ok = (
+        rcfg.whitted_wave != "off"
+        and rcfg.gi_samples == 0
+        and rcfg.traversal == "packed"
+        and rcfg.scheduler == "persistent"
+        and not rcfg.faithful
+        and rcfg.det_dtype == "float32"
+        and rcfg.spp == 1
+        and rcfg.normal_mode != "smooth"
+        and rcfg.soft_visibility <= 0.0
+        and rcfg.soft_primary <= 0.0
+        and not (rcfg.shadow_samples > 1 and rcfg.light_radius > 0)
+        and cfg.camera.aperture == 0.0
+        and padded % n_shards == 0
+    )
+
     def shard_body(scene: Scene, grid, rays: RayBatch) -> jnp.ndarray:
         if rcfg.gi_samples > 0:
+            if gi_wave_spec is not None and padded % n_shards == 0:
+                # GI through the cross-depth wave, sharded by queue
+                # arithmetic like the Whitted wave below; gi_wave_spec
+                # is the STATIC use-mirror-mix decision render_sharded
+                # made from host values (pathtrace.use_gi_wave_spec)
+                from ray_tracer_tpu.ops.gi_wave import gi_wave_trace
+                from ray_tracer_tpu.render.pathtrace import (
+                    build_gi_wave_tables,
+                    build_gi_wave_tri9,
+                )
+
+                s_idx = jax.lax.axis_index(axis)
+                local = padded // n_shards
+                if balance:
+                    offset, stride = s_idx, n_shards
+                else:
+                    offset, stride = s_idx * local, 1
+                tri9 = build_gi_wave_tri9(scene)
+                (albedo_table, km_table, fuv7, tex_image, bc255_table,
+                 fvn9) = build_gi_wave_tables(scene, rcfg, gi_wave_spec)
+                pg = rcfg.primary_gate()
+                rad = gi_wave_trace(
+                    scene.light_pos, scene.light_intensity, albedo_table,
+                    tri9, grid, meta, scene.env_image, fvn9, km_table,
+                    fuv7, tex_image, bc255_table,
+                    camera=cfg.camera,
+                    tex_scale=float(rcfg.texture_scale),
+                    S=rcfg.gi_samples, D=rcfg.gi_depth,
+                    wave=rcfg.wave, pump=rcfg.pump,
+                    gate0=0.0 if pg is None else pg,
+                    gate_b=rcfg.bounce_gate(),
+                    eps=rcfg.shadow_eps, smint=rcfg.shadow_mint(),
+                    quirk=rcfg.shadow_dir_away_from_light(),
+                    bg=tuple(rcfg.background),
+                    refill_retries=(3 if rcfg.refill_retries is None
+                                    else rcfg.refill_retries),
+                    pix_offset=offset, pix_stride=stride,
+                    queue_len=local,
+                )
+                # the wave returns the S-SUMMED radiance
+                return rad / rcfg.gi_samples
             # path-traced GI shards like everything else: per-ray pure
             # function, sample keys hash the ray itself (not its batch
             # index), so sharded == single-device bitwise
             from ray_tracer_tpu.render.pathtrace import pathtrace_rays
 
             return pathtrace_rays(rays, scene, grid, meta, cfg)
+        if (wwave_cfg_ok and scene.env_image is None
+                and scene.extra_light_pos is None
+                and (rcfg.texture == "none" or scene.uvs is None)):
+            from ray_tracer_tpu.ops.whitted_wave import (
+                build_wave_tables,
+                whitted_wave_trace,
+            )
+
+            s_idx = jax.lax.axis_index(axis)
+            local = padded // n_shards
+            if balance:
+                offset, stride = s_idx, n_shards
+            else:
+                offset, stride = s_idx * local, 1
+            mat9, tri9 = build_wave_tables(scene)
+            pg = rcfg.primary_gate()
+            return whitted_wave_trace(
+                scene.light_pos, scene.light_intensity, mat9, tri9,
+                grid, meta,
+                camera=cfg.camera, max_bounces=rcfg.max_bounces,
+                serial=rcfg.serial_shading, spp=1,
+                wave=rcfg.wave, pump=rcfg.pump,
+                gate0=0.0 if pg is None else pg,
+                gate_b=rcfg.bounce_gate(),
+                eps=rcfg.shadow_eps, smint=rcfg.shadow_mint(),
+                quirk=rcfg.shadow_dir_away_from_light(),
+                shadow_scale=rcfg.shadow_scale,
+                bg=tuple(rcfg.background),
+                refill_retries=(3 if rcfg.refill_retries is None
+                                else rcfg.refill_retries),
+                pix_offset=offset, pix_stride=stride, queue_len=local,
+            )
         if rcfg.traversal == "packed":
             if rcfg.scheduler == "persistent":
                 # one persistent wave per shard — no sort, no tiles
@@ -139,8 +236,18 @@ def render_sharded(
     """Render with rays sharded over `axis` of `mesh` -> (H, W, 3)."""
     if mesh is None:
         mesh = make_mesh()
+    gi_wave_spec = None
+    if prep.cfg.render.gi_samples > 0:
+        from ray_tracer_tpu.render.pathtrace import (
+            gi_wave_eligible,
+            use_gi_wave_spec,
+        )
+
+        if gi_wave_eligible(prep):
+            gi_wave_spec = use_gi_wave_spec(prep.scene, prep.cfg.render)
     if prep.cfg.render.traversal == "packed":
-        fn = _sharded_image_fn(prep.packed.meta, prep.cfg, mesh, axis, balance)
+        fn = _sharded_image_fn(prep.packed.meta, prep.cfg, mesh, axis,
+                               balance, gi_wave_spec)
         return fn(prep.scene, prep.packed.arrays)
     fn = _sharded_image_fn(prep.grid.meta, prep.cfg, mesh, axis, balance)
     return fn(prep.scene, prep.grid.arrays)

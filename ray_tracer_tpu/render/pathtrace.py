@@ -663,27 +663,28 @@ def gi_wave_eligible(prep) -> bool:
     return ok
 
 
-def _render_pt_wave(prep) -> jnp.ndarray:
-    """Forward GI through the cross-depth wave (ops/gi_wave.py)."""
-    from ray_tracer_tpu.ops.gi_wave import gi_wave_trace
-
-    cfg = prep.cfg
-    rcfg = cfg.render
-    scene = prep.scene
-    v0, v1, v2 = scene.triangle_soa()
-    tri9 = jnp.concatenate(
-        [v0, v1, v2, scene.face_material.astype(v0.dtype)[:, None]], axis=1
-    )
+def use_gi_wave_spec(scene, rcfg) -> bool:
+    """STATIC decision (host values): does this scene need the wave's
+    mirror-mix machinery?  False keeps the pure-Lambertian wave's exact
+    shared-primary structure."""
     import numpy as np
 
-    albedo_table = jnp.clip(scene.materials.base_color / 255.0, 0.0, 1.0)
-    # Lambertian/mirror mix: km gated by `reflective` (the segment
-    # integrator's km_table); None when every km is zero so the pure-
-    # Lambertian wave keeps its exact shared-primary structure
     km_np = (np.asarray(scene.materials.km).clip(0.0, 1.0)
              * np.asarray(scene.materials.reflective).astype(np.float32))
-    km_table = (jnp.asarray(km_np, jnp.float32)
-                if rcfg.gi_specular and bool((km_np > 0.0).any()) else None)
+    return bool(rcfg.gi_specular and (km_np > 0.0).any())
+
+
+def build_gi_wave_tables(scene, rcfg, use_spec: bool):
+    """(albedo_table, km_table, fuv7, tex_image, bc255_table, fvn9)
+    for gi_wave_trace — jnp-only (safe inside shard_map traces), the
+    ONE builder shared by the single-device and sharded dispatches."""
+    tri_dt = scene.verts.dtype
+    albedo_table = jnp.clip(scene.materials.base_color / 255.0, 0.0, 1.0)
+    km_table = (
+        (jnp.clip(scene.materials.km, 0.0, 1.0)
+         * scene.materials.reflective.astype(jnp.float32))
+        if use_spec else None
+    )
     # textures: (F,7) corner-uv + has-uv rows, RAW base_color (the
     # texture modulates before the clamp, the segment integrator's
     # exact convention)
@@ -700,9 +701,7 @@ def _render_pt_wave(prep) -> jnp.ndarray:
             tex_image = scene.texture_image
         fuv = scene.uvs[jnp.maximum(scene.uv_faces, 0)].reshape(-1, 6)
         fhuv = (scene.uv_faces[:, 0] >= 0).astype(jnp.float32)[:, None]
-        fuv7 = jnp.concatenate(
-            [fuv.astype(jnp.float32), fhuv], axis=1
-        )
+        fuv7 = jnp.concatenate([fuv.astype(jnp.float32), fhuv], axis=1)
         bc255_table = scene.materials.base_color / 255.0
     fvn9 = None
     if rcfg.normal_mode == "smooth":
@@ -711,6 +710,28 @@ def _render_pt_wave(prep) -> jnp.ndarray:
         # round (the integrator's serial=False vertex-normal table)
         vn = vertex_normals(scene.verts, scene.faces, serial=False)
         fvn9 = vn[scene.faces].reshape(-1, 9).astype(jnp.float32)
+    del tri_dt
+    return albedo_table, km_table, fuv7, tex_image, bc255_table, fvn9
+
+
+def build_gi_wave_tri9(scene):
+    v0, v1, v2 = scene.triangle_soa()
+    return jnp.concatenate(
+        [v0, v1, v2, scene.face_material.astype(v0.dtype)[:, None]], axis=1
+    )
+
+
+def _render_pt_wave(prep) -> jnp.ndarray:
+    """Forward GI through the cross-depth wave (ops/gi_wave.py)."""
+    from ray_tracer_tpu.ops.gi_wave import gi_wave_trace
+
+    cfg = prep.cfg
+    rcfg = cfg.render
+    scene = prep.scene
+    tri9 = build_gi_wave_tri9(scene)
+    (albedo_table, km_table, fuv7, tex_image, bc255_table,
+     fvn9) = build_gi_wave_tables(scene, rcfg,
+                                  use_gi_wave_spec(scene, rcfg))
     pg = rcfg.primary_gate()
     rad = gi_wave_trace(
         scene.light_pos, scene.light_intensity, albedo_table, tri9,

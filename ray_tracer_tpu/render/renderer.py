@@ -883,21 +883,15 @@ def whitted_wave_eligible(prep: Prepared) -> bool:
 
 
 def _render_whitted_wave(prep: Prepared) -> jnp.ndarray:
-    from ray_tracer_tpu.ops.whitted_wave import whitted_wave_trace
+    from ray_tracer_tpu.ops.whitted_wave import (
+        build_wave_tables,
+        whitted_wave_trace,
+    )
 
     cfg = prep.cfg
     rcfg = cfg.render
     scene = prep.scene
-    v0, v1, v2 = scene.triangle_soa()
-    tri9 = jnp.concatenate(
-        [v0, v1, v2, scene.face_material.astype(v0.dtype)[:, None]], axis=1
-    )
-    m = scene.materials
-    mat9 = jnp.stack(
-        [m.base_color[:, 0], m.base_color[:, 1], m.base_color[:, 2],
-         m.kd, m.ks, m.spec_alpha, m.ka, m.km,
-         m.reflective.astype(jnp.float32)], axis=1
-    )
+    mat9, tri9 = build_wave_tables(scene)
     pg = rcfg.primary_gate()
     col = whitted_wave_trace(
         scene.light_pos, scene.light_intensity, mat9, tri9,

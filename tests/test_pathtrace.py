@@ -933,3 +933,38 @@ def test_gi_wave_texture_bounce_statistical():
     same = (np.abs(w - s) <= 1e-4).all(axis=-1)
     assert same.mean() > 0.95, f"only {same.mean():.3f} of pixels agree"
     np.testing.assert_allclose(w.mean(), s.mean(), rtol=0.02)
+
+
+@pytest.mark.parametrize("balance", [True, False])
+def test_gi_wave_sharded_equals_single(eight_device_mesh, balance):
+    """The sharded GI wave (round 5 cont.): render_sharded routes
+    eligible GI configs through one wave per shard, each regenerating
+    its pixels by (offset, stride) queue arithmetic — identical to the
+    single-device wave on the direction-independent plane scene."""
+    from ray_tracer_tpu.parallel.shard import render_sharded
+    import ray_tracer_tpu.render.pathtrace as pt
+
+    prep = _plane_gi_prep(2, 2)
+    single = np.asarray(pt._render_pt_wave(prep))
+    sharded = np.asarray(
+        render_sharded(prep, mesh=eight_device_mesh, balance=balance)
+    )
+    np.testing.assert_allclose(sharded, single, rtol=1e-6, atol=1e-5)
+
+
+def test_gi_wave_sharded_mirror_env(eight_device_mesh):
+    """Sharded GI wave with the mirror mix AND an env map: the km=1
+    furnace is draw-independent, so sharded == single == analytic E."""
+    from ray_tracer_tpu.parallel.shard import render_sharded
+    import ray_tracer_tpu.render.pathtrace as pt
+
+    prep = _mirror_prep(km=1.0)
+    cfg_on = dataclasses.replace(
+        prep.cfg,
+        render=dataclasses.replace(prep.cfg.render, gi_wave="on",
+                                   gi_samples=2, gi_depth=1),
+    )
+    p = prep._replace(cfg=cfg_on)
+    single = np.asarray(pt._render_pt_wave(p))
+    sharded = np.asarray(render_sharded(p, mesh=eight_device_mesh))
+    np.testing.assert_allclose(sharded, single, rtol=1e-6, atol=1e-4)

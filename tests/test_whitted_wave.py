@@ -164,3 +164,24 @@ def test_wave_dof_matches_bounce_loop():
     prep = _prepare(cfg, scene=prep.scene)
     w, s = _pair(prep)
     np.testing.assert_allclose(w, s, rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("balance", [True, False])
+def test_sharded_wave_equals_single(eight_device_mesh, balance):
+    """The sharded Whitted wave (round 5 cont.): each shard's queue
+    regenerates ITS pixels from (offset, stride) arithmetic — both the
+    round-robin balance striding and contiguous slices — so the
+    sharded image equals the single-device wave exactly."""
+    from ray_tracer_tpu.parallel.shard import render_sharded
+
+    prep = _mirror_prep(mb=2)
+    cfg_on = dataclasses.replace(
+        prep.cfg,
+        render=dataclasses.replace(prep.cfg.render, whitted_wave="auto"),
+    )
+    p = prep._replace(cfg=cfg_on)
+    single = np.asarray(_render_whitted_wave(p))
+    sharded = np.asarray(
+        render_sharded(p, mesh=eight_device_mesh, balance=balance)
+    )
+    np.testing.assert_allclose(sharded, single, rtol=1e-6, atol=1e-5)
