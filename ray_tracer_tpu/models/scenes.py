@@ -175,6 +175,29 @@ def sample_texture_image(tex: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     return top + (bot - top) * fv[:, None]
 
 
+def texture_factor(uv, has_uv, hit, mode: str, scale, tex_image,
+                   rgb_dtype):
+    """The ONE texture-factor expression (checker pattern / bilinear
+    image sample gated by has-uv-and-hit), shared by the Whitted
+    epilogue, the segment integrator, the ring shade and the GI wave —
+    their bitwise-parity contracts depend on these never drifting.
+    Returns the (R,1) or (R,3) factor that multiplies base_color."""
+    n = jnp.asarray(scale, uv.dtype)
+    if mode == "checker":
+        checker = (jnp.floor(uv[:, 0] * n) + jnp.floor(uv[:, 1] * n)) % 2.0
+        return jnp.where(has_uv & hit, 1.0 - 0.5 * checker, 1.0)[:, None]
+    if mode == "image":
+        if tex_image is None:
+            raise ValueError(
+                'cfg.render.texture == "image" but the scene has '
+                "no texture_image"
+            )
+        uv_s = jnp.where(hit[:, None], uv, jnp.zeros_like(uv)) * n
+        rgb = sample_texture_image(tex_image, uv_s).astype(rgb_dtype)
+        return jnp.where((has_uv & hit)[:, None], rgb, jnp.ones_like(rgb))
+    raise ValueError(f"unknown texture mode {mode!r}")
+
+
 def sample_env_image(env: jnp.ndarray, dirn: jnp.ndarray) -> jnp.ndarray:
     """Lat-long (equirectangular) environment lookup: (R,3) unit
     directions -> (R,3) color.  u = azimuth around +y (wraps),

@@ -169,7 +169,8 @@ def gi_wave_trace(
     if textured:
         assert bc255_table is not None, "textured wave needs bc255_table"
         bc255_tab = bc255_table.astype(jnp.float32)
-        nrep = jnp.float32(tex_scale)
+        tex_f32 = (None if tex_image is None
+                   else tex_image.astype(jnp.float32))
     bg3 = jnp.asarray(bg, jnp.float32)
     # depth-0 miss: v_s = bg for every sample, summed sequentially in
     # f32 (the segment loop's acc association)
@@ -435,24 +436,13 @@ def gi_wave_trace(
                   + hb[:, None] * urow[:, 2:4]
                   + hg[:, None] * urow[:, 4:6])
             has_uv = urow[:, 6] > 0.5
-            if tex_image is None:  # checker — the Whitted expression
-                checker = (jnp.floor(uv[:, 0] * nrep)
-                           + jnp.floor(uv[:, 1] * nrep)) % 2.0
-                tex = jnp.where(
-                    (has_uv & hitP), 1.0 - 0.5 * checker, 1.0
-                )[:, None]
-            else:
-                from ray_tracer_tpu.models.scenes import (
-                    sample_texture_image,
-                )
+            from ray_tracer_tpu.models.scenes import texture_factor
 
-                uv_s = jnp.where(hitP[:, None], uv,
-                                 jnp.zeros_like(uv)) * nrep
-                rgb = sample_texture_image(
-                    tex_image.astype(jnp.float32), uv_s
-                )
-                tex = jnp.where((has_uv & hitP)[:, None], rgb,
-                                jnp.ones_like(rgb))
+            tex = texture_factor(
+                uv, has_uv, hitP,
+                "checker" if tex_f32 is None else "image",
+                tex_scale, tex_f32, jnp.float32,
+            )
             alb = jnp.clip(
                 bc255_tab[jnp.clip(matid, 0, n_mats - 1)] * tex, 0.0, 1.0
             )

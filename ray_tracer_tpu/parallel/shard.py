@@ -98,9 +98,12 @@ def _sharded_image_fn(meta: GridMeta, cfg: SceneConfig, mesh: Mesh,
     # so per-pixel results equal the single-device wave exactly
     # (config-static preconditions here; scene-dependent ones checked
     # at trace time inside shard_body)
+    import jax.numpy as _jnp
+
     wwave_cfg_ok = (
         rcfg.whitted_wave != "off"
         and rcfg.gi_samples == 0
+        and _jnp.dtype(rcfg.dtype) == _jnp.dtype(_jnp.float32)
         and rcfg.traversal == "packed"
         and rcfg.scheduler == "persistent"
         and not rcfg.faithful
@@ -221,7 +224,16 @@ def _sharded_image_fn(meta: GridMeta, cfg: SceneConfig, mesh: Mesh,
             colors = sharded(scene, grid, rays)
             return colors[jnp.asarray(inv_perm)][:r]
 
-        colors = accumulate_spp(one, cfg.camera, rcfg.spp, jnp.dtype(rcfg.dtype))
+        if rcfg.gi_samples > 0:
+            # gi_samples supersede spp (render_pt's rule) — running the
+            # GI integrator once per subsample would average spp^2
+            # renders of pixel centers (the wave branch regenerates
+            # pixel rays and would repeat IDENTICAL work)
+            colors = one(camera_rays(cfg.camera,
+                                     dtype=jnp.dtype(rcfg.dtype)), False)
+        else:
+            colors = accumulate_spp(one, cfg.camera, rcfg.spp,
+                                    jnp.dtype(rcfg.dtype))
         return colors.reshape(h, w, 3)
 
     return run
@@ -583,28 +595,12 @@ def _ring_shade(rays, orbit, rcfg, materials, light_pos, light_intensity,
                 )
             uv = (alpha[:, None] * best["uv0"] + hb[:, None] * best["uv1"]
                   + hg[:, None] * best["uv2"])
-            n = jnp.asarray(rcfg.texture_scale, uv.dtype)
             has_uv = best["huv"]
-            if rcfg.texture == "checker":
-                checker = (jnp.floor(uv[:, 0] * n)
-                           + jnp.floor(uv[:, 1] * n)) % 2.0
-                tex = jnp.where(has_uv & hit, 1.0 - 0.5 * checker, 1.0)[:, None]
-            elif rcfg.texture == "image":
-                if tex_image is None:
-                    raise ValueError(
-                        'cfg.render.texture == "image" but the scene has '
-                        "no texture_image"
-                    )
-                from ray_tracer_tpu.models.scenes import sample_texture_image
+            from ray_tracer_tpu.models.scenes import texture_factor
 
-                uv_s = jnp.where(hit[:, None], uv, jnp.zeros_like(uv)) * n
-                rgb = sample_texture_image(tex_image, uv_s).astype(
-                    mat.base_color.dtype
-                )
-                tex = jnp.where((has_uv & hit)[:, None], rgb,
-                                jnp.ones_like(rgb))
-            else:
-                raise ValueError(f"unknown texture mode {rcfg.texture!r}")
+            tex = texture_factor(uv, has_uv, hit, rcfg.texture,
+                                 rcfg.texture_scale, tex_image,
+                                 mat.base_color.dtype)
             mat = mat._replace(
                 base_color=mat.base_color * tex.astype(mat.base_color.dtype)
             )

@@ -422,26 +422,11 @@ def pathtrace_rays(
                           + hb.astype(dt)[:, None] * payload["uv1"]
                           + hg.astype(dt)[:, None] * payload["uv2"])
                     has_uv = payload["huv"]
-                nrep = jnp.asarray(rcfg.texture_scale, uv.dtype)
-                if rcfg.texture == "checker":
-                    checker = (jnp.floor(uv[:, 0] * nrep)
-                               + jnp.floor(uv[:, 1] * nrep)) % 2.0
-                    tex = jnp.where(
-                        has_uv & hit, 1.0 - 0.5 * checker, 1.0
-                    )[:, None]
-                elif rcfg.texture == "image":
-                    if scene.texture_image is None:
-                        raise ValueError(
-                            'cfg.render.texture == "image" but the scene '
-                            "has no texture_image"
-                        )
-                    uv_s = jnp.where(hit[:, None], uv, jnp.zeros_like(uv)) * nrep
-                    rgb = scene.sample_texture(uv_s).astype(dt)
-                    tex = jnp.where(
-                        (has_uv & hit)[:, None], rgb, jnp.ones_like(rgb)
-                    )
-                else:
-                    raise ValueError(f"unknown texture mode {rcfg.texture!r}")
+                from ray_tracer_tpu.models.scenes import texture_factor
+
+                tex = texture_factor(uv, has_uv, hit, rcfg.texture,
+                                     rcfg.texture_scale,
+                                     scene.texture_image, dt)
                 albedo = jnp.clip(bc255_table[mat_c] * tex, 0.0, 1.0)
             else:
                 albedo = albedo_table[mat_c]
@@ -634,8 +619,6 @@ def gi_wave_eligible(prep) -> bool:
     other feature combination falls back to the segment loop.
     RenderConfig.gi_wave: "auto" | "on" (error if ineligible) | "off".
     """
-    import numpy as np
-
     cfg = prep.cfg
     rcfg = cfg.render
     scene = prep.scene
@@ -678,7 +661,6 @@ def build_gi_wave_tables(scene, rcfg, use_spec: bool):
     """(albedo_table, km_table, fuv7, tex_image, bc255_table, fvn9)
     for gi_wave_trace — jnp-only (safe inside shard_map traces), the
     ONE builder shared by the single-device and sharded dispatches."""
-    tri_dt = scene.verts.dtype
     albedo_table = jnp.clip(scene.materials.base_color / 255.0, 0.0, 1.0)
     km_table = (
         (jnp.clip(scene.materials.km, 0.0, 1.0)
@@ -699,6 +681,8 @@ def build_gi_wave_tables(scene, rcfg, use_spec: bool):
                     "no texture_image"
                 )
             tex_image = scene.texture_image
+        elif rcfg.texture != "checker":
+            raise ValueError(f"unknown texture mode {rcfg.texture!r}")
         fuv = scene.uvs[jnp.maximum(scene.uv_faces, 0)].reshape(-1, 6)
         fhuv = (scene.uv_faces[:, 0] >= 0).astype(jnp.float32)[:, None]
         fuv7 = jnp.concatenate([fuv.astype(jnp.float32), fhuv], axis=1)
@@ -710,7 +694,6 @@ def build_gi_wave_tables(scene, rcfg, use_spec: bool):
         # round (the integrator's serial=False vertex-normal table)
         vn = vertex_normals(scene.verts, scene.faces, serial=False)
         fvn9 = vn[scene.faces].reshape(-1, 9).astype(jnp.float32)
-    del tri_dt
     return albedo_table, km_table, fuv7, tex_image, bc255_table, fvn9
 
 

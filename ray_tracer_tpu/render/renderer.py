@@ -483,25 +483,15 @@ def render_rays(
             # Differentiable in the vertices through beta/gamma (and, for
             # "image", in the texel grid through the bilinear gathers).
             uv = scene.interpolate_uv(tri, hb.astype(v0.dtype), hg.astype(v0.dtype))
-            n = jnp.asarray(rcfg.texture_scale, uv.dtype)
             has_uv = scene.uv_faces[tri][:, 0] >= 0
-            if rcfg.texture == "checker":
-                checker = (jnp.floor(uv[:, 0] * n) + jnp.floor(uv[:, 1] * n)) % 2.0
-                tex = jnp.where(has_uv & hit, 1.0 - 0.5 * checker, 1.0)[:, None]
-            elif rcfg.texture == "image":
-                if scene.texture_image is None:
-                    raise ValueError(
-                        'cfg.render.texture == "image" but the scene has '
-                        "no texture_image"
-                    )
-                # texture_scale = repeat count across the unit uv square
-                # (wrap sampling); uv is masked on dead lanes so the
-                # bilinear weights stay finite for the backward pass.
-                uv_s = jnp.where(hit[:, None], uv, jnp.zeros_like(uv)) * n
-                rgb = scene.sample_texture(uv_s).astype(mat.base_color.dtype)
-                tex = jnp.where((has_uv & hit)[:, None], rgb, jnp.ones_like(rgb))
-            else:
-                raise ValueError(f"unknown texture mode {rcfg.texture!r}")
+            # texture_scale = repeat count across the unit uv square
+            # (wrap sampling); dead lanes' uv is masked inside the ONE
+            # shared factor expression (models/scenes.texture_factor)
+            from ray_tracer_tpu.models.scenes import texture_factor
+
+            tex = texture_factor(uv, has_uv, hit, rcfg.texture,
+                                 rcfg.texture_scale, scene.texture_image,
+                                 mat.base_color.dtype)
             mat = mat._replace(base_color=mat.base_color * tex.astype(mat.base_color.dtype))
 
         # Retired bounce lanes carry inf origins; sanitize BEFORE any
