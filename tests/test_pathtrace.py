@@ -968,3 +968,38 @@ def test_gi_wave_sharded_mirror_env(eight_device_mesh):
     single = np.asarray(pt._render_pt_wave(p))
     sharded = np.asarray(render_sharded(p, mesh=eight_device_mesh))
     np.testing.assert_allclose(sharded, single, rtol=1e-6, atol=1e-4)
+
+
+def test_gi_wave_all_features_combined():
+    """Every wave feature at once — smooth normals + checker texture +
+    env map + mirror mix + sharding: pairwise parity is tested above;
+    this pins the COMBINED static gating (each feature is a separate
+    carry/gather that must compose).  Flat-quad depth-0 is
+    direction-free, so wave == segments to float precision even with
+    all features armed; the sharded wave must equal the single wave."""
+    import ray_tracer_tpu.render.pathtrace as pt
+    from ray_tracer_tpu.parallel.shard import render_sharded
+
+    prep0 = _textured_gi_prep("checker", gi_samples=2, gi_depth=0)
+    scene = prep0.scene._replace(
+        env_image=jnp.broadcast_to(
+            jnp.asarray([40.0, 30.0, 20.0], jnp.float32), (4, 8, 3)
+        ),
+        materials=prep0.scene.materials._replace(
+            reflective=jnp.asarray([True]),
+            km=jnp.asarray([0.3], jnp.float32),
+        ),
+    )
+    cfg = dataclasses.replace(
+        prep0.cfg,
+        render=dataclasses.replace(
+            prep0.cfg.render, gi_wave="on", scheduler="persistent",
+            wave=128, pump=2, normal_mode="smooth",
+        ),
+    )
+    prep = prepare(cfg, scene=scene)
+    assert pt.gi_wave_eligible(prep)
+    w, s = _wave_pair(prep)
+    # depth 0: NEE is branch-gated (spec vertices skip it) and the
+    # branch draw is key-exact, so even the mirror mix stays exact here
+    np.testing.assert_allclose(w, s, atol=1e-4, rtol=1e-6)
