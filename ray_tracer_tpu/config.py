@@ -64,6 +64,14 @@ class MaterialConfig:
     ka: float = 0.2
     km: float = 0.0
     reflective: bool = False
+    # Dielectric (glass) extension — no reference counterpart (the
+    # reference's materials are Blinn-Phong + mirror only).  A
+    # transmissive material refracts/reflects by the exact Fresnel
+    # dielectric equations in the path-traced GI integrator
+    # (render/pathtrace.py); the Whitted paths reject it (the Whitted
+    # recursion has no refraction branch, matching the reference).
+    transmissive: bool = False
+    ior: float = 1.5  # index of refraction (only read when transmissive)
 
 
 @dataclass(frozen=True)

@@ -108,6 +108,16 @@ class Scene(NamedTuple):
     # every bounce depth.  A differentiable leaf (fit can recover it).
     # None = constant background (reference-exact).
     env_image: Optional[jnp.ndarray] = None
+    # Optional per-material dielectric (glass) data
+    # (MaterialConfig.transmissive/ior): (M,) flags + (M,) indices of
+    # refraction.  Consumed ONLY by the path-traced GI integrator
+    # (render/pathtrace.py — exact Fresnel reflect/refract); the
+    # Whitted paths raise on transmissive scenes.  `ior` is a
+    # differentiable leaf (d radiance / d ior flows through the
+    # Fresnel weights).  None = no dielectrics: every existing path
+    # is unchanged.
+    transmissive: Optional[jnp.ndarray] = None  # (M,) bool
+    ior: Optional[jnp.ndarray] = None  # (M,) f32
 
     def sample_texture(self, uv: jnp.ndarray) -> jnp.ndarray:
         """Bilinear wrap-mode sample: (R,2) uv -> (R,3) rgb in [0,1]
@@ -301,6 +311,13 @@ def scene_from_numpy(
         extra_light_intensity=(
             jnp.asarray([l.intensity for l in extra_lights], dtype)
             if extra_lights else None),
+        # dielectric tables only materialize when some material asks —
+        # all-default configs keep the exact pre-existing pytree
+        transmissive=(jnp.asarray([m.transmissive for m in materials],
+                                  dtype=bool)
+                      if any(m.transmissive for m in materials) else None),
+        ior=(jnp.asarray([m.ior for m in materials], dtype=dtype)
+             if any(m.transmissive for m in materials) else None),
     )
     _register_host_geometry(
         scene.verts,

@@ -101,6 +101,10 @@ def merge_scene(params: SceneParams, scene: Scene) -> Scene:
         extra_light_pos=params.extra_light_pos,
         extra_light_intensity=params.extra_light_intensity,
         env_image=params.env_image,
+        # dielectric tables pass through untrained (like faces/flags;
+        # ior optimization would ride SceneParams if ever needed)
+        transmissive=scene.transmissive,
+        ior=scene.ior,
     )
 
 
@@ -439,6 +443,13 @@ def fit(
 
     log = get_logger("ray_tracer_tpu.fit")
     scene, cfg = prep.scene, prep.cfg
+    if scene.transmissive is not None:
+        raise NotImplementedError(
+            "fit() optimizes through the Whitted renderer, which has no "
+            "refraction branch — transmissive (dielectric) materials "
+            "are served by the path-traced integrator only "
+            "(render/pathtrace.py)"
+        )
     packed_mode = cfg.render.traversal == "packed"
     if packed_mode:
         grid, meta = prep.packed.arrays, prep.packed.meta

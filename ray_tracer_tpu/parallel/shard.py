@@ -248,6 +248,12 @@ def render_sharded(
     """Render with rays sharded over `axis` of `mesh` -> (H, W, 3)."""
     if mesh is None:
         mesh = make_mesh()
+    if (prep.cfg.render.gi_samples == 0
+            and prep.scene.transmissive is not None):
+        raise NotImplementedError(
+            "transmissive (dielectric) materials are served by the "
+            "path-traced integrator only — set render.gi_samples > 0"
+        )
     gi_wave_spec = None
     if prep.cfg.render.gi_samples > 0:
         from ray_tracer_tpu.render.pathtrace import (
@@ -832,10 +838,11 @@ def _check_ring_cfg(rcfg) -> None:
 
 
 def _ring_extra_specs(smooth, textured, has_tex, has_env, has_extra,
-                      tris_axis):
+                      tris_axis, has_diel=False):
     """in_specs suffix for the optional feature arrays, matching
     _unpack_ring_extras' order: per-face payloads shard over the
-    triangle axis, images and extra lights replicate."""
+    triangle axis, images, extra lights and dielectric tables
+    replicate."""
     specs = []
     if smooth:
         specs.append(P(tris_axis))  # fvn
@@ -847,12 +854,14 @@ def _ring_extra_specs(smooth, textured, has_tex, has_env, has_extra,
         specs.append(P())
     if has_extra:
         specs += [P(), P()]  # extra_light_pos, extra_light_intensity
+    if has_diel:
+        specs += [P(), P()]  # transmissive flags, ior table ((M,) each)
     return tuple(specs)
 
 
 def _unpack_ring_extras(extra, smooth, textured, has_tex, has_env,
-                        has_extra):
-    fvn = fuv = fhuv = tex = env = elp = eli = None
+                        has_extra, has_diel=False):
+    fvn = fuv = fhuv = tex = env = elp = eli = diel_t = diel_ior = None
     i = 0
     if smooth:
         fvn = extra[i]; i += 1
@@ -864,8 +873,10 @@ def _unpack_ring_extras(extra, smooth, textured, has_tex, has_env,
         env = extra[i]; i += 1
     if has_extra:
         elp, eli = extra[i], extra[i + 1]; i += 2
+    if has_diel:
+        diel_t, diel_ior = extra[i], extra[i + 1]; i += 2
     assert i == len(extra)
-    return fvn, fuv, fhuv, tex, env, elp, eli
+    return fvn, fuv, fhuv, tex, env, elp, eli, diel_t, diel_ior
 
 
 @lru_cache(maxsize=16)
@@ -882,7 +893,7 @@ def _ring_render_fn(cfg: SceneConfig, mesh: Mesh, rays_axis: Optional[str],
 
     def body(rays, v0, v1, v2, fmat, materials, light_pos, light_intensity,
              *extra):
-        fvn, fuv, fhuv, tex, env, elp, eli = _unpack_ring_extras(
+        fvn, fuv, fhuv, tex, env, elp, eli, _dtr, _dio = _unpack_ring_extras(
             extra, smooth, textured, has_tex, has_env, has_extra
         )
 
@@ -966,6 +977,14 @@ def render_sharded_geometry(
     has_extra = scene.extra_light_pos is not None
     nf = scene.num_faces
     gi = cfg.render.gi_samples > 0
+    # dielectric tables replicate like the materials (GI-only; the
+    # Whitted ring has no refraction branch, same rule as render())
+    has_diel = scene.transmissive is not None
+    if has_diel and not gi:
+        raise NotImplementedError(
+            "transmissive (dielectric) materials are served by the "
+            "path-traced integrator only — set render.gi_samples > 0"
+        )
     feature_args = []
     if smooth:
         from ray_tracer_tpu.ops.shade import vertex_normals
@@ -993,6 +1012,8 @@ def render_sharded_geometry(
     if has_extra:
         feature_args += [scene.extra_light_pos,
                          scene.extra_light_intensity]
+    if has_diel:
+        feature_args += [scene.transmissive, scene.ior]
 
     if cfg.render.traversal == "packed":
         if ring_grids is None:
@@ -1001,7 +1022,8 @@ def render_sharded_geometry(
         assert gfp == fp, "ring_grids built for a different shard count"
         if gi:
             fn = _ring_pt_fn(cfg, mesh, rays_axis, tris_axis, gmeta, fp,
-                             smooth, textured, has_tex, has_env, has_extra)
+                             smooth, textured, has_tex, has_env, has_extra,
+                             has_diel)
         else:
             fn = _ring_render_grid_fn(cfg, mesh, rays_axis, tris_axis, gmeta,
                                       fp, textured, has_tex, has_env,
@@ -1010,7 +1032,8 @@ def render_sharded_geometry(
     else:
         if gi:
             fn = _ring_pt_fn(cfg, mesh, rays_axis, tris_axis, None, fp,
-                             smooth, textured, has_tex, has_env, has_extra)
+                             smooth, textured, has_tex, has_env, has_extra,
+                             has_diel)
         else:
             fn = _ring_render_fn(cfg, mesh, rays_axis, tris_axis, fp,
                                  textured, has_tex, has_env, has_extra)
@@ -1234,7 +1257,7 @@ def _ring_pt_fn(cfg: SceneConfig, mesh: Mesh, rays_axis: Optional[str],
                 tris_axis: str, meta, n_tris_padded: int,
                 smooth: bool = False, textured: bool = False,
                 has_tex: bool = False, has_env: bool = False,
-                has_extra: bool = False):
+                has_extra: bool = False, has_diel: bool = False):
     """Path-traced GI with the GEOMETRY ring-sharded: every path
     segment and occlusion query orbits the ring (grid hops when `meta`
     is given, all-pairs otherwise), and the integrator consumes the
@@ -1262,9 +1285,11 @@ def _ring_pt_fn(cfg: SceneConfig, mesh: Mesh, rays_axis: Optional[str],
         else:
             v0, v1, v2, fmat, materials, light_pos, light_intensity, \
                 *extra = args
-        fvn, fuv, fhuv, tex, env, elp, eli = _unpack_ring_extras(
-            extra, smooth, textured, has_tex, has_env, has_extra
-        )
+        fvn, fuv, fhuv, tex, env, elp, eli, diel_t, diel_ior = \
+            _unpack_ring_extras(
+                extra, smooth, textured, has_tex, has_env, has_extra,
+                has_diel,
+            )
 
         def orbit(rb, t_gate, stop_first):
             # occlusion orbits carry no shading payload (any-hit only)
@@ -1330,6 +1355,8 @@ def _ring_pt_fn(cfg: SceneConfig, mesh: Mesh, rays_axis: Optional[str],
             extra_light_pos=elp,
             extra_light_intensity=eli,
             env_image=env,
+            transmissive=diel_t,
+            ior=diel_ior,
         )
         return pathtrace_rays(rays, stub, None, None, cfg,
                               tracer=_RingTracer)
@@ -1340,7 +1367,7 @@ def _ring_pt_fn(cfg: SceneConfig, mesh: Mesh, rays_axis: Optional[str],
     in_specs += (P(tris_axis), P(tris_axis), P(tris_axis), P(tris_axis),
                  P(), P(), P())
     in_specs += _ring_extra_specs(smooth, textured, has_tex, has_env,
-                                  has_extra, tris_axis)
+                                  has_extra, tris_axis, has_diel)
     return jax.jit(jax.shard_map(
         body, mesh=mesh, in_specs=in_specs, out_specs=P(ray_axes),
     ))
@@ -1360,7 +1387,7 @@ def _ring_render_grid_fn(cfg: SceneConfig, mesh: Mesh, rays_axis: Optional[str],
     def body(rays, garr, v0, v1, v2, fmat, materials, light_pos,
              light_intensity, *extra):
         garr = jax.tree.map(lambda x: x[0], garr)  # drop the shard dim
-        fvn, fuv, fhuv, tex, env, elp, eli = _unpack_ring_extras(
+        fvn, fuv, fhuv, tex, env, elp, eli, _dtr, _dio = _unpack_ring_extras(
             extra, smooth, textured, has_tex, has_env, has_extra
         )
 

@@ -129,6 +129,44 @@ def _cosine_sample(n: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray):
     return x[:, None] * b1 + y[:, None] * b2 + z[:, None] * n
 
 
+def fresnel_refract(d_unit: jnp.ndarray, n: jnp.ndarray,
+                    entering: jnp.ndarray, ior: jnp.ndarray):
+    """Exact (unpolarized) Fresnel dielectric response at a surface.
+
+    `d_unit`: (R,3) unit incident directions; `n`: (R,3) unit normals
+    ORIENTED AGAINST the ray (n·d <= 0 — the integrator's double-sided
+    flip guarantees this); `entering`: (R,) True where the ray meets
+    the front face (outside medium is vacuum/air, n1 = 1); `ior`:
+    (R,) per-lane index of refraction of the glass.
+
+    Returns (F, refl_dir, refr_dir):
+      * F (R,): reflectance (Rs^2 + Rp^2)/2 from the exact Fresnel
+        equations (not the Schlick approximation, so `ior == 1` gives
+        F == 0 at EVERY angle — the invariance the exactness test
+        pins).  Under total internal reflection cos_t clamps to 0 and
+        the equations evaluate to exactly 1: no explicit TIR branch.
+        At normal incidence F == ((ior-1)/(ior+1))^2 exactly.
+      * refl_dir (R,3): mirror direction d + 2 cos_i n.
+      * refr_dir (R,3): Snell direction eta d + (eta cos_i - cos_t) n
+        (unit where refraction exists; meaningless where F == 1).
+
+    Differentiable in `ior` (the GI integrator's throughput weights
+    carry d radiance / d ior through this F).
+    """
+    cos_i = jnp.clip(-jnp.sum(d_unit * n, axis=-1), 0.0, 1.0)
+    eta = jnp.where(entering, 1.0 / ior, ior)  # n1/n2 as seen by the ray
+    sin2_t = eta * eta * jnp.maximum(1.0 - cos_i * cos_i, 0.0)
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))  # 0 under TIR
+    # guarded denominators: both only vanish at the measure-zero
+    # grazing+TIR corner, where the numerators vanish too
+    rs = (eta * cos_i - cos_t) / jnp.maximum(eta * cos_i + cos_t, 1e-20)
+    rp = (eta * cos_t - cos_i) / jnp.maximum(eta * cos_t + cos_i, 1e-20)
+    F = 0.5 * (rs * rs + rp * rp)
+    refl = d_unit + 2.0 * cos_i[:, None] * n
+    refr = eta[:, None] * d_unit + (eta * cos_i - cos_t)[:, None] * n
+    return F, refl, refr
+
+
 def pathtrace_rays(
     rays: RayBatch,
     scene: Scene,
@@ -194,6 +232,16 @@ def pathtrace_rays(
           if smooth and tracer is None else None)
     ddt = jnp.dtype(rcfg.det_dtype)
     background = jnp.asarray(rcfg.background, dt)
+
+    # dielectric (glass) materials: Scene.transmissive/ior tables,
+    # active in this integrator only (the Whitted paths raise).  The
+    # tables are tiny (M,) replicated leaves, so the ring tracer path
+    # consumes them identically (parallel/shard plumbs them into the
+    # geometry-free scene stub).
+    has_diel = scene.transmissive is not None
+    if has_diel:
+        trans_table = scene.transmissive
+        ior_table = scene.ior.astype(dt)
 
     albedo_table = jnp.clip(scene.materials.base_color / 255.0, 0.0, 1.0)
     if textured:
@@ -409,6 +457,11 @@ def pathtrace_rays(
             n = jnp.where(flip[:, None], -n, n)
 
             mat_c = jnp.clip(mat, 0, albedo_table.shape[0] - 1)
+            # dielectric lanes: delta interface — no NEE, no km mix,
+            # no albedo modulation; the bounce section below picks
+            # reflect-vs-refract by the exact Fresnel reflectance
+            diel = (hit & trans_table[mat_c] if has_diel
+                    else jnp.zeros((rr,), bool))
             if textured:
                 # barycentric uv -> texture factor, the Whitted
                 # epilogue's exact expressions (renderer.py; ring:
@@ -447,7 +500,7 @@ def pathtrace_rays(
                 km_d = km_table[mat]
                 p_spec = jax.lax.stop_gradient(km_d)
                 u3 = _hash_u01(key, 0x85EBCA77 * (depth + 1) + 13)
-                spec = hit & (u3.astype(dt) < p_spec)
+                spec = hit & ~diel & (u3.astype(dt) < p_spec)
                 # unselected-branch denominators are never 0 where
                 # selected (u3 < p rules out p == 0; p == 1 rules out
                 # the diffuse branch), so both quotients stay finite
@@ -457,7 +510,10 @@ def pathtrace_rays(
                     km_d / jnp.where(p_spec > 0, p_spec, 1.0),
                     (1.0 - km_d) / jnp.where(p_spec < 1, 1.0 - p_spec, 1.0),
                 )
-                throughput = throughput * w_branch[:, None]
+                # dielectric lanes sit outside the km mix entirely
+                throughput = throughput * jnp.where(
+                    diel, 1.0, w_branch
+                )[:, None]
             else:
                 spec = jnp.zeros((rr,), bool)
 
@@ -471,7 +527,7 @@ def pathtrace_rays(
                 cos_i = jnp.maximum(jnp.sum(n * wl, axis=-1), 0.0)
                 if fuse_nee:
                     # visibility came back with the fused march
-                    unoccluded = hit & ~spec & ~res.in_shadow
+                    unoccluded = hit & ~spec & ~diel & ~res.in_shadow
                 else:
                     srays = jax.tree.map(
                         jax.lax.stop_gradient,
@@ -483,7 +539,7 @@ def pathtrace_rays(
                         skw = {"compact": True} if persistent else {}
                         occ = trav(srays, t_gate=eps,
                                    stop_on_first_hit=True, **skw).hit
-                    unoccluded = hit & ~spec & ~occ
+                    unoccluded = hit & ~spec & ~diel & ~occ
                 direct = (
                     albedo * jnp.float32(_INV_PI)
                     * (li * cos_i / jnp.maximum(d2, 1e-20))[:, None]
@@ -505,7 +561,7 @@ def pathtrace_rays(
                 cos_e = jnp.maximum(
                     jnp.sum(n * edir.astype(dt), axis=-1), 0.0
                 )
-                live_e = hit & ~spec & (cos_e > 0.0)
+                live_e = hit & ~spec & ~diel & (cos_e > 0.0)
                 eorig = jnp.where(live_e[:, None], poi, inf3)
                 erays = jax.tree.map(jax.lax.stop_gradient, RayBatch.make(
                     eorig, edir.astype(dt), mint=jnp.asarray(eps, dt)
@@ -548,6 +604,41 @@ def pathtrace_rays(
                     cur.dirn * n, axis=-1, keepdims=True
                 ) * n
                 ndir = jnp.where(spec[:, None], mdir, ndir)
+            if has_diel:
+                # ---- dielectric reflect/refract (exact Fresnel) ------
+                # one deterministic draw takes the mirror branch with
+                # probability F; each branch's weight divides by the
+                # STOP-GRADIENT selection probability, so the estimator
+                # is unbiased and d radiance / d ior flows through F:
+                #   E[w·L] = F·L_refl + (1-F)·L_refr        (p = sg(F))
+                # TIR evaluates to F == 1 inside fresnel_refract, so
+                # u7 < 1 always reflects there (the hash is in [0,1)).
+                # Glass is untinted: base_color does not modulate the
+                # transmitted throughput (a delta interface, not a
+                # Lambertian event).
+                du = vm.normalize(cur.dirn)
+                F, refl_dir, refr_dir = fresnel_refract(
+                    du, n, ~flip, ior_table[mat_c]
+                )
+                p_refl = jax.lax.stop_gradient(F)
+                u7 = _hash_u01(key, 0xA0761D65 * (depth + 1) + 17)
+                refl_d = diel & (u7.astype(dt) < p_refl)
+                # unselected-branch denominators never vanish where
+                # selected (u7 < p rules out p == 0; p == 1 rules out
+                # the refract branch) — same NaN-free rule as the km mix
+                w_diel = jnp.where(
+                    refl_d,
+                    F / jnp.where(p_refl > 0, p_refl, 1.0),
+                    (1.0 - F) / jnp.where(p_refl < 1, 1.0 - p_refl, 1.0),
+                )
+                throughput = throughput * jnp.where(
+                    diel, w_diel, 1.0
+                )[:, None]
+                ndir = jnp.where(
+                    diel[:, None],
+                    jnp.where(refl_d[:, None], refl_dir, refr_dir),
+                    ndir,
+                )
             ndir = jax.lax.stop_gradient(ndir.astype(dt))
             if env_nee:
                 # next segment's cosine pdf for the escape MIS weight;
@@ -556,11 +647,11 @@ def pathtrace_rays(
                     jnp.sum(jax.lax.stop_gradient(n).astype(jnp.float32)
                             * ndir.astype(jnp.float32), axis=-1), 0.0
                 ) * jnp.float32(_INV_PI)
-                bsdf_pdf = jnp.where(spec | ~hit, 0.0, pc_next)
+                bsdf_pdf = jnp.where(spec | diel | ~hit, 0.0, pc_next)
             # cosine-weighted pdf cancels BRDF x cos exactly: weight =
             # albedo (differentiable; the DIRECTION is stop-gradient)
             throughput = throughput * jnp.where(
-                spec[:, None], 1.0, albedo
+                (spec | diel)[:, None], 1.0, albedo
             )
             path_alive = hit
             rorig = jnp.where(hit[:, None], poi, inf3)
@@ -636,6 +727,9 @@ def gi_wave_eligible(prep) -> bool:
         # per round) — but env NEE/MIS stays segment-only
         and not (scene.env_image is not None and rcfg.gi_env_nee)
         and scene.extra_light_pos is None
+        # dielectrics run the segment loop (the wave has no
+        # reflect/refract rearm)
+        and scene.transmissive is None
     )
     if knob == "on" and not ok:
         raise ValueError(

@@ -910,6 +910,13 @@ def render(prep: Prepared) -> jnp.ndarray:
         from ray_tracer_tpu.render.pathtrace import render_pt
 
         return render_pt(prep)
+    if prep.scene.transmissive is not None:
+        raise NotImplementedError(
+            "transmissive (dielectric) materials are served by the "
+            "path-traced integrator only — set render.gi_samples > 0 "
+            "(the Whitted recursion has no refraction branch, matching "
+            "the reference's mirror-only materials)"
+        )
     if whitted_wave_eligible(prep):
         return _render_whitted_wave(prep)
     if prep.cfg.render.traversal == "packed":

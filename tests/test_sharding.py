@@ -763,3 +763,51 @@ def test_ring_gi_texture_matches_replicated(texture, eight_device_mesh):
     got = np.asarray(render_sharded_geometry(prep, mesh=eight_device_mesh))
     assert np.isfinite(got).all()
     np.testing.assert_allclose(got, want, atol=5e-3, rtol=1e-3)
+
+
+@pytest.mark.parametrize("traversal", ["packed", "brute"])
+def test_ring_gi_dielectric_matches_replicated(tiny_prep, eight_device_mesh,
+                                               traversal):
+    """Ring GI dielectrics (round 5): the (M,) transmissive/ior tables
+    replicate into the geometry-free scene stub like the material
+    table, so the Fresnel reflect/refract physics is the ONE
+    pathtrace_rays implementation on both paths — ring must match the
+    replicated glass render for the same input rays (the same
+    reference convention as the other ring GI parity tests)."""
+    import dataclasses
+
+    from ray_tracer_tpu.ops.camera import camera_rays
+    from ray_tracer_tpu.parallel.shard import render_sharded_geometry
+    from ray_tracer_tpu.render.pathtrace import pathtrace_rays
+    from ray_tracer_tpu.render.renderer import prepare
+
+    m = tiny_prep.scene.materials.base_color.shape[0]
+    trans = np.zeros((m,), bool)
+    trans[-1] = True  # one sphere's material turns to glass
+    scene = tiny_prep.scene._replace(
+        transmissive=jnp.asarray(trans),
+        ior=jnp.full((m,), 1.5, jnp.float32),
+        env_image=jnp.asarray(
+            np.linspace(5.0, 80.0, 4 * 8 * 3, dtype=np.float32)
+            .reshape(4, 8, 3)
+        ),
+    )
+    cfg = dataclasses.replace(
+        tiny_prep.cfg,
+        render=dataclasses.replace(
+            tiny_prep.cfg.render, faithful=False, det_dtype="float32",
+            traversal=traversal, fused_shadow=False,
+            gi_samples=2, gi_depth=2,
+        ),
+    )
+    prep = prepare(cfg, scene=scene)
+    rays = camera_rays(cfg.camera, dtype=jnp.dtype(cfg.render.dtype))
+    garr = (prep.packed.arrays if prep.packed is not None
+            else prep.grid.arrays)
+    gmeta = prep.packed.meta if prep.packed is not None else prep.grid.meta
+    want = np.asarray(
+        pathtrace_rays(rays, prep.scene, garr, gmeta, cfg)
+    ).reshape(cfg.camera.height, cfg.camera.width, 3)
+    got = np.asarray(render_sharded_geometry(prep, mesh=eight_device_mesh))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, atol=5e-3, rtol=1e-3)
