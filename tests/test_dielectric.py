@@ -318,6 +318,36 @@ def test_gi_wave_ineligible_for_glass():
         gi_wave_eligible(prep_on)
 
 
+def test_glass_sharded_equals_single(eight_device_mesh):
+    """Replicated ray-sharding with glass: the Scene's transmissive/ior
+    leaves ride the replicated scene pytree into each shard's
+    pathtrace_rays, and the ray-bit sample keys make the Fresnel draws
+    shard-invariant — sharded == single-device BITWISE (the same
+    contract as every other GI feature)."""
+    from ray_tracer_tpu.models.scenes import gradcheck_scene
+    from ray_tracer_tpu.parallel.shard import render_sharded
+
+    scene, cfg = gradcheck_scene(12, 12)
+    m = scene.materials.base_color.shape[0]
+    trans = np.zeros((m,), bool)
+    trans[-1] = True
+    scene = scene._replace(
+        transmissive=jnp.asarray(trans),
+        ior=jnp.full((m,), 1.5, jnp.float32),
+    )
+    cfg = dataclasses.replace(
+        cfg,
+        render=dataclasses.replace(
+            cfg.render, faithful=False, traversal="packed",
+            scheduler="persistent", wave=64, gi_samples=2, gi_depth=2,
+        ),
+    )
+    prep = prepare(cfg, scene=scene)
+    single = np.asarray(render(prep))
+    sharded = np.asarray(render_sharded(prep, mesh=eight_device_mesh))
+    np.testing.assert_array_equal(single, sharded)
+
+
 def test_point_light_shines_through_ior_one_slab():
     """NEE is skipped at glass vertices (a delta interface cannot be
     connected to a point light), but a Lambertian floor BELOW ior-1
